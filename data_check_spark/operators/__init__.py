@@ -1,0 +1,17 @@
+from data_check_spark.operators.schema_diff import schema_diff, common_columns  # noqa: F401
+from data_check_spark.operators.stats import column_stats, partition_stats_verdicts  # noqa: F401
+from data_check_spark.operators.unique import uniqueness_violations, uniqueness_check  # noqa: F401
+from data_check_spark.operators.refint import referential_violations  # noqa: F401
+from data_check_spark.operators.rowdiff import (  # noqa: F401
+    pk_census,
+    exclusive_rows,
+    column_match_ratios,
+    row_diff,
+)
+from data_check_spark.operators.drift import (  # noqa: F401
+    categorical_frequencies,
+    psi_categorical,
+    numeric_histogram,
+    psi_numeric,
+    ks_statistic,
+)

@@ -1,0 +1,145 @@
+"""Distribution-drift checks between two table versions (north rule):
+PSI over categorical frequencies (e.g. lang) and over fixed-width
+numeric histograms (e.g. length(text)), plus a histogram-based KS
+statistic.
+
+Not present in the reference (it has no distribution checks) — this is
+the north-rule extension. Everything is DataFrame aggregation:
+
+* per-version state = a frequency vector / histogram, built with ONE
+  ``groupBy(bucket).count()`` pass per version (map-side combine → the
+  shuffle carries one row per bucket per task, never data rows);
+* PSI/KS then operate on the two tiny bucket tables (a few hundred
+  rows) — joined and reduced JVM-side, no driver loops, no Python UDF.
+
+At 100 TB the histogram pass is embarrassingly parallel and the drift
+math is O(#buckets); nothing here grows with data size except the one
+scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+EPS = 1e-6  # PSI epsilon floor for empty buckets (standard practice)
+
+
+def _with_freq(counts: DataFrame) -> DataFrame:
+    """freq = n / Σn via a broadcast scalar cross-join — avoids the
+    single-partition all-rows window (the bucket table is tiny, but a
+    window-over-everything is still the wrong shape)."""
+    total = counts.agg(F.sum("n").alias("_total"))
+    return counts.crossJoin(F.broadcast(total)).withColumn(
+        "freq", F.col("n").cast("double") / F.col("_total")
+    ).drop("_total")
+
+
+def categorical_frequencies(df: DataFrame, col: str | Column, name: str = "category") -> DataFrame:
+    """(category, n, freq) for one version. NULL category kept as its
+    own bucket (drift in null-rate is drift)."""
+    c = F.col(col) if isinstance(col, str) else col
+    counts = df.groupBy(c.alias(name)).agg(F.count(F.lit(1)).alias("n"))
+    return _with_freq(counts)
+
+
+def psi_categorical(
+    df1: DataFrame, df2: DataFrame, col: str | Column, round_to: int = 6
+) -> DataFrame:
+    """Population Stability Index between the two versions' categorical
+    distributions → one row (psi, n_categories). PSI = Σ (p−q)·ln(p/q)
+    with an epsilon floor on empty buckets."""
+    f1 = categorical_frequencies(df1, col).select(
+        "category", F.col("freq").alias("p")
+    )
+    f2 = categorical_frequencies(df2, col).select(
+        "category", F.col("freq").alias("q")
+    )
+    j = f1.join(f2, on="category", how="full_outer").select(
+        "category",
+        F.coalesce("p", F.lit(EPS)).alias("p"),
+        F.coalesce("q", F.lit(EPS)).alias("q"),
+    )
+    term = (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))
+    return j.agg(
+        F.round(F.sum(term), round_to).alias("psi"),
+        F.count(F.lit(1)).alias("n_categories"),
+    )
+
+
+def numeric_histogram(
+    df: DataFrame,
+    col: Column | str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 50,
+) -> DataFrame:
+    """Fixed-width histogram of a numeric expression → (bucket, n, freq).
+    Bucket 0..n_buckets-1 inside [lo, hi); values outside are clamped
+    to the edge buckets; NULLs are dropped. Fixed, data-independent
+    bucket edges make per-version histograms mergeable and
+    deterministic (no two-pass min/max needed at scale)."""
+    c = F.col(col) if isinstance(col, str) else col
+    width = (hi - lo) / n_buckets
+    b = F.floor((c.cast("double") - F.lit(lo)) / F.lit(width)).cast("int")
+    b = F.greatest(F.lit(0), F.least(F.lit(n_buckets - 1), b))
+    counts = (
+        df.filter(c.isNotNull())
+        .groupBy(b.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return _with_freq(counts)
+
+
+def psi_numeric(
+    df1: DataFrame,
+    df2: DataFrame,
+    col: Column | str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 50,
+    round_to: int = 6,
+) -> DataFrame:
+    """PSI over fixed-width histograms of a numeric expression."""
+    h1 = numeric_histogram(df1, col, lo, hi, n_buckets).select(
+        "bucket", F.col("freq").alias("p")
+    )
+    h2 = numeric_histogram(df2, col, lo, hi, n_buckets).select(
+        "bucket", F.col("freq").alias("q")
+    )
+    j = h1.join(h2, on="bucket", how="full_outer").select(
+        F.coalesce("p", F.lit(EPS)).alias("p"),
+        F.coalesce("q", F.lit(EPS)).alias("q"),
+    )
+    term = (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))
+    return j.agg(F.round(F.sum(term), round_to).alias("psi"))
+
+
+def ks_statistic(
+    df1: DataFrame,
+    df2: DataFrame,
+    col: Column | str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 200,
+    round_to: int = 6,
+) -> DataFrame:
+    """Histogram-approximated two-sample Kolmogorov–Smirnov statistic:
+    max |CDF1(b) − CDF2(b)| over bucket edges. Resolution = bucket
+    width; exact enough for drift verdicts and fully distributed."""
+    h1 = numeric_histogram(df1, col, lo, hi, n_buckets).select(
+        "bucket", F.col("freq").alias("p")
+    )
+    h2 = numeric_histogram(df2, col, lo, hi, n_buckets).select(
+        "bucket", F.col("freq").alias("q")
+    )
+    j = h1.join(h2, on="bucket", how="full_outer").select(
+        "bucket",
+        F.coalesce("p", F.lit(0.0)).alias("p"),
+        F.coalesce("q", F.lit(0.0)).alias("q"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = j.select(
+        (F.sum("p").over(w) - F.sum("q").over(w)).alias("d")
+    )
+    return cdf.agg(F.round(F.max(F.abs(F.col("d"))), round_to).alias("ks"))

@@ -1,0 +1,175 @@
+"""Two-table comparison: PK census, exclusive-row dumps, per-column
+match ratios, row-level diff — checks #3–#5 of the reference contract
+(SURVEY §2.9).
+
+Reference queries being re-expressed (all single-key equi-joins):
+
+* **PK census** — FULL OUTER JOIN USING(pk) + COUNT/COUNTIF battery
+  (``/root/reference/data_check/processors/bigquery.py:55-92``):
+  total_rows, missing per side, missing ratios (SAFE_DIVIDE).
+* **Exclusive rows** — LEFT JOIN + IS NULL ≡ left anti, LIMIT 500
+  (``bigquery.py:104-141``).
+* **Per-column ratios** — ONE inner join + ONE fused aggregation
+  computes ratio_not_null / ratio_equal for every column
+  (``bigquery.py:195-253``); output long-format directly (the
+  reference transposes client-side, data_processor.py:226-237).
+* **Row diff** — inner join + OR-of-inequalities filter, paired
+  ``col__1``/``col__2`` projection (``bigquery.py:143-193``,
+  suffixing util ``processors/utils.py:7-13``).
+
+Null/sentinel semantics follow functions/canonical.py (SURVEY §2.10).
+
+Scale design:
+* compared columns are canonicalized and projected BEFORE the join —
+  the shuffle carries only (pk, canonical strings), never html bytes.
+* the join is a single hash-partitioned equi-join on pk; AQE skew-join
+  splits hot pk partitions. An optional ``repartition_to`` pre-shuffles
+  both sides identically so census + ratios + diff reuse one exchange.
+* ratios come from ONE aggregation over the joined relation — the
+  whole 5-check battery costs one shuffle of the slim projection.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import or_
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_check_spark.functions.canonical import (
+    canonical_string,
+    ratio_equal_pred,
+    ratio_not_null_pred,
+    rowdiff_neq,
+)
+from data_check_spark.operators.schema_diff import common_columns
+
+
+def _canon_sides(
+    df1: DataFrame, df2: DataFrame, pk: str, columns: list[str] | None
+):
+    """Project both sides to (pk, canonicalized compared columns)."""
+    common = common_columns(df1, df2)
+    names = [n for n, _ in common if n != pk]
+    if columns is not None:
+        names = [n for n in names if n in columns]
+    t1 = {f.name: f.dataType for f in df1.schema.fields}
+    t2 = {f.name: f.dataType for f in df2.schema.fields}
+    s1 = df1.select(F.col(pk), *[canonical_string(F.col(n), t1[n]).alias(n) for n in names])
+    s2 = df2.select(F.col(pk), *[canonical_string(F.col(n), t2[n]).alias(n) for n in names])
+    return s1, s2, names
+
+
+def pk_census(df1: DataFrame, df2: DataFrame, pk: str) -> DataFrame:
+    """Full-outer PK overlap census → one summary row
+    (total_rows, missing_primary_keys_table1/2, ratios).
+
+    Matches ``bigquery.py:55-92``: COUNTIF(side IS NULL) per side,
+    SAFE_DIVIDE → try_divide. Only the pk column is shuffled.
+    """
+    k1 = df1.select(F.col(pk).alias("pk1"))
+    k2 = df2.select(F.col(pk).alias("pk2"))
+    joined = k1.join(k2, k1["pk1"] == k2["pk2"], "full_outer")
+    total = F.count(F.lit(1))
+    miss1 = F.count_if(F.col("pk1").isNull())  # pk present only in table2
+    miss2 = F.count_if(F.col("pk2").isNull())  # pk present only in table1
+    return joined.agg(
+        total.alias("total_rows"),
+        miss1.alias("missing_primary_keys_table1"),
+        miss2.alias("missing_primary_keys_table2"),
+        F.round(F.try_divide(miss1.cast("double"), total.cast("double")), 6).alias(
+            "missing_primary_keys_table1_ratio"
+        ),
+        F.round(F.try_divide(miss2.cast("double"), total.cast("double")), 6).alias(
+            "missing_primary_keys_table2_ratio"
+        ),
+    )
+
+
+def exclusive_rows(
+    df1: DataFrame, df2: DataFrame, pk: str, side: int = 1, limit: int = 500
+) -> DataFrame:
+    """Rows whose PK exists only on ``side`` (1 or 2) — left anti-join,
+    capped like the reference's LIMIT 500 (``bigquery.py:105``),
+    sorted by pk so the capped set is deterministic."""
+    a, b = (df1, df2) if side == 1 else (df2, df1)
+    keys = b.select(pk).dropDuplicates()
+    return a.join(keys, on=pk, how="left_anti").orderBy(pk).limit(limit)
+
+
+def column_match_ratios(
+    df1: DataFrame,
+    df2: DataFrame,
+    pk: str,
+    columns: list[str] | None = None,
+    reference_mode: bool = True,
+    round_to: int = 6,
+) -> DataFrame:
+    """Long-format per-column ratios over the inner-joined rows:
+    (column, count_common, ratio_not_null, ratio_equal,
+    percentage_diff_values), sorted like the reference report
+    (percentage_diff_values desc, ratio_not_null desc;
+    ``data_processor.py:232-236``).
+
+    ONE inner join + ONE aggregation for ALL columns (ref
+    ``bigquery.py:207-224``): count_common = COUNT(pk);
+    ratio_not_null = COUNTIF(COALESCE(a,b) NOT NULL)/count_common;
+    ratio_equal = COUNTIF(eq)/not_null_count (``bigquery.py:232-235``);
+    percentage_diff_values = 1 - ratio_equal (``data_processor.py:231``).
+    """
+    s1, s2, names = _canon_sides(df1, df2, pk, columns)
+    s1 = s1.select(F.col(pk), *[F.col(n).alias(f"{n}__1") for n in names])
+    s2 = s2.select(F.col(pk), *[F.col(n).alias(f"{n}__2") for n in names])
+    j = s1.join(s2, on=pk, how="inner")
+
+    count_common = F.count(F.col(pk))
+    structs = []
+    for n in names:
+        c1, c2 = F.col(f"{n}__1"), F.col(f"{n}__2")
+        not_null = F.count_if(ratio_not_null_pred(c1, c2))
+        equal = F.count_if(ratio_equal_pred(c1, c2, reference_mode))
+        ratio_not_null = F.try_divide(not_null.cast("double"), count_common.cast("double"))
+        ratio_equal = F.try_divide(equal.cast("double"), not_null.cast("double"))
+        structs.append(
+            F.struct(
+                F.lit(n).alias("column"),
+                count_common.alias("count_common"),
+                F.round(ratio_not_null, round_to).alias("ratio_not_null"),
+                F.round(ratio_equal, round_to).alias("ratio_equal"),
+                F.round(F.lit(1.0) - ratio_equal, round_to).alias("percentage_diff_values"),
+            )
+        )
+    wide = j.agg(F.array(*structs).alias("m"))
+    return (
+        wide.select(F.explode("m").alias("m"))
+        .select("m.*")
+        .orderBy(F.desc("percentage_diff_values"), F.desc("ratio_not_null"), "column")
+    )
+
+
+def row_diff(
+    df1: DataFrame,
+    df2: DataFrame,
+    pk: str,
+    columns: list[str] | None = None,
+    reference_mode: bool = True,
+) -> DataFrame:
+    """Row-level diff dump: inner join on pk, keep rows where ANY
+    compared column differs (OR-of-inequalities, ``bigquery.py:175-182``),
+    output (pk, col__1, col__2, ...) like ``bigquery.py:155-173``.
+    Unlimited rows, matching the reference (only exclusive-PK dumps
+    carry a LIMIT); sorted by pk for determinism."""
+    s1, s2, names = _canon_sides(df1, df2, pk, columns)
+    s1 = s1.select(F.col(pk), *[F.col(n).alias(f"{n}__1") for n in names])
+    s2 = s2.select(F.col(pk), *[F.col(n).alias(f"{n}__2") for n in names])
+    j = s1.join(s2, on=pk, how="inner")
+    pred = reduce(
+        or_,
+        [
+            rowdiff_neq(F.col(f"{n}__1"), F.col(f"{n}__2"), reference_mode)
+            for n in names
+        ],
+    )
+    cols = [pk] + [c for n in names for c in (f"{n}__1", f"{n}__2")]
+    return j.filter(pred).select(*cols).orderBy(pk)

@@ -1,0 +1,160 @@
+"""Per-column statistics — ONE fused aggregation pass over the table.
+
+The key performance idea preserved from the reference: all per-column
+metrics are computed in a single scan + single aggregation
+(``/root/reference/data_check/processors/bigquery.py:207-224`` computes
+2n+1 aggregates for n columns in one query). Here the fused pass is a
+single ``df.agg(*exprs)`` — Catalyst plans one HashAggregate with
+map-side partial aggregation, so the table is read exactly once no
+matter how many columns/metrics are requested.
+
+Output is LONG format (one row per column), which is what the
+reference's client-side transpose produced anyway
+(``data_processor.py:226-237``) — emitting it directly avoids the
+transpose (SURVEY C1).
+
+Scale notes (100 TB):
+* metrics are all algebraic/sketchable → map-side combine means the
+  shuffle carries one partial-state row per task, not data rows.
+* ``approx=True`` (default) uses HyperLogLog ``approx_count_distinct``;
+  exact distinct is only for small-scale oracle parity (it triggers an
+  Expand, multiplying scan output by the number of distinct-aggs).
+* binary columns (html) get only null-count metrics — they are never
+  canonicalized or shuffled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_check_spark.functions.canonical import canonical_string
+
+_NUMERIC = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+
+def _metric_struct(name: str, dtype: T.DataType, approx: bool) -> Column:
+    """STRUCT of metrics for one column (ref A6 pattern, long-form)."""
+    c = F.col(name)
+    is_binary = isinstance(dtype, T.BinaryType)
+    canon = None if is_binary else canonical_string(c, dtype)
+    n = F.count(F.lit(1))
+    n_null = F.count_if(c.isNull())
+    distinct = (
+        F.lit(None).cast("bigint")
+        if is_binary
+        else (F.approx_count_distinct(canon) if approx else F.countDistinct(canon))
+    )
+    if isinstance(dtype, _NUMERIC):
+        mean = F.avg(c).cast("double")
+        stddev = F.stddev(c).cast("double")
+    else:
+        mean = F.lit(None).cast("double")
+        stddev = F.lit(None).cast("double")
+    return F.struct(
+        F.lit(name).alias("column"),
+        n.alias("n_rows"),
+        n_null.alias("n_null"),
+        F.try_divide(n_null.cast("double"), n.cast("double")).alias("null_rate"),
+        distinct.alias("n_distinct"),
+        (F.lit(None).cast("string") if is_binary else F.min(canon)).alias("min_value"),
+        (F.lit(None).cast("string") if is_binary else F.max(canon)).alias("max_value"),
+        mean.alias("mean"),
+        stddev.alias("stddev"),
+    )
+
+
+def column_stats(
+    df: DataFrame, columns: list[str] | None = None, approx: bool = True
+) -> DataFrame:
+    """Long-format per-column stats: one row per column, one data pass."""
+    types = {f.name: f.dataType for f in df.schema.fields}
+    cols = columns or list(types)
+    structs = [_metric_struct(c, types[c], approx) for c in cols]
+    wide = df.agg(F.array(*structs).alias("m"))
+    return wide.select(F.explode("m").alias("m")).select("m.*")
+
+
+def partition_stats_verdicts(
+    df: DataFrame,
+    partition_col: Column | str,
+    thresholds: dict[str, dict[str, float]],
+    approx: bool = True,
+) -> DataFrame:
+    """Per-partition pass/fail verdict rows (the north-rule spine).
+
+    One ``groupBy(partition).agg(...)`` pass computes every column's
+    metrics per partition; thresholds turn metrics into verdicts.
+    ``thresholds``: {column: {"max_null_rate": x, "min_distinct": k,
+    "min_rows": r}} — missing keys are not checked.
+
+    Output: one row per (partition, column, check) with columns
+    (partition, column, check, metric, threshold, passed), plus one
+    summary row per partition (column='*', check='all',
+    metric=#failed, passed=all-passed). Deterministic at any
+    parallelism: all values are exact-or-sketch aggregates of the
+    partition's rows, independent of task layout.
+    """
+    types = {f.name: f.dataType for f in df.schema.fields}
+    part = F.col(partition_col) if isinstance(partition_col, str) else partition_col
+    structs = [_metric_struct(c, types[c], approx) for c in thresholds]
+    per_part = (
+        df.groupBy(part.alias("partition"))
+        .agg(F.array(*structs).alias("m"))
+        .select("partition", F.explode("m").alias("m"))
+        .select("partition", "m.*")
+    )
+
+    checks = []
+    for col, th in thresholds.items():
+        base = per_part.filter(F.col("column") == col)
+        if "max_null_rate" in th:
+            checks.append(
+                base.select(
+                    "partition",
+                    "column",
+                    F.lit("max_null_rate").alias("check"),
+                    F.col("null_rate").alias("metric"),
+                    F.lit(float(th["max_null_rate"])).alias("threshold"),
+                    (F.col("null_rate") <= th["max_null_rate"]).alias("passed"),
+                )
+            )
+        if "min_distinct" in th:
+            checks.append(
+                base.select(
+                    "partition",
+                    "column",
+                    F.lit("min_distinct").alias("check"),
+                    F.col("n_distinct").cast("double").alias("metric"),
+                    F.lit(float(th["min_distinct"])).alias("threshold"),
+                    (F.col("n_distinct") >= th["min_distinct"]).alias("passed"),
+                )
+            )
+        if "min_rows" in th:
+            checks.append(
+                base.select(
+                    "partition",
+                    "column",
+                    F.lit("min_rows").alias("check"),
+                    F.col("n_rows").cast("double").alias("metric"),
+                    F.lit(float(th["min_rows"])).alias("threshold"),
+                    (F.col("n_rows") >= th["min_rows"]).alias("passed"),
+                )
+            )
+    if not checks:
+        raise ValueError("no thresholds given")
+    verdicts = checks[0]
+    for c in checks[1:]:
+        verdicts = verdicts.unionByName(c)
+    summary = verdicts.groupBy("partition").agg(
+        F.lit("*").alias("column"),
+        F.lit("all").alias("check"),
+        F.count_if(~F.col("passed")).cast("double").alias("metric"),
+        F.lit(0.0).alias("threshold"),
+        (F.count_if(~F.col("passed")) == 0).alias("passed"),
+    )
+    return verdicts.unionByName(summary.select(verdicts.columns))
