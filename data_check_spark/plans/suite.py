@@ -1,0 +1,246 @@
+"""CheckSuite — declarative check specs compiled to as few Spark
+passes as possible, emitting per-partition pass/fail verdict rows plus
+violation DataFrames.
+
+This generalizes the reference's five-check contract (SURVEY §2.9,
+``/root/reference/data_check/streamlit_app.py:189-351`` drives them
+one button-click at a time) into one declarative suite and preserves
+its key performance idea: the fused single-pass aggregation
+(``processors/bigquery.py:207-224``) — all stats thresholds for all
+columns cost ONE groupBy(partition) pass over the table.
+
+Uniform verdict schema:
+    (partition string, column string, check string,
+     metric double, threshold double, passed boolean)
+
+Determinism: every verdict is an aggregate of a partition's rows —
+independent of task layout — and every violation DataFrame is sorted
+by key, so outputs are identical at local[8] and local[32].
+"""
+
+from __future__ import annotations
+
+import uuid
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_check_spark.operators.drift import psi_categorical, psi_numeric
+from data_check_spark.operators.refint import referential_violations
+from data_check_spark.operators.stats import partition_stats_verdicts
+from data_check_spark.plans.audit import write_audit
+from data_check_spark.plans.manifest import Manifest
+
+VERDICT_COLS = ["partition", "column", "check", "metric", "threshold", "passed"]
+
+
+@dataclass
+class StatsCheck:
+    """Per-column stat thresholds, all computed in one fused pass."""
+    thresholds: dict[str, dict[str, float]]
+    approx: bool = True
+
+
+@dataclass
+class UniquenessCheck:
+    key: str
+    max_duplicate_keys: int = 0
+    violation_limit: int = 500  # ref bigquery.py:105
+
+
+@dataclass
+class ReferentialCheck:
+    name: str
+    fact_key: Callable[[], Column] | str
+    dim: Callable[[SparkSession], DataFrame]
+    dim_key: str
+    max_violation_rows: int = 0
+
+
+@dataclass
+class CategoricalDriftCheck:
+    column: str
+    max_psi: float = 0.2
+    reference: Callable[[SparkSession], DataFrame] | None = None
+
+
+@dataclass
+class NumericDriftCheck:
+    name: str
+    expr: Callable[[], Column]
+    lo: float
+    hi: float
+    n_buckets: int = 50
+    max_psi: float = 0.2
+    reference: Callable[[SparkSession], DataFrame] | None = None
+
+
+@dataclass
+class SuiteResult:
+    run_id: str
+    verdicts: DataFrame
+    violations: dict[str, DataFrame]
+
+    def passed(self) -> bool:
+        return self.verdicts.filter(~F.col("passed")).isEmpty()
+
+
+@dataclass
+class CheckSuite:
+    checks: list = field(default_factory=list)
+
+    def run(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        partition_col: Column | str,
+        reference_df: DataFrame | None = None,
+        run_id: str | None = None,
+    ) -> SuiteResult:
+        run_id = run_id or uuid.uuid4().hex[:12]
+        part = F.col(partition_col) if isinstance(partition_col, str) else partition_col
+        part_s = part.cast("string")
+        verdict_frames: list[DataFrame] = []
+        violations: dict[str, DataFrame] = {}
+
+        for chk in self.checks:
+            if isinstance(chk, StatsCheck):
+                v = partition_stats_verdicts(df, part_s, chk.thresholds, chk.approx)
+                verdict_frames.append(v.select(*VERDICT_COLS))
+
+            elif isinstance(chk, UniquenessCheck):
+                # per (partition, key) count → per-partition dup-key census.
+                # Two-level agg = salted two-phase when partitions ≫ 1;
+                # partition col spreads hot keys across reducers.
+                dups = (
+                    df.groupBy(part_s.alias("partition"), F.col(chk.key).alias("key_value"))
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .filter(F.col("n") > 1)
+                )
+                violations[f"unique:{chk.key}"] = dups.orderBy(
+                    "partition", "key_value"
+                ).limit(chk.violation_limit)
+                per_part = dups.groupBy("partition").agg(
+                    F.count(F.lit(1)).cast("double").alias("metric")
+                )
+                all_parts = df.select(part_s.alias("partition")).distinct()
+                v = (
+                    all_parts.join(per_part, "partition", "left")
+                    .select(
+                        "partition",
+                        F.lit(chk.key).alias("column"),
+                        F.lit("unique").alias("check"),
+                        F.coalesce("metric", F.lit(0.0)).alias("metric"),
+                        F.lit(float(chk.max_duplicate_keys)).alias("threshold"),
+                        (F.coalesce("metric", F.lit(0.0)) <= chk.max_duplicate_keys).alias("passed"),
+                    )
+                )
+                verdict_frames.append(v)
+
+            elif isinstance(chk, ReferentialCheck):
+                fk = F.expr(chk.fact_key) if isinstance(chk.fact_key, str) else chk.fact_key()
+                dim = chk.dim(spark)
+                slim = df.select(part_s.alias("partition"), fk.alias("ref_key"))
+                dim_keys = F.broadcast(dim.select(F.col(chk.dim_key).alias("_dk")).dropDuplicates())
+                missing = slim.join(dim_keys, slim["ref_key"] == dim_keys["_dk"], "left_anti")
+                violations[f"refint:{chk.name}"] = (
+                    missing.groupBy("partition", "ref_key")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .orderBy("partition", "ref_key")
+                )
+                per_part = missing.groupBy("partition").agg(
+                    F.count(F.lit(1)).cast("double").alias("metric")
+                )
+                all_parts = df.select(part_s.alias("partition")).distinct()
+                v = all_parts.join(per_part, "partition", "left").select(
+                    "partition",
+                    F.lit(chk.name).alias("column"),
+                    F.lit("refint").alias("check"),
+                    F.coalesce("metric", F.lit(0.0)).alias("metric"),
+                    F.lit(float(chk.max_violation_rows)).alias("threshold"),
+                    (F.coalesce("metric", F.lit(0.0)) <= chk.max_violation_rows).alias("passed"),
+                )
+                verdict_frames.append(v)
+
+            elif isinstance(chk, CategoricalDriftCheck):
+                ref = chk.reference(spark) if chk.reference else reference_df
+                if ref is None:
+                    raise ValueError(f"drift check {chk.column}: no reference table")
+                psi = psi_categorical(df, ref, chk.column)
+                v = psi.select(
+                    F.lit("*").alias("partition"),
+                    F.lit(chk.column).alias("column"),
+                    F.lit("psi_categorical").alias("check"),
+                    F.col("psi").alias("metric"),
+                    F.lit(float(chk.max_psi)).alias("threshold"),
+                    (F.col("psi") <= chk.max_psi).alias("passed"),
+                )
+                verdict_frames.append(v)
+
+            elif isinstance(chk, NumericDriftCheck):
+                ref = chk.reference(spark) if chk.reference else reference_df
+                if ref is None:
+                    raise ValueError(f"drift check {chk.name}: no reference table")
+                psi = psi_numeric(df, ref, chk.expr(), chk.lo, chk.hi, chk.n_buckets)
+                v = psi.select(
+                    F.lit("*").alias("partition"),
+                    F.lit(chk.name).alias("column"),
+                    F.lit("psi_numeric").alias("check"),
+                    F.col("psi").alias("metric"),
+                    F.lit(float(chk.max_psi)).alias("threshold"),
+                    (F.col("psi") <= chk.max_psi).alias("passed"),
+                )
+                verdict_frames.append(v)
+            else:
+                raise TypeError(f"unknown check type: {type(chk)}")
+
+        verdicts = verdict_frames[0]
+        for v in verdict_frames[1:]:
+            verdicts = verdicts.unionByName(v)
+        return SuiteResult(run_id, verdicts.orderBy("partition", "check", "column"), violations)
+
+    def run_resumable(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        partition_col: str,
+        manifest: Manifest,
+        audit_path: str | None = None,
+        reference_df: DataFrame | None = None,
+        run_id: str | None = None,
+    ) -> SuiteResult | None:
+        """Resume-aware run: completed partitions (per the manifest)
+        are excluded with an isin-filter that Spark pushes down to the
+        scan; verdicts land in the audit table; each processed
+        partition is then marked complete with its verdict metrics as
+        lineage. Returns None when nothing is pending."""
+        run_id = run_id or uuid.uuid4().hex[:12]
+        part_s = F.col(partition_col).cast("string")
+        all_parts = [r[0] for r in df.select(part_s).distinct().collect()]
+        pending = manifest.pending(all_parts)
+        if not pending:
+            return None
+        scoped = df.filter(part_s.isin(pending))
+        result = self.run(spark, scoped, partition_col, reference_df, run_id)
+        verdicts = result.verdicts.cache()
+        verdicts.count()
+        if audit_path:
+            write_audit(verdicts, f"{audit_path}/verdicts", run_id, "verdict")
+            for name, viol in result.violations.items():
+                write_audit(
+                    viol.withColumn("violation", F.lit(name)),
+                    f"{audit_path}/violations",
+                    run_id,
+                    name,
+                )
+        summary = {
+            r["partition"]: {"checks": int(r["n"]), "failed": int(r["failed"])}
+            for r in verdicts.groupBy("partition")
+            .agg(F.count("*").alias("n"), F.count_if(~F.col("passed")).alias("failed"))
+            .collect()
+        }
+        for p in pending:
+            manifest.mark_complete(p, run_id, summary.get(str(p), summary.get("*", {})))
+        return result

@@ -1,0 +1,121 @@
+"""spark-submit entry point (north rule: "submitted via spark-submit
+--py-files").
+
+Usage:
+    spark-submit --py-files dcs.zip data_check_spark/runner.py \
+        --data /path/pages.parquet [--reference /path/pages_v2.parquet] \
+        --out /path/out [--synthesize N] [--partitions K]
+
+Runs the default web-pages check suite (per-column stat thresholds,
+url uniqueness, domain referential integrity, lang + text-length
+drift) partitioned by warc day, resumable via the manifest under
+--out/manifest, verdicts + violations appended under --out/audit.
+Exit code 0 = all partitions passed, 1 = failures, 2 = nothing pending.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_check_spark.plans.manifest import Manifest
+from data_check_spark.plans.suite import (
+    CategoricalDriftCheck,
+    CheckSuite,
+    NumericDriftCheck,
+    ReferentialCheck,
+    StatsCheck,
+    UniquenessCheck,
+)
+from data_check_spark.sources.synth import domain_of, synth_domains, synth_pages, synth_pages_v2
+
+
+def default_pages_suite(with_drift: bool) -> CheckSuite:
+    checks: list = [
+        StatsCheck(
+            thresholds={
+                "text": {"max_null_rate": 0.05, "min_rows": 1},
+                "lang": {"max_null_rate": 0.05, "min_distinct": 2},
+                "url": {"max_null_rate": 0.0},
+            }
+        ),
+        UniquenessCheck(key="url", max_duplicate_keys=0),
+        ReferentialCheck(
+            name="domain_in_snapshot",
+            fact_key=lambda: domain_of(F.col("url")),
+            dim=synth_domains,
+            dim_key="domain",
+            max_violation_rows=0,
+        ),
+    ]
+    if with_drift:
+        checks.append(CategoricalDriftCheck(column="lang", max_psi=0.2))
+        checks.append(
+            NumericDriftCheck(
+                name="text_length",
+                expr=lambda: F.length("text"),
+                lo=0.0,
+                hi=5000.0,
+                max_psi=0.2,
+            )
+        )
+    return CheckSuite(checks)
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", help="pages parquet path (else --synthesize)")
+    ap.add_argument("--reference", help="previous-version parquet for drift/diff")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--synthesize", type=int, default=0, help="rows to synthesize")
+    ap.add_argument("--partitions", type=int, default=None)
+    ap.add_argument("--reset", action="store_true", help="clear the manifest")
+    args = ap.parse_args(argv)
+
+    spark = SparkSession.builder.appName("data-check-spark-runner").getOrCreate()
+
+    if args.data:
+        df: DataFrame = spark.read.parquet(args.data)
+    elif args.synthesize:
+        df = synth_pages(spark, args.synthesize, args.partitions)
+    else:
+        ap.error("need --data or --synthesize")
+    ref = None
+    if args.reference:
+        ref = spark.read.parquet(args.reference)
+    elif args.synthesize:
+        ref = synth_pages_v2(spark, args.synthesize, args.partitions)
+
+    manifest = Manifest(f"{args.out}/manifest")
+    if args.reset:
+        manifest.reset()
+    suite = default_pages_suite(with_drift=ref is not None)
+    result = suite.run_resumable(
+        spark,
+        df,
+        "warc_day",
+        manifest,
+        audit_path=f"{args.out}/audit",
+        reference_df=ref,
+    ) if "warc_day" in df.columns else suite.run_resumable(
+        spark,
+        df.withColumn("warc_day", F.to_date("warc_ts")),
+        "warc_day",
+        manifest,
+        audit_path=f"{args.out}/audit",
+        reference_df=ref,
+    )
+    if result is None:
+        print("nothing pending — all partitions complete per manifest")
+        return 2
+    failed = result.verdicts.filter(~F.col("passed")).count()
+    total = result.verdicts.count()
+    print(f"run_id={result.run_id} verdicts={total} failed={failed}")
+    return 0 if failed == 0 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

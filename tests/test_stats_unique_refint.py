@@ -1,0 +1,93 @@
+import pyspark.sql.functions as F
+import pytest
+
+from data_check_spark.operators.refint import referential_violations
+from data_check_spark.operators.schema_diff import common_columns, schema_diff
+from data_check_spark.operators.stats import column_stats, partition_stats_verdicts
+from data_check_spark.operators.unique import uniqueness_check, uniqueness_violations
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return spark.createDataFrame(
+        [
+            ("a", 1, "p1"),
+            ("b", None, "p1"),
+            ("b", 3, "p1"),
+            ("c", 4, "p2"),
+            ("d", 5, "p2"),
+        ],
+        "k string, v int, part string",
+    )
+
+
+def test_column_stats_exact(df):
+    rows = {r["column"]: r for r in column_stats(df, approx=False).collect()}
+    k = rows["k"]
+    assert (k["n_rows"], k["n_null"], k["n_distinct"]) == (5, 0, 4)
+    assert k["null_rate"] == 0.0
+    assert (k["min_value"], k["max_value"]) == ("a", "d")
+    v = rows["v"]
+    assert (v["n_null"], v["n_distinct"]) == (1, 4)
+    assert v["null_rate"] == pytest.approx(0.2)
+    assert v["mean"] == pytest.approx((1 + 3 + 4 + 5) / 4)
+    assert (v["min_value"], v["max_value"]) == ("1", "5")
+
+
+def test_partition_verdicts(df):
+    v = partition_stats_verdicts(
+        df,
+        "part",
+        {"v": {"max_null_rate": 0.1}, "k": {"min_distinct": 2}},
+        approx=False,
+    )
+    rows = {(r["partition"], r["column"], r["check"]): r for r in v.collect()}
+    # p1 has 1/3 nulls in v → fail; p2 has 0 → pass
+    assert not rows[("p1", "v", "max_null_rate")]["passed"]
+    assert rows[("p2", "v", "max_null_rate")]["passed"]
+    assert rows[("p1", "k", "min_distinct")]["passed"]
+    # summary rows
+    assert not rows[("p1", "*", "all")]["passed"]
+    assert rows[("p2", "*", "all")]["passed"]
+
+
+def test_uniqueness(df):
+    viol = uniqueness_violations(df, "k", salted=True).collect()
+    assert [(r["key_value"], r["n"]) for r in viol] == [("b", 2)]
+    # salted and unsalted plans agree
+    viol2 = uniqueness_violations(df, "k", salted=False).collect()
+    assert [(r["key_value"], r["n"]) for r in viol2] == [("b", 2)]
+    passed, n = uniqueness_check(df.filter("k <> 'b'"), "k")
+    assert passed and n == 0
+
+
+def test_referential(spark, df):
+    dim = spark.createDataFrame([("a",), ("b",), ("c",)], "dk string")
+    v = referential_violations(df, "k", dim, "dk").collect()
+    assert [(r["ref_key"], r["n_rows"]) for r in v] == [("d", 1)]
+    rows = referential_violations(df, "k", dim, "dk", keep_columns=["v"]).collect()
+    assert [(r["ref_key"], r["v"]) for r in rows] == [("d", 5)]
+
+
+def test_schema_diff(spark):
+    a = spark.createDataFrame([(1, "x", 2.0)], "A bigint, B string, C double")
+    b = spark.createDataFrame([(1, 5, "y")], "A bigint, B bigint, D string")
+    d = {r["column"]: r["status"] for r in schema_diff(spark, a, b).collect()}
+    assert d == {
+        "A": "common",
+        "B": "type_mismatch",
+        "C": "exclusive_1",
+        "D": "exclusive_2",
+    }
+    # common_columns drops mismatched names but keeps same-name cols
+    assert [n for n, _ in common_columns(a, b)] == ["A", "B"]
+
+
+def test_struct_excluded_in_reference_mode(spark):
+    a = spark.createDataFrame([(1, (1, "s"))], "A bigint, E struct<x:bigint,y:string>")
+    b = spark.createDataFrame([(1, (1, "s"))], "A bigint, E struct<x:bigint,y:string>")
+    # reference parity: struct columns are excluded (models/table.py:104-110)
+    assert [n for n, _ in common_columns(a, b, reference_mode=True)] == ["A"]
+    assert [n for n, _ in common_columns(a, b, reference_mode=False)] == ["A", "E"]
+    d = {r["column"]: r["status"] for r in schema_diff(spark, a, b).collect()}
+    assert d["E"] == "unsupported"

@@ -1,0 +1,108 @@
+"""End-to-end suite + resume tests (SURVEY §5 rebuild strategy (b),(e))."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from data_check_spark.plans.manifest import Manifest
+from data_check_spark.plans.suite import (
+    CategoricalDriftCheck,
+    CheckSuite,
+    ReferentialCheck,
+    StatsCheck,
+    UniquenessCheck,
+)
+from data_check_spark.sources.synth import domain_of, synth_domains, synth_pages, synth_pages_v2
+
+N = 3000
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return synth_pages(spark, N).withColumn("warc_day", F.to_date("warc_ts")).cache()
+
+
+@pytest.fixture(scope="module")
+def suite():
+    return CheckSuite(
+        [
+            StatsCheck(
+                thresholds={
+                    "text": {"max_null_rate": 0.05, "min_rows": 1},
+                    "lang": {"max_null_rate": 0.05, "min_distinct": 2},
+                    "url": {"max_null_rate": 0.0},
+                }
+            ),
+            UniquenessCheck(key="url", max_duplicate_keys=0),
+            ReferentialCheck(
+                name="domain_in_snapshot",
+                fact_key=lambda: domain_of(F.col("url")),
+                dim=synth_domains,
+                dim_key="domain",
+            ),
+        ]
+    )
+
+
+def test_suite_run(spark, pages, suite):
+    res = suite.run(spark, pages, "warc_day")
+    v = res.verdicts.cache()
+    assert v.columns == ["partition", "column", "check", "metric", "threshold", "passed"]
+    n_parts = pages.select("warc_day").distinct().count()
+    # every partition got a uniqueness verdict and a summary row
+    assert v.filter("check = 'unique'").count() == n_parts
+    assert v.filter("check = 'all'").count() == n_parts
+    # seeded dup urls + held-out domains → some partitions fail
+    assert not res.passed()
+    assert v.filter("check = 'unique' and not passed").count() > 0
+    assert v.filter("check = 'refint' and not passed").count() > 0
+    # violations are populated and sorted
+    dup = res.violations["unique:url"]
+    assert dup.count() > 0
+    ref = res.violations["refint:domain_in_snapshot"]
+    assert ref.count() > 0
+
+
+def test_suite_with_drift(spark, pages, suite):
+    v2 = synth_pages_v2(spark, N)
+    s = CheckSuite(suite.checks + [CategoricalDriftCheck(column="lang", max_psi=0.05)])
+    res = s.run(spark, pages, "warc_day", reference_df=v2)
+    drift = res.verdicts.filter("check = 'psi_categorical'").collect()
+    assert len(drift) == 1
+    assert drift[0]["metric"] > 0.05 and not drift[0]["passed"]
+
+
+def test_resume(spark, pages, suite, tmp_path):
+    """Kill-and-rerun semantics: completed partitions are skipped;
+    a second full run is a no-op (SURVEY §5 (e))."""
+    man = Manifest(str(tmp_path / "manifest"))
+    parts = [str(r[0]) for r in pages.select("warc_day").distinct().collect()]
+    # simulate a prior run that completed the first two partitions
+    for p in sorted(parts)[:2]:
+        man.mark_complete(p, run_id="prior", metrics={})
+    res = suite.run_resumable(
+        spark, pages, "warc_day", man, audit_path=str(tmp_path / "audit")
+    )
+    assert res is not None
+    done_parts = {r["partition"] for r in res.verdicts.select("partition").distinct().collect()}
+    assert done_parts == set(parts) - set(sorted(parts)[:2])
+    # manifest now complete; audit table written
+    assert set(man.completed()) == set(parts)
+    audit = spark.read.parquet(str(tmp_path / "audit" / "verdicts"))
+    assert audit.filter("audit_kind = 'verdict'").count() == res.verdicts.count()
+    # rerun: nothing pending
+    assert suite.run_resumable(spark, pages, "warc_day", man) is None
+
+
+def test_determinism_across_parallelism(spark, suite):
+    """Verdict rows identical when the same input is processed at
+    different partition counts (the in-sandbox analog of N vs 4N
+    executors producing identical outputs)."""
+    a = synth_pages(spark, N, partitions=2).withColumn("warc_day", F.to_date("warc_ts"))
+    b = synth_pages(spark, N, partitions=16).withColumn("warc_day", F.to_date("warc_ts"))
+    va = suite.run(spark, a, "warc_day").verdicts
+    vb = suite.run(spark, b, "warc_day").verdicts
+    # exclude approx-sketch metrics (HLL estimates can differ by merge
+    # order); everything else must match exactly
+    exact_a = va.filter("check <> 'min_distinct'")
+    exact_b = vb.filter("check <> 'min_distinct'")
+    assert exact_a.exceptAll(exact_b).isEmpty() and exact_b.exceptAll(exact_a).isEmpty()
