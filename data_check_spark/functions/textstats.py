@@ -1,0 +1,134 @@
+"""Text-analysis functions for a training-data pipeline: token
+counting, quality scoring, language-ID heuristic, document
+fingerprinting. All JVM-side column expressions (regex / array /
+hash built-ins) — usable inside any fused aggregation pass and safe
+at 100 TB (no Python workers in the hot path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny stopword lists for the n-gram/stopword language heuristic.
+# Deliberately small and public-knowledge (common function words).
+LANG_MARKERS: dict[str, str] = {
+    "en": r"\b(the|and|of|to|a|in|is|that|it|for)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|ein|zu|mit|auf)\b",
+    "fr": r"\b(le|la|les|et|est|une|des|du|que|pour)\b",
+    "es": r"\b(el|la|los|las|y|es|una|del|que|por)\b",
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (non-space runs); 0 for empty, NULL for NULL."""
+    return F.when(
+        text.isNull(), F.lit(None).cast("int")
+    ).otherwise(F.size(F.regexp_extract_all(text, F.lit(r"\S+"), F.lit(0))))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish subword proxy: count of letter-runs, digit-runs and
+    single punctuation marks (the pre-tokenizer split GPT-style BPE
+    vocabularies use). A deterministic, cheap stand-in for a real
+    tokenizer at scale."""
+    pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    return F.when(
+        text.isNull(), F.lit(None).cast("int")
+    ).otherwise(F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0))))
+
+
+def n_chars(text: Column) -> Column:
+    return F.length(text)
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of non-space characters that are punctuation."""
+    nonspace = F.length(F.regexp_replace(text, r"\s", ""))
+    punct = F.length(F.regexp_replace(text, r"[^.,;:!?'\"()\[\]{}-]", ""))
+    return F.try_divide(punct.cast("double"), nonspace.cast("double"))
+
+
+def digit_ratio(text: Column) -> Column:
+    nonspace = F.length(F.regexp_replace(text, r"\s", ""))
+    digits = F.length(F.regexp_replace(text, r"[^0-9]", ""))
+    return F.try_divide(digits.cast("double"), nonspace.cast("double"))
+
+
+def mean_word_length(text: Column) -> Column:
+    toks = F.regexp_extract_all(text, F.lit(r"\S+"), F.lit(0))
+    total = F.aggregate(toks, F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w))
+    return F.try_divide(total.cast("double"), F.size(toks).cast("double"))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    """Fraction of tokens that are (lang) stopwords."""
+    hits = F.size(F.regexp_extract_all(F.lower(text), F.lit(LANG_MARKERS[lang]), F.lit(0)))
+    return F.try_divide(hits.cast("double"), token_count(text).cast("double"))
+
+
+def quality_score(text: Column, round_to: int = 6) -> Column:
+    """Composite [0,1] quality heuristic: rewards mid-range length,
+    low punctuation/digit density, plausible word lengths, some
+    stopwords. The exact formula is arbitrary but deterministic —
+    what matters at scale is that it's one JVM expression."""
+    n_tok = token_count(text).cast("double")
+    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    p = F.coalesce(punct_ratio(text), F.lit(0.0))
+    d = F.coalesce(digit_ratio(text), F.lit(0.0))
+    clean_score = F.greatest(F.lit(0.0), F.lit(1.0) - F.lit(2.0) * (p + d))
+    mwl = F.coalesce(mean_word_length(text), F.lit(0.0))
+    word_score = F.when((mwl >= 3.0) & (mwl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    sw = F.coalesce(stopword_ratio(text), F.lit(0.0))
+    sw_score = F.least(sw * F.lit(5.0), F.lit(1.0))
+    return F.round(
+        F.lit(0.35) * len_score + F.lit(0.3) * clean_score
+        + F.lit(0.15) * word_score + F.lit(0.2) * sw_score,
+        round_to,
+    )
+
+
+def lang_guess(text: Column) -> Column:
+    """Stopword-marker language ID: score each language by marker
+    hits per token, pick the max (ties broken by fixed language
+    order), 'und' (undetermined) when nothing matches."""
+    lowered = F.lower(text)
+    s = {
+        lang: F.size(F.regexp_extract_all(lowered, F.lit(pat), F.lit(0)))
+        for lang, pat in LANG_MARKERS.items()
+    }
+    return (
+        F.when(text.isNull(), F.lit(None).cast("string"))
+        .when(
+            (s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["es"]) & (s["en"] > 0),
+            F.lit("en"),
+        )
+        .when((s["de"] >= s["fr"]) & (s["de"] >= s["es"]) & (s["de"] > 0), F.lit("de"))
+        .when((s["fr"] >= s["es"]) & (s["fr"] > 0), F.lit("fr"))
+        .when(s["es"] > 0, F.lit("es"))
+        .otherwise(F.lit("und"))
+    )
+
+
+def bag_of_words_fingerprint(text: Column) -> Column:
+    """Order-insensitive document fingerprint: md5 of the sorted
+    distinct lowercase tokens. Two documents with the same vocabulary
+    collide — a cheap 'same content, reshuffled' detector."""
+    toks = F.array_sort(
+        F.array_distinct(F.regexp_extract_all(F.lower(text), F.lit(r"\S+"), F.lit(0)))
+    )
+    return F.md5(F.array_join(toks, " ").cast("binary"))
+
+
+def rolling_hash_fingerprint(text: Column, window: int = 16, keep_mod: int = 8) -> Column:
+    """Winnowing-style fingerprint: xxhash64 each word k-gram
+    (window), keep hashes ≡ 0 (mod keep_mod), fingerprint = xxhash64
+    of the sorted kept set. Robust to small edits far from the kept
+    shingles; all higher-order JVM functions."""
+    w = F.filter(F.split(F.lower(text), r"\s+"), lambda t: F.length(t) > 0)
+    n = F.size(w)
+    idx = F.sequence(F.lit(1), F.greatest(n - (window - 1), F.lit(0)))
+    gram = lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(window)])  # noqa: E731
+    hashes = F.transform(idx, lambda i: F.xxhash64(gram(i)))
+    kept = F.array_sort(F.filter(hashes, lambda h: F.pmod(h, F.lit(keep_mod)) == 0))
+    return F.xxhash64(F.array_join(F.transform(kept, lambda h: h.cast("string")), ","))
