@@ -566,10 +566,11 @@ WITH base AS (
   FROM documents
 )
 SELECT doc_id,
+       CASE WHEN n_tok IS NULL THEN NULL ELSE
        round(0.35 * least(n_tok / 100.0, 1.0)
              + 0.3 * greatest(0.0, 1.0 - 2.0 * (p + d))
              + 0.15 * (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.5 END)
-             + 0.2 * least(sw * 5.0, 1.0), 6) AS quality
+             + 0.2 * least(sw * 5.0, 1.0), 6) END AS quality
 FROM base""",
         "langid": r"""
 SELECT doc_id,

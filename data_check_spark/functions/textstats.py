@@ -81,11 +81,14 @@ def quality_score(text: Column, round_to: int = 6) -> Column:
     word_score = F.when((mwl >= 3.0) & (mwl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
     sw = F.coalesce(stopword_ratio(text), F.lit(0.0))
     sw_score = F.least(sw * F.lit(5.0), F.lit(1.0))
-    return F.round(
+    score = F.round(
         F.lit(0.35) * len_score + F.lit(0.3) * clean_score
         + F.lit(0.15) * word_score + F.lit(0.2) * sw_score,
         round_to,
     )
+    # explicit NULL-in → NULL-out: Spark's least/greatest SKIP nulls,
+    # so the null token count would silently score as 1.0 otherwise
+    return F.when(text.isNull(), F.lit(None).cast("double")).otherwise(score)
 
 
 def lang_guess(text: Column) -> Column:
@@ -127,8 +130,12 @@ def rolling_hash_fingerprint(text: Column, window: int = 16, keep_mod: int = 8) 
     shingles; all higher-order JVM functions."""
     w = F.filter(F.split(F.lower(text), r"\s+"), lambda t: F.length(t) > 0)
     n = F.size(w)
-    idx = F.sequence(F.lit(1), F.greatest(n - (window - 1), F.lit(0)))
+    # guard n < window: sequence(1, 0) would descend and ANSI
+    # element_at would throw (same guard as dedup.word_shingles_from)
+    idx = F.sequence(F.lit(1), n - (window - 1))
     gram = lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(window)])  # noqa: E731
-    hashes = F.transform(idx, lambda i: F.xxhash64(gram(i)))
+    hashes = F.when(n >= window, F.transform(idx, lambda i: F.xxhash64(gram(i)))).otherwise(
+        F.array().cast("array<bigint>")
+    )
     kept = F.array_sort(F.filter(hashes, lambda h: F.pmod(h, F.lit(keep_mod)) == 0))
     return F.xxhash64(F.array_join(F.transform(kept, lambda h: h.cast("string")), ","))

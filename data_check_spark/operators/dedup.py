@@ -45,22 +45,67 @@ def _words(text_col: Column) -> Column:
     )
 
 
+def word_shingles_from(words: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles from a MATERIALIZED words-array column.
+
+    ``words`` must be a bound column (not a nested expression): Spark
+    does not run codegen inside higher-order-function lambdas, so an
+    expression referenced k times per element is RE-EVALUATED each
+    time — passing the raw split() expression here turns shingling
+    into O(n²) string splitting. Call sites materialize the words
+    array with a select first (see minhash_lsh_pairs)."""
+    n = F.size(words)
+    # guard n < k: sequence(1, 0) would DESCEND ([1, 0]) and ANSI-mode
+    # element_at would throw on the out-of-range indices
+    idx = F.sequence(F.lit(1), n - (k - 1))
+    shingle = lambda i: F.concat_ws(" ", *[F.element_at(words, i + j) for j in range(k)])  # noqa: E731
+    return F.when(n >= k, F.array_distinct(F.transform(idx, shingle))).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def word_shingles(text_col: Column, k: int = 3) -> Column:
-    """Distinct word k-shingles as an array<string> (JVM higher-order
-    fns; no explode — the array stays inside the row)."""
-    w = _words(text_col)
-    n = F.size(w)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
-    shingle = lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(k)])  # noqa: E731
-    return F.array_distinct(F.transform(idx, shingle))
+    """Convenience wrapper for small inputs/tests; hot paths should
+    materialize the words column and use word_shingles_from."""
+    return word_shingles_from(_words(text_col), k)
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
-    """MinHash signature: per hash-function i, min over shingles of
-    xxhash64(i, shingle). Empty shingle sets get NULL mins."""
+_MERSENNE = (1 << 31) - 1
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 32, seed: int = 42) -> Column:
+    """MinHash signature via the standard affine-permutation trick:
+    hash every shingle ONCE with xxhash64, then derive the i-th
+    permutation as (a_i·h + b_i) mod p — one expensive pass instead
+    of num_hashes passes over the shingle array. Arithmetic is kept
+    under 2^62 (h reduced mod p first) so ANSI-mode overflow checks
+    never trip. Empty shingle sets yield NULL mins."""
+    import random
+
+    base = shingle_base_hashes(shingles)
+    return minhash_from_base(base, num_hashes, seed)
+
+
+def shingle_base_hashes(shingles: Column) -> Column:
+    """xxhash64 of each shingle, reduced mod p — compute ONCE and bind
+    to a column before feeding minhash_from_base (HOF lambdas
+    re-evaluate nested expressions per element)."""
+    return F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
+
+
+def minhash_from_base(base: Column, num_hashes: int = 32, seed: int = 42) -> Column:
+    import random
+
+    rng = random.Random(seed)
+    coeffs = [(rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE)) for _ in range(num_hashes)]
+
+    def perm(a: int, b: int):
+        # closure factory: a 1-arg lambda (Spark counts lambda params
+        # to pick the higher-order-function arity)
+        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE))
+
     return F.array(
-        *[F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(F.lit(i), s)))
-          for i in range(num_hashes)]
+        *[F.array_min(F.transform(base, perm(a, b))) for a, b in coeffs]
     )
 
 
@@ -81,14 +126,34 @@ def minhash_lsh_pairs(
     exact Jaccard over distinct shingles verifies candidates.
     """
     rows = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("_id"),
-        word_shingles(F.col(text_col), shingle_k).alias("_sh"),
-    ).filter(F.size("_sh") > 0)
-    sig = sig.withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes))
+    # the signature computation is the CPU-heavy map pass — spread it
+    # over all cores even when the source has few input splits (small
+    # parquet files at test scale; at 100 TB the source supplies
+    # enough splits and this repartition coalesces away under AQE)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    # cheap ≥k-tokens pre-filter on the RAW text. Filtering on
+    # size(shingles)>0 instead would let predicate-pushdown inline the
+    # whole shingle expression below the exchange — re-running the
+    # O(n²) interpreted HOF on however few input splits the source has
+    # (observed: 14 s on 2 tasks vs <1 s here).
+    has_k_tokens = F.col("_txt").rlike(r"(\S+\s+){%d}\S" % (shingle_k - 1))
+    slim = (
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt"))
+        .filter(F.col("_txt").isNotNull() & has_k_tokens)
+        .repartition(par, "_id")
+    )
+    # materialize words → shingles → base-hashes as separate columns:
+    # each is computed once per row (HOF lambdas would otherwise
+    # re-evaluate nested expressions per element)
+    tok = slim.select("_id", _words(F.col("_txt")).alias("_w"))
+    sh = tok.select("_id", word_shingles_from(F.col("_w"), shingle_k).alias("_sh"))
+    sig = sh.withColumn("_base", shingle_base_hashes(F.col("_sh"))).withColumn(
+        "_sig", minhash_from_base(F.col("_base"), num_hashes)
+    )
+    # (band, bucket, id) only — shingle arrays do NOT ride through the
+    # candidate join; they are re-attached for survivors afterwards.
     banded = sig.select(
         "_id",
-        "_sh",
         F.explode(
             F.array(
                 *[
@@ -100,7 +165,7 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("_id", "_sh", "bb.band", "bb.bucket")
+    ).select("_id", "bb.band", "bb.bucket")
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -111,18 +176,31 @@ def minhash_lsh_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a._id") < F.col("b._id")),
         )
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a._sh").alias("sh_a"),
-            F.col("b._sh").alias("sh_b"),
-        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    # exact-Jaccard verification: join the RAW texts back to the (few)
+    # candidate pairs and shingle only those rows — the full corpus
+    # gets exactly ONE shingle pass (the signature computation above);
+    # joining the shingle DataFrame itself would re-run its whole
+    # lineage once per join side.
+    txt_a = slim.select(F.col("_id").alias("id_a"), F.col("_txt").alias("_ta"))
+    txt_b = slim.select(F.col("_id").alias("id_b"), F.col("_txt").alias("_tb"))
+    pairs = (
+        cand.join(txt_a, "id_a")
+        .join(txt_b, "id_b")
+        .select("id_a", "id_b", _words(F.col("_ta")).alias("_wa"), _words(F.col("_tb")).alias("_wb"))
+        .select(
+            "id_a",
+            "id_b",
+            word_shingles_from(F.col("_wa"), shingle_k).alias("sh_a"),
+            word_shingles_from(F.col("_wb"), shingle_k).alias("sh_b"),
+        )
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     return (
-        cand.withColumn("jaccard", F.round(F.try_divide(inter, union), 6))
+        pairs.withColumn("jaccard", F.round(F.try_divide(inter, union), 6))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
         .orderBy("id_a", "id_b")

@@ -1,0 +1,155 @@
+"""Structured-Streaming variants of the validation checks.
+
+The reference is strictly batch/click-driven
+(``/root/reference/data_check/streamlit_app.py:189-351``) and the
+north rule's resumability is manifest-based batch — but a continuously
+ingested web-pages table wants the same checks as data arrives.
+This module gives the streaming shape:
+
+* ``stream_pages`` — file-source readStream over the pages schema
+  (new parquet files under a directory = new WARC dumps landing).
+* ``streaming_stat_verdicts`` — event-time-windowed fused stats pass
+  (same single-aggregation idea as operators/stats.py) with a
+  watermark for late data; emits one verdict row per (window, check).
+* ``streaming_dedup`` — stateful first-seen URL dedup via
+  ``applyInPandasWithState`` (custom stateful operator: keyed state =
+  "seen" flag per url-hash group, Arrow-batched).
+
+All are testable with ``trigger(availableNow=True)`` against a
+directory of parquet files — the same code attaches to Kafka/Kinesis
+sources on a real cluster by swapping the reader.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+PAGES_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("warc_ts", TimestampType()),
+        StructField("html", StringType()),  # binary in batch; string-safe here
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+    ]
+)
+
+
+def stream_pages(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
+    return (
+        spark.readStream.schema(schema or PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(path)
+    )
+
+
+def streaming_stat_verdicts(
+    pages: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    max_null_rate: float = 0.05,
+) -> DataFrame:
+    """Per-event-time-window verdicts: one fused aggregation computes
+    row counts + null counts for text/lang; thresholds turn them into
+    pass/fail rows. Watermark bounds state so this runs forever."""
+    agg = (
+        pages.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_if(F.col("text").isNull()).alias("null_text"),
+            F.count_if(F.col("lang").isNull()).alias("null_lang"),
+        )
+    )
+    null_rate_text = F.try_divide(F.col("null_text").cast("double"), F.col("n_rows").cast("double"))
+    null_rate_lang = F.try_divide(F.col("null_lang").cast("double"), F.col("n_rows").cast("double"))
+    return agg.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        F.col("n_rows"),
+        F.round(null_rate_text, 6).alias("null_rate_text"),
+        F.round(null_rate_lang, 6).alias("null_rate_lang"),
+        ((null_rate_text <= max_null_rate) & (null_rate_lang <= max_null_rate)).alias("passed"),
+    )
+
+
+_DEDUP_OUT = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("warc_ts", TimestampType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("first_seen", BooleanType()),
+    ]
+)
+_DEDUP_STATE = StructType([StructField("seen_urls", StringType())])
+
+
+def _dedup_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Keyed stateful dedup: state = '\\n'-joined set of urls already
+    emitted for this url-hash bucket. Arrow-batched; no per-row Python
+    beyond set membership."""
+    seen: set[str] = set()
+    if state.exists:
+        (blob,) = state.get
+        if blob:
+            seen = set(blob.split("\n"))
+    for pdf in pdfs:
+        pdf = pdf.sort_values("warc_ts", kind="mergesort")
+        first = ~pdf["url"].isin(seen) & ~pdf["url"].duplicated()
+        seen.update(pdf["url"].tolist())
+        out = pdf.loc[:, ["url", "warc_ts", "text", "lang"]].copy()
+        out["first_seen"] = first.values
+        yield out
+    state.update(("\n".join(sorted(seen)),))
+
+
+def streaming_dedup(pages: DataFrame, buckets: int = 64) -> DataFrame:
+    """First-seen URL filter as a custom stateful streaming operator
+    (applyInPandasWithState). Keys are url-hash buckets, so state is
+    spread evenly across tasks even with hot domains; output marks
+    every row first_seen true/false (filter downstream)."""
+    keyed = pages.withColumn(
+        "bucket", F.pmod(F.xxhash64("url"), F.lit(buckets))
+    ).groupBy("bucket")
+    return keyed.applyInPandasWithState(
+        _dedup_fn,
+        outputStructType=_DEDUP_OUT,
+        stateStructType=_DEDUP_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append") -> Any:
+    """availableNow trigger into an in-memory sink; returns the query
+    (caller awaits termination and reads spark.table(name)).
+
+    Windowed aggregations need output_mode='complete' under
+    availableNow: in append mode a window only emits once the
+    watermark passes it, and the watermark stops advancing when the
+    bounded input ends — the final windows would never appear."""
+    return (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,116 @@
+import pyspark.sql.functions as F
+import pytest
+
+from data_check_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard,
+    simhash64,
+    simhash_near_duplicates,
+    word_shingles,
+)
+from data_check_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_jvm,
+    lsh_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base.replace("today", "tomorrow")),  # near dup of 1
+        (4, "completely different content about spark dataframes and shuffles everywhere"),
+        (5, None),
+        (6, "tiny"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_duplicates(docs):
+    groups = exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["n"] == 2 and groups[0]["doc_ids"] == [1, 2]
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",)], "t string")
+    out = df.select(word_shingles(F.col("t"), 2).alias("s")).collect()[0]["s"]
+    assert sorted(out) == ["a b", "b c", "c d"]
+
+
+def test_minhash_lsh_finds_dups(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             minhash_lsh_pairs(docs, jaccard_threshold=0.5).collect()}
+    assert pairs.get((1, 2)) == 1.0  # exact dup always caught
+    # near-dup (one word changed) has high jaccard if LSH surfaced it
+    for (a, b), j in pairs.items():
+        assert j >= 0.5
+    # unrelated docs never pair
+    assert not any(4 in p for p in pairs)
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = spark.createDataFrame([(1, 2), (1, 4)], "id_a bigint, id_b bigint")
+    out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard(docs, pairs).collect()}
+    assert out[(1, 2)] == 1.0
+    assert out[(1, 4)] == 0.0
+
+
+def test_simhash(docs):
+    s = {r["doc_id"]: r["simhash"] for r in simhash64(docs).collect()}
+    assert s[1] == s[2]  # identical text → identical simhash
+    assert s[1] >= 0  # bit 63 unused → non-negative
+    # hamming distance to the near-dup is small
+    ham = bin(s[1] ^ s[3]).count("1")
+    assert ham < 16
+    groups = simhash_near_duplicates(docs).collect()
+    assert any(g["doc_ids"] == [1, 2] for g in groups)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(60):
+        v = rng.standard_normal(16)
+        rows.append((i, [float(x) for x in v]))
+    # 60..62: near-copies of 0 (dominant direction + small noise)
+    base = np.array(rows[0][1])
+    for j in range(3):
+        v = base + 0.01 * rng.standard_normal(16)
+        rows.append((60 + j, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+
+def test_brute_force_topk(vectors):
+    q = vectors.filter(F.col("vec_id") == 0)
+    top = brute_force_topk(vectors, q, k=3).collect()
+    assert [r["neighbor_id"] for r in top] == [60, 61, 62] or set(
+        r["neighbor_id"] for r in top
+    ) == {60, 61, 62}
+    assert all(r["cosine"] > 0.99 for r in top)
+    assert [r["rank"] for r in top] == [1, 2, 3]
+
+
+def test_jvm_and_pandas_cosine_agree(vectors):
+    q = vectors.filter(F.col("vec_id") == 0)
+    a = brute_force_topk(vectors, q, k=5, use_pandas_udf=True).collect()
+    b = brute_force_topk(vectors, q, k=5, use_pandas_udf=False).collect()
+    assert [(r["neighbor_id"], r["cosine"]) for r in a] == [
+        (r["neighbor_id"], r["cosine"]) for r in b
+    ]
+
+
+def test_lsh_topk_recall(vectors):
+    """LSH with few planes must still find the near-copies (they share
+    the query's bucket with overwhelming probability)."""
+    q = vectors.filter(F.col("vec_id") == 0)
+    top = lsh_topk(vectors, q, dim=16, k=3, n_planes=4).collect()
+    found = {r["neighbor_id"] for r in top}
+    assert {60, 61, 62} & found  # at least one true neighbor surfaced

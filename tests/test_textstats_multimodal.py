@@ -1,0 +1,96 @@
+import pyspark.sql.functions as F
+import pytest
+
+from data_check_spark.functions.textstats import (
+    bag_of_words_fingerprint,
+    bpe_ish_token_count,
+    digit_ratio,
+    lang_guess,
+    mean_word_length,
+    punct_ratio,
+    quality_score,
+    rolling_hash_fingerprint,
+    token_count,
+)
+from data_check_spark.operators.multimodal import extract_media_metadata, frame_sample_stub
+
+
+@pytest.fixture(scope="module")
+def texts(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the cat and the dog sat in a box"),
+            (2, "der hund und die katze sind nicht da"),
+            (3, "le chat est une bête pour la maison"),
+            (4, "xyzzy plugh"),
+            (5, None),
+            (6, "a1 b2, c3! 42"),
+        ],
+        "doc_id bigint, text string",
+    )
+
+
+def test_token_counts(texts):
+    r = {x["doc_id"]: x for x in texts.select(
+        "doc_id", token_count(F.col("text")).alias("tc"),
+        bpe_ish_token_count(F.col("text")).alias("bc")).collect()}
+    assert r[1]["tc"] == 9
+    assert r[5]["tc"] is None
+    # "a1 b2, c3! 42" → a,1,b,2,',',c,3,'!',42 = 9 bpe-ish pieces
+    assert r[6]["bc"] == 9
+
+
+def test_ratios_and_quality(texts):
+    r = {x["doc_id"]: x for x in texts.select(
+        "doc_id",
+        punct_ratio(F.col("text")).alias("p"),
+        digit_ratio(F.col("text")).alias("d"),
+        mean_word_length(F.col("text")).alias("m"),
+        quality_score(F.col("text")).alias("q")).collect()}
+    assert r[1]["p"] == 0.0
+    assert r[6]["d"] == pytest.approx(5 / 10)  # digits 1,2,3,4,2 of 10 non-space chars
+    assert r[1]["m"] == pytest.approx(24 / 9)
+    assert 0.0 <= r[1]["q"] <= 1.0 and r[5]["q"] is None
+
+
+def test_lang_guess(texts):
+    r = {x["doc_id"]: x["g"] for x in texts.select(
+        "doc_id", lang_guess(F.col("text")).alias("g")).collect()}
+    assert r[1] == "en"
+    assert r[2] == "de"
+    assert r[3] == "fr"
+    assert r[4] == "und"
+    assert r[5] is None
+
+
+def test_fingerprints(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma alpha beta"), (3, "alpha beta delta")],
+        "doc_id bigint, text string",
+    )
+    fp = {r["doc_id"]: r["f"] for r in df.select(
+        "doc_id", bag_of_words_fingerprint(F.col("text")).alias("f")).collect()}
+    assert fp[1] == fp[2]  # order-insensitive
+    assert fp[1] != fp[3]
+    long = " ".join(f"w{i}" for i in range(100))
+    d2 = spark.createDataFrame([(1, long), (2, long)], "doc_id bigint, text string")
+    rh = [r["f"] for r in d2.select(rolling_hash_fingerprint(F.col("text")).alias("f")).collect()]
+    assert rh[0] == rh[1]
+
+
+def test_media_metadata(spark):
+    rows = [
+        (1, b"\xff\xd8" + b"x" * 100),
+        (2, b"\x89PNG\r\n\x1a\n" + b"y" * 50),
+        (3, b"plain"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, blob binary")
+    m = {r["doc_id"]: r for r in extract_media_metadata(df).collect()}
+    assert m[1]["format"] == "jpeg" and m[1]["byte_len"] == 102
+    assert m[2]["format"] == "png"
+    assert m[3]["format"] == "unknown" and m[3]["width"] == 5 % 64 + 1
+    assert m[4]["ok"] is False and m[4]["byte_len"] is None
+    frames = frame_sample_stub(df, every_n=10).collect()
+    assert all(f["frame_idx"] % 10 == 0 for f in frames)
+    assert {f["doc_id"] for f in frames} == {1, 2, 3}
