@@ -362,6 +362,32 @@ def _q_multimodal(spark, sf_dir):
     return extract_media_metadata(d, "doc_id", "blob")
 
 
+def _q_array_canon(spark, sf_dir):
+    """Reference A7: order/duplicate-insensitive array canonicalization
+    (sorted-distinct comma-join, models/table.py:96-102), applied to a
+    words array derived from text."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.regexp_extract_all(F.lower("text"), F.lit(r"\S+"), F.lit(0))
+    canon = F.array_join(F.array_sort(F.array_distinct(words)), ",")
+    return d.select("doc_id", canon.alias("canon"))
+
+
+def _q_percentiles(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.agg(
+        F.round(F.percentile("n_chars", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("n_chars", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("n_chars", F.lit(0.9)), 4).alias("p90"),
+    )
+
+
+def _q_sketch_quantiles(spark, sf_dir):
+    from data_check_spark.operators.sketch import quantiles_via_sketch
+
+    d = _t(spark, sf_dir, "documents")
+    return quantiles_via_sketch(d, "n_chars", 0.0, 600.0, [0.25, 0.5, 0.9], n_bins=512)
+
+
 def _q_schema_diff(spark, sf_dir):
     return schema_diff(spark, _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem"))
 
@@ -431,7 +457,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": _q_tpch_q1,
         "window_topk_orders": _q_window_topk,
         "multimodal_meta": _q_multimodal,
+        "array_canon": _q_array_canon,
+        "percentiles": _q_percentiles,
         # rows-only (no ANSI-SQL oracle: xxhash64/LSH/driver-side)
+        "sketch_quantiles": _q_sketch_quantiles,
         "schema_diff": _q_schema_diff,
         "simhash_neardup": _q_simhash,
         "minhash_pairs": _q_minhash,
@@ -592,6 +621,15 @@ FROM documents""",
         "fingerprint": r"""
 SELECT doc_id,
        md5(array_to_string(list_sort(list_distinct(regexp_extract_all(lower(text), '\S+'))), ' ')) AS fp
+FROM documents""",
+        "array_canon": r"""
+SELECT doc_id,
+       array_to_string(list_sort(list_distinct(regexp_extract_all(lower(text), '\S+'))), ',') AS canon
+FROM documents""",
+        "percentiles": """
+SELECT round(quantile_cont(n_chars, 0.25), 4) AS p25,
+       round(quantile_cont(n_chars, 0.5), 4) AS p50,
+       round(quantile_cont(n_chars, 0.9), 4) AS p90
 FROM documents""",
         "events_hourly": """
 SELECT date_trunc('hour', ts) AS hour, event_type,

@@ -1,0 +1,119 @@
+"""Scaling-efficiency evidence (BASELINE.json north rule): the same
+validation job at two parallelism levels — local[8] (N) vs local[32]
+(4N) — on the same pre-materialized input; efficiency =
+throughput(4N) / (4 × throughput(N)), target ≥ 0.8.
+
+Materializes a deterministic synthetic pages table once under
+build/, zips the library, and drives scripts/scaling_worker.py via
+``spark-submit --py-files`` (the north rule's submission mode).
+Writes the results table to BENCH/BASELINE.md.
+
+Usage: python scripts/bench_scaling.py [n_rows]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SPARK_SUBMIT = os.environ.get("SPARK_SUBMIT", "spark-submit")
+
+
+def materialize(n: int, build: str) -> tuple[str, str]:
+    from pyspark.sql import functions as F
+
+    from data_check_spark.session import get_spark
+    from data_check_spark.sources.synth import synth_pages, synth_pages_v2
+
+    p1 = f"{build}/pages_{n}.parquet"
+    p2 = f"{build}/pages_v2_{n}.parquet"
+    if os.path.exists(p1) and os.path.exists(p2):
+        return p1, p2
+    spark = get_spark("dcs-materialize", master="local[32]", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    # 64 input partitions: enough splits that local[8] and local[32]
+    # both parallelize the scan fully (fairness)
+    synth_pages(spark, n, partitions=64).write.mode("overwrite").parquet(p1)
+    synth_pages_v2(spark, n, partitions=64).write.mode("overwrite").parquet(p2)
+    spark.stop()
+    return p1, p2
+
+
+def make_zip(build: str) -> str:
+    zpath = f"{build}/dcs.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        pkg = os.path.join(REPO, "data_check_spark")
+        for root, _, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, REPO))
+    return zpath
+
+
+def run_worker(cores: int, zpath: str, p1: str, p2: str) -> dict:
+    cmd = [
+        SPARK_SUBMIT,
+        "--master", f"local[{cores}]",
+        "--driver-memory", "16g",
+        "--py-files", zpath,
+        os.path.join(REPO, "scripts", "scaling_worker.py"),
+        str(cores), p1, p2,
+    ]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    for line in out.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"worker produced no JSON:\n{out.stdout[-2000:]}\n{out.stderr[-3000:]}")
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else int(os.environ.get("DCS_SCALING_N", "2000000"))
+    build = os.path.join(REPO, "build")
+    os.makedirs(build, exist_ok=True)
+    p1, p2 = materialize(n, build)
+    zpath = make_zip(build)
+
+    r8 = run_worker(8, zpath, p1, p2)
+    r32 = run_worker(32, zpath, p1, p2)
+    eff = r32["docs_per_sec"] / (4 * r8["docs_per_sec"])
+
+    md = f"""# BENCH — validation-suite scaling evidence
+
+Same job (full web-pages check suite: fused per-column stats +
+per-partition verdicts, salted url uniqueness, broadcast referential
+check vs domain snapshot, lang PSI + text-length PSI drift vs v2),
+same pre-materialized input ({n:,} synthesized Common-Crawl-style
+pages, 64 input splits), submitted via `spark-submit --py-files
+build/dcs.zip`, measured after one warmup run.
+
+| parallelism | suite wall-clock (s) | throughput (docs/sec) |
+|---|---|---|
+| local[8]  (N)  | {r8["suite_sec"]} | {r8["docs_per_sec"]:,} |
+| local[32] (4N) | {r32["suite_sec"]} | {r32["docs_per_sec"]:,} |
+
+**Scaling efficiency** = T(4N) / (4 × T(N)) =
+{r32["docs_per_sec"]:,} / (4 × {r8["docs_per_sec"]:,}) = **{eff:.3f}**
+(target ≥ 0.8 per BASELINE.json).
+
+Determinism note: verdict rows are aggregate-valued per partition and
+violation outputs are key-sorted, so both runs produce identical
+outputs (asserted in tests/test_suite.py::test_determinism_across_parallelism).
+
+Reproduce: `python scripts/bench_scaling.py {n}`
+"""
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+    print(json.dumps({"n": n, "r8": r8, "r32": r32, "efficiency": round(eff, 3)}))
+
+
+if __name__ == "__main__":
+    main()

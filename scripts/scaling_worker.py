@@ -1,0 +1,72 @@
+"""spark-submit worker for the scaling bench: runs the full web-pages
+validation suite over a pre-materialized parquet table and prints one
+JSON line {"cores": N, "docs": D, "suite_sec": S, "docs_per_sec": R}.
+
+Invoked as:
+    spark-submit --master local[N] --py-files build/dcs.zip \
+        scripts/scaling_worker.py <cores> <pages_parquet> <pages_v2_parquet>
+
+(the north rule's submission mode; --py-files ships the library the
+way a real cluster submission would.)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    cores = int(sys.argv[1])
+    pages_path = sys.argv[2]
+    v2_path = sys.argv[3]
+
+    spark = (
+        SparkSession.builder.appName(f"dcs-scaling-{cores}")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(cores))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from data_check_spark.runner import default_pages_suite
+
+    df = spark.read.parquet(pages_path).withColumn("warc_day", F.to_date("warc_ts"))
+    ref = spark.read.parquet(v2_path)
+    docs = df.count()
+    suite = default_pages_suite(with_drift=True)
+
+    def one_run() -> float:
+        t0 = time.perf_counter()
+        res = suite.run(spark, df, "warc_day", reference_df=ref)
+        res.verdicts.write.format("noop").mode("overwrite").save()
+        for v in res.violations.values():
+            v.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    one_run()  # warmup: JIT + code cache, excluded from the measurement
+    sec = one_run()
+    print(
+        json.dumps(
+            {
+                "cores": cores,
+                "docs": docs,
+                "suite_sec": round(sec, 3),
+                "docs_per_sec": round(docs / sec, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
