@@ -362,6 +362,20 @@ def _q_multimodal(spark, sf_dir):
     return extract_media_metadata(d, "doc_id", "blob")
 
 
+def _q_sql_source(spark, sf_dir):
+    """Reference S2: arbitrary SQL text as a diff input
+    (data_processor.py:26-40). The engine accepts table names or SQL;
+    here a SQL-string source feeds a downstream check unchanged."""
+    from data_check_spark.sources.readers import source
+
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    sql = (
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "WHERE o_orderstatus = 'F' AND o_totalprice > 100000"
+    )
+    return source(spark, sql).orderBy("o_orderkey")
+
+
 def _q_array_canon(spark, sf_dir):
     """Reference A7: order/duplicate-insensitive array canonicalization
     (sorted-distinct comma-join, models/table.py:96-102), applied to a
@@ -458,6 +472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_topk_orders": _q_window_topk,
         "multimodal_meta": _q_multimodal,
         "array_canon": _q_array_canon,
+        "sql_source": _q_sql_source,
         "percentiles": _q_percentiles,
         # rows-only (no ANSI-SQL oracle: xxhash64/LSH/driver-side)
         "sketch_quantiles": _q_sketch_quantiles,
@@ -622,6 +637,9 @@ FROM documents""",
 SELECT doc_id,
        md5(array_to_string(list_sort(list_distinct(regexp_extract_all(lower(text), '\S+'))), ' ')) AS fp
 FROM documents""",
+        "sql_source": """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_orderstatus = 'F' AND o_totalprice > 100000""",
         "array_canon": r"""
 SELECT doc_id,
        array_to_string(list_sort(list_distinct(regexp_extract_all(lower(text), '\S+'))), ',') AS canon

@@ -50,3 +50,39 @@ def get_spark(
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def run_with_timeout(spark: SparkSession, action, timeout_sec: float = 900.0):
+    """Run a DataFrame action under a watchdog; cancel the job group
+    and raise TimeoutError when it exceeds ``timeout_sec``.
+
+    Reference parity: the BigQuery client runs each query in a thread
+    and cancels the job after TIMEOUT_BIGQUERY=900 s
+    (``/root/reference/data_check/query/query_bq.py:15,40-54``). The
+    Spark analog is a job group + cancelJobGroup — no result-fetch
+    thread needed, the cancellation interrupts the running stages.
+    """
+    import threading
+    import uuid
+
+    group = f"dcs-timeout-{uuid.uuid4().hex[:8]}"
+    result: list = []
+    error: list = []
+
+    def target() -> None:
+        spark.sparkContext.setJobGroup(group, "data-check timed action", True)
+        try:
+            result.append(action())
+        except Exception as e:  # noqa: BLE001
+            error.append(e)
+        # job-group association is thread-local and the thread ends here
+
+    t = threading.Thread(target=target, daemon=True)
+    t.start()
+    t.join(timeout_sec)
+    if t.is_alive():
+        spark.sparkContext.cancelJobGroup(group)
+        raise TimeoutError(f"action exceeded {timeout_sec}s; job group {group} cancelled")
+    if error:
+        raise error[0]
+    return result[0]
