@@ -420,6 +420,32 @@ def _q_lsh_topk(spark, sf_dir):
     return lsh_topk(e, q, dim=64, k=5, n_planes=4)
 
 
+def _q_cosine_neardup_lsh(spark, sf_dir):
+    """Scale path for embedding near-dup: candidates restricted to a
+    shared random-hyperplane LSH bucket (vs the brute-force oracle
+    entry cosine_neardup)."""
+    from data_check_spark.operators.similarity import cosine_near_duplicates
+
+    e = _t(spark, sf_dir, "embeddings")
+    aug = e.unionByName(
+        e.filter(F.col("vec_id") % 25 == 0).withColumn("vec_id", F.col("vec_id") + F.lit(10000))
+    )
+    return cosine_near_duplicates(aug, dim=64, threshold=0.99, n_planes=10)
+
+
+def _q_approx_stats(spark, sf_dir):
+    """Sketch aggregates (HLL distinct + KLL-ish quantiles) — the
+    100 TB path where exact distinct/percentile are impractical.
+    Rows-only check (approximate by nature)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.agg(
+        F.approx_count_distinct("text").alias("approx_distinct_text"),
+        F.approx_count_distinct("lang").alias("approx_distinct_lang"),
+        F.percentile_approx("n_chars", F.lit(0.5), F.lit(10000)).alias("approx_p50_nchars"),
+        F.percentile_approx("n_chars", F.lit(0.9), F.lit(10000)).alias("approx_p90_nchars"),
+    )
+
+
 def _q_suite_verdicts(spark, sf_dir):
     from data_check_spark.plans.suite import CheckSuite, StatsCheck, UniquenessCheck
 
@@ -476,6 +502,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles": _q_percentiles,
         # rows-only (no ANSI-SQL oracle: xxhash64/LSH/driver-side)
         "sketch_quantiles": _q_sketch_quantiles,
+        "cosine_neardup_lsh": _q_cosine_neardup_lsh,
+        "approx_stats": _q_approx_stats,
         "schema_diff": _q_schema_diff,
         "simhash_neardup": _q_simhash,
         "minhash_pairs": _q_minhash,
