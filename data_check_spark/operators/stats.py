@@ -37,32 +37,43 @@ _NUMERIC = (
 )
 
 
-def _metric_struct(name: str, dtype: T.DataType, approx: bool) -> Column:
-    """STRUCT of metrics for one column (ref A6 pattern, long-form)."""
+ALL_METRICS = frozenset({"n_distinct", "min_max", "mean_stddev"})
+
+
+def _metric_struct(
+    name: str, dtype: T.DataType, approx: bool, metrics: frozenset = ALL_METRICS
+) -> Column:
+    """STRUCT of metrics for one column (ref A6 pattern, long-form).
+
+    ``metrics`` selects the EXPENSIVE aggregates to actually compute
+    (n_rows/n_null/null_rate are always in): min/max over a long text
+    column is memory-bandwidth-bound and HLL sketches cost CPU — a
+    verdict pass that only thresholds null_rate should not pay for
+    them (partition_stats_verdicts trims this per column)."""
     c = F.col(name)
     is_binary = isinstance(dtype, T.BinaryType)
     canon = None if is_binary else canonical_string(c, dtype)
     n = F.count(F.lit(1))
     n_null = F.count_if(c.isNull())
-    distinct = (
-        F.lit(None).cast("bigint")
-        if is_binary
-        else (F.approx_count_distinct(canon) if approx else F.countDistinct(canon))
-    )
-    if isinstance(dtype, _NUMERIC):
+    null_lit = lambda t: F.lit(None).cast(t)  # noqa: E731
+    if "n_distinct" in metrics and not is_binary:
+        distinct = F.approx_count_distinct(canon) if approx else F.countDistinct(canon)
+    else:
+        distinct = null_lit("bigint")
+    if "mean_stddev" in metrics and isinstance(dtype, _NUMERIC):
         mean = F.avg(c).cast("double")
         stddev = F.stddev(c).cast("double")
     else:
-        mean = F.lit(None).cast("double")
-        stddev = F.lit(None).cast("double")
+        mean, stddev = null_lit("double"), null_lit("double")
+    want_minmax = "min_max" in metrics and not is_binary
     return F.struct(
         F.lit(name).alias("column"),
         n.alias("n_rows"),
         n_null.alias("n_null"),
         F.try_divide(n_null.cast("double"), n.cast("double")).alias("null_rate"),
         distinct.alias("n_distinct"),
-        (F.lit(None).cast("string") if is_binary else F.min(canon)).alias("min_value"),
-        (F.lit(None).cast("string") if is_binary else F.max(canon)).alias("max_value"),
+        (F.min(canon) if want_minmax else null_lit("string")).alias("min_value"),
+        (F.max(canon) if want_minmax else null_lit("string")).alias("max_value"),
         mean.alias("mean"),
         stddev.alias("stddev"),
     )
@@ -101,7 +112,16 @@ def partition_stats_verdicts(
     """
     types = {f.name: f.dataType for f in df.schema.fields}
     part = F.col(partition_col) if isinstance(partition_col, str) else partition_col
-    structs = [_metric_struct(c, types[c], approx) for c in thresholds]
+
+    def needed(th: dict[str, float]) -> frozenset:
+        m = set()
+        if "min_distinct" in th:
+            m.add("n_distinct")
+        return frozenset(m)
+
+    structs = [
+        _metric_struct(c, types[c], approx, needed(th)) for c, th in thresholds.items()
+    ]
     per_part = (
         df.groupBy(part.alias("partition"))
         .agg(F.array(*structs).alias("m"))
