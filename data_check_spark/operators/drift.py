@@ -115,6 +115,79 @@ def psi_numeric(
     return j.agg(F.round(F.sum(term), round_to).alias("psi"))
 
 
+def drift_profile(
+    df: DataFrame,
+    categoricals: dict[str, Column | str],
+    numerics: dict[str, tuple[Column | str, float, float, int]],
+) -> DataFrame:
+    """ONE scan building every drift distribution at once →
+    (kind, key, n, freq) where kind names the check and key is the
+    category / bucket-id as a string.
+
+    This is the fused-pass idea (ref bigquery.py:207-224) applied to
+    drift: a suite with lang-frequency AND text-length-histogram
+    checks costs one scan of the table, not one per check — at 100 TB
+    the scan is the cost, the per-row explode of K tiny structs is
+    noise. Categorical NULLs are kept as their own bucket; numeric
+    NULLs are dropped (matching categorical_frequencies /
+    numeric_histogram semantics).
+    """
+    entries = []
+    for name, c in categoricals.items():
+        col = F.col(c) if isinstance(c, str) else c
+        entries.append(
+            F.struct(
+                F.lit(name).alias("kind"),
+                col.cast("string").alias("key"),
+                F.lit(True).alias("keep"),
+            )
+        )
+    for name, (c, lo, hi, n_buckets) in numerics.items():
+        col = F.col(c) if isinstance(c, str) else c
+        width = (hi - lo) / n_buckets
+        b = F.floor((col.cast("double") - F.lit(lo)) / F.lit(width)).cast("int")
+        b = F.greatest(F.lit(0), F.least(F.lit(n_buckets - 1), b))
+        entries.append(
+            F.struct(
+                F.lit(name).alias("kind"),
+                b.cast("string").alias("key"),
+                col.isNotNull().alias("keep"),
+            )
+        )
+    counts = (
+        df.select(F.explode(F.array(*entries)).alias("e"))
+        .filter(F.col("e.keep"))
+        .groupBy(F.col("e.kind").alias("kind"), F.col("e.key").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = counts.groupBy("kind").agg(F.sum("n").alias("_total"))
+    return counts.join(F.broadcast(totals), "kind").withColumn(
+        "freq", F.col("n").cast("double") / F.col("_total")
+    ).drop("_total")
+
+
+def psi_from_profiles(p1: DataFrame, p2: DataFrame, round_to: int = 6) -> DataFrame:
+    """PSI per kind from two drift profiles → (kind, psi, n_buckets).
+    NULL keys are matched with null-safe equality so a null category
+    bucket pairs up across versions instead of double-counting."""
+    a = p1.select("kind", "key", F.col("freq").alias("p"))
+    b = p2.select("kind", "key", F.col("freq").alias("q"))
+    j = a.join(
+        b,
+        (a["kind"] == b["kind"]) & a["key"].eqNullSafe(b["key"]),
+        "full_outer",
+    ).select(
+        F.coalesce(a["kind"], b["kind"]).alias("kind"),
+        F.coalesce("p", F.lit(EPS)).alias("p"),
+        F.coalesce("q", F.lit(EPS)).alias("q"),
+    )
+    term = (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))
+    return j.groupBy("kind").agg(
+        F.round(F.sum(term), round_to).alias("psi"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+
+
 def ks_statistic(
     df1: DataFrame,
     df2: DataFrame,

@@ -105,7 +105,51 @@ class CheckSuite:
         verdict_frames: list[DataFrame] = []
         violations: dict[str, DataFrame] = {}
 
+        # drift checks against the shared reference_df are FUSED into
+        # one profile scan per table (drift.drift_profile) — a suite
+        # with lang-frequency and text-length drift costs 2 scans
+        # (df + ref), not 2 per check. Checks with their own
+        # `reference` loader run individually below.
+        fused_cat: list[CategoricalDriftCheck] = []
+        fused_num: list[NumericDriftCheck] = []
         for chk in self.checks:
+            if isinstance(chk, CategoricalDriftCheck) and chk.reference is None:
+                fused_cat.append(chk)
+            elif isinstance(chk, NumericDriftCheck) and chk.reference is None:
+                fused_num.append(chk)
+        if (fused_cat or fused_num) and reference_df is None:
+            names = [c.column for c in fused_cat] + [c.name for c in fused_num]
+            raise ValueError(f"drift checks {names}: no reference table")
+        if fused_cat or fused_num:
+            from data_check_spark.operators.drift import drift_profile, psi_from_profiles
+
+            cats = {c.column: F.col(c.column) for c in fused_cat}
+            nums = {c.name: (c.expr(), c.lo, c.hi, c.n_buckets) for c in fused_num}
+            prof1 = drift_profile(df, cats, nums)
+            prof2 = drift_profile(reference_df, cats, nums)
+            psi = psi_from_profiles(prof1, prof2)
+            th = {c.column: (c.max_psi, "psi_categorical") for c in fused_cat}
+            th.update({c.name: (c.max_psi, "psi_numeric") for c in fused_num})
+            th_df = F.broadcast(
+                spark.createDataFrame(
+                    [(k, v[0], v[1]) for k, v in th.items()],
+                    "kind string, max_psi double, check string",
+                )
+            )
+            verdict_frames.append(
+                psi.join(th_df, "kind").select(
+                    F.lit("*").alias("partition"),
+                    F.col("kind").alias("column"),
+                    F.col("check"),
+                    F.col("psi").alias("metric"),
+                    F.col("max_psi").alias("threshold"),
+                    (F.col("psi") <= F.col("max_psi")).alias("passed"),
+                )
+            )
+
+        for chk in self.checks:
+            if isinstance(chk, (CategoricalDriftCheck, NumericDriftCheck)) and chk.reference is None:
+                continue  # handled by the fused profile above
             if isinstance(chk, StatsCheck):
                 v = partition_stats_verdicts(df, part_s, chk.thresholds, chk.approx)
                 verdict_frames.append(v.select(*VERDICT_COLS))

@@ -64,11 +64,17 @@ def test_suite_run(spark, pages, suite):
 
 def test_suite_with_drift(spark, pages, suite):
     v2 = synth_pages_v2(spark, N)
-    s = CheckSuite(suite.checks + [CategoricalDriftCheck(column="lang", max_psi=0.05)])
+    # ~10% of rows get a shifted lang in v2 → PSI ≈ 0.02 (null buckets
+    # are null-safe-paired in the fused profile, so no inflation)
+    s = CheckSuite(suite.checks + [CategoricalDriftCheck(column="lang", max_psi=0.01)])
     res = s.run(spark, pages, "warc_day", reference_df=v2)
     drift = res.verdicts.filter("check = 'psi_categorical'").collect()
     assert len(drift) == 1
-    assert drift[0]["metric"] > 0.05 and not drift[0]["passed"]
+    assert drift[0]["metric"] > 0.01 and not drift[0]["passed"]
+    # identical tables → PSI 0 → passes
+    same = CheckSuite([CategoricalDriftCheck(column="lang", max_psi=0.01)])
+    ok = same.run(spark, pages, "warc_day", reference_df=pages)
+    assert ok.verdicts.collect()[0]["passed"]
 
 
 def test_resume(spark, pages, suite, tmp_path):
