@@ -18,7 +18,7 @@ def test_run_with_timeout_cancels(spark):
         # a job that would take far longer than the timeout
         return (
             spark.range(0, 1 << 34, 1, 4)
-            .select(F.sum(F.sha2(F.col("id").cast("string"), 256).substr(1, 2).cast("long")))
+            .select(F.sum(F.length(F.sha2(F.col("id").cast("string"), 256))))
             .collect()
         )
 
