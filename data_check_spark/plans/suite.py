@@ -100,10 +100,25 @@ class CheckSuite:
         run_id: str | None = None,
     ) -> SuiteResult:
         run_id = run_id or uuid.uuid4().hex[:12]
+        from pyspark import StorageLevel
+
         part = F.col(partition_col) if isinstance(partition_col, str) else partition_col
         part_s = part.cast("string")
         verdict_frames: list[DataFrame] = []
         violations: dict[str, DataFrame] = {}
+        # computed once, shared by uniqueness/refint verdict joins —
+        # otherwise each check re-scans the table for the partition list
+        all_parts: DataFrame | None = None
+
+        def get_all_parts() -> DataFrame:
+            nonlocal all_parts
+            if all_parts is None:
+                all_parts = (
+                    df.select(part_s.alias("partition"))
+                    .distinct()
+                    .persist(StorageLevel.MEMORY_AND_DISK)
+                )
+            return all_parts
 
         # drift checks against the shared reference_df are FUSED into
         # one profile scan per table (drift.drift_profile) — a suite
@@ -158,10 +173,15 @@ class CheckSuite:
                 # per (partition, key) count → per-partition dup-key census.
                 # Two-level agg = salted two-phase when partitions ≫ 1;
                 # partition col spreads hot keys across reducers.
+                # The filtered dup set is SMALL → persist it so the
+                # violations dump and the verdict aggregation don't
+                # each re-run the big shuffle (separate actions get no
+                # exchange reuse).
                 dups = (
                     df.groupBy(part_s.alias("partition"), F.col(chk.key).alias("key_value"))
                     .agg(F.count(F.lit(1)).alias("n"))
                     .filter(F.col("n") > 1)
+                    .persist(StorageLevel.MEMORY_AND_DISK)
                 )
                 violations[f"unique:{chk.key}"] = dups.orderBy(
                     "partition", "key_value"
@@ -169,9 +189,8 @@ class CheckSuite:
                 per_part = dups.groupBy("partition").agg(
                     F.count(F.lit(1)).cast("double").alias("metric")
                 )
-                all_parts = df.select(part_s.alias("partition")).distinct()
                 v = (
-                    all_parts.join(per_part, "partition", "left")
+                    get_all_parts().join(per_part, "partition", "left")
                     .select(
                         "partition",
                         F.lit(chk.key).alias("column"),
@@ -189,16 +208,20 @@ class CheckSuite:
                 slim = df.select(part_s.alias("partition"), fk.alias("ref_key"))
                 dim_keys = F.broadcast(dim.select(F.col(chk.dim_key).alias("_dk")).dropDuplicates())
                 missing = slim.join(dim_keys, slim["ref_key"] == dim_keys["_dk"], "left_anti")
-                violations[f"refint:{chk.name}"] = (
+                # aggregate to per-(partition, key) ONCE and persist —
+                # both the violation dump and the per-partition verdict
+                # derive from this small frame, so the anti-join over
+                # the fact table runs exactly once
+                per_key = (
                     missing.groupBy("partition", "ref_key")
                     .agg(F.count(F.lit(1)).alias("n"))
-                    .orderBy("partition", "ref_key")
+                    .persist(StorageLevel.MEMORY_AND_DISK)
                 )
-                per_part = missing.groupBy("partition").agg(
-                    F.count(F.lit(1)).cast("double").alias("metric")
+                violations[f"refint:{chk.name}"] = per_key.orderBy("partition", "ref_key")
+                per_part = per_key.groupBy("partition").agg(
+                    F.sum("n").cast("double").alias("metric")
                 )
-                all_parts = df.select(part_s.alias("partition")).distinct()
-                v = all_parts.join(per_part, "partition", "left").select(
+                v = get_all_parts().join(per_part, "partition", "left").select(
                     "partition",
                     F.lit(chk.name).alias("column"),
                     F.lit("refint").alias("check"),
