@@ -53,7 +53,11 @@ def main() -> None:
             v.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
-    one_run()  # warmup: JIT + code cache, excluded from the measurement
+    one_run()  # warmup: JIT + code cache + OS page cache, excluded
+    # drop Spark-level caches the warmup's persist() calls left behind:
+    # CacheManager matches canonicalized plans, so the timed run would
+    # silently reuse them and skip the big shuffles it claims to measure
+    spark.catalog.clearCache()
     sec = one_run()
     print(
         json.dumps(
