@@ -82,9 +82,17 @@ class SuiteResult:
     run_id: str
     verdicts: DataFrame
     violations: dict[str, DataFrame]
+    cached: list[DataFrame] = field(default_factory=list)
 
     def passed(self) -> bool:
         return self.verdicts.filter(~F.col("passed")).isEmpty()
+
+    def unpersist(self) -> None:
+        """Release the small intermediate frames run() persisted (call
+        after verdicts/violations are consumed — they leak in a
+        long-lived session otherwise)."""
+        for df in self.cached:
+            df.unpersist()
 
 
 @dataclass
@@ -106,6 +114,7 @@ class CheckSuite:
         part_s = part.cast("string")
         verdict_frames: list[DataFrame] = []
         violations: dict[str, DataFrame] = {}
+        cached: list[DataFrame] = []
         # computed once, shared by uniqueness/refint verdict joins —
         # otherwise each check re-scans the table for the partition list
         all_parts: DataFrame | None = None
@@ -118,6 +127,7 @@ class CheckSuite:
                     .distinct()
                     .persist(StorageLevel.MEMORY_AND_DISK)
                 )
+                cached.append(all_parts)
             return all_parts
 
         # drift checks against the shared reference_df are FUSED into
@@ -183,6 +193,7 @@ class CheckSuite:
                     .filter(F.col("n") > 1)
                     .persist(StorageLevel.MEMORY_AND_DISK)
                 )
+                cached.append(dups)
                 violations[f"unique:{chk.key}"] = dups.orderBy(
                     "partition", "key_value"
                 ).limit(chk.violation_limit)
@@ -217,6 +228,7 @@ class CheckSuite:
                     .agg(F.count(F.lit(1)).alias("n"))
                     .persist(StorageLevel.MEMORY_AND_DISK)
                 )
+                cached.append(per_key)
                 violations[f"refint:{chk.name}"] = per_key.orderBy("partition", "ref_key")
                 per_part = per_key.groupBy("partition").agg(
                     F.sum("n").cast("double").alias("metric")
@@ -266,7 +278,9 @@ class CheckSuite:
         verdicts = verdict_frames[0]
         for v in verdict_frames[1:]:
             verdicts = verdicts.unionByName(v)
-        return SuiteResult(run_id, verdicts.orderBy("partition", "check", "column"), violations)
+        return SuiteResult(
+            run_id, verdicts.orderBy("partition", "check", "column"), violations, cached
+        )
 
     def run_resumable(
         self,
