@@ -28,7 +28,6 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_check_spark.operators.drift import psi_categorical, psi_numeric
-from data_check_spark.operators.refint import referential_violations
 from data_check_spark.operators.stats import partition_stats_verdicts
 from data_check_spark.plans.audit import write_audit
 from data_check_spark.plans.manifest import Manifest
