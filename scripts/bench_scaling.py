@@ -42,6 +42,14 @@ def materialize(n: int, build: str) -> tuple[str, str]:
     synth_pages(spark, n, partitions=64).write.mode("overwrite").parquet(p1)
     synth_pages_v2(spark, n, partitions=64).write.mode("overwrite").parquet(p2)
     spark.stop()
+    # stop() leaves the Py4J gateway JVM alive with this process, and
+    # it keeps burning CPU through the timed subprocess runs — shut it
+    # down so the workers measure a quiet machine
+    from pyspark import SparkContext
+    if SparkContext._gateway is not None:
+        SparkContext._gateway.shutdown()
+        SparkContext._gateway = None
+        SparkContext._jvm = None
     return p1, p2
 
 
