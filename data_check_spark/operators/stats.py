@@ -38,6 +38,9 @@ _NUMERIC = (
 
 
 ALL_METRICS = frozenset({"n_distinct", "min_max", "mean_stddev"})
+# avg_tokens is opt-in even in ALL mode: it tokenizes the whole string
+# column (one regex pass per row) — request it via a min_avg_tokens /
+# max_avg_tokens threshold.
 
 
 def _metric_struct(
@@ -66,6 +69,10 @@ def _metric_struct(
     else:
         mean, stddev = null_lit("double"), null_lit("double")
     want_minmax = "min_max" in metrics and not is_binary
+    if "avg_tokens" in metrics and isinstance(dtype, T.StringType):
+        avg_tokens = F.avg(F.size(F.regexp_extract_all(c, F.lit(r"\S+"), F.lit(0))))
+    else:
+        avg_tokens = null_lit("double")
     return F.struct(
         F.lit(name).alias("column"),
         n.alias("n_rows"),
@@ -76,6 +83,7 @@ def _metric_struct(
         (F.max(canon) if want_minmax else null_lit("string")).alias("max_value"),
         mean.alias("mean"),
         stddev.alias("stddev"),
+        avg_tokens.cast("double").alias("avg_tokens"),
     )
 
 
@@ -117,6 +125,8 @@ def partition_stats_verdicts(
         m = set()
         if "min_distinct" in th:
             m.add("n_distinct")
+        if "min_avg_tokens" in th or "max_avg_tokens" in th:
+            m.add("avg_tokens")
         return frozenset(m)
 
     structs = [
@@ -152,6 +162,17 @@ def partition_stats_verdicts(
                     F.col("n_distinct").cast("double").alias("metric"),
                     F.lit(float(th["min_distinct"])).alias("threshold"),
                     (F.col("n_distinct") >= th["min_distinct"]).alias("passed"),
+                )
+            )
+        if "min_avg_tokens" in th:
+            checks.append(
+                base.select(
+                    "partition",
+                    "column",
+                    F.lit("min_avg_tokens").alias("check"),
+                    F.col("avg_tokens").alias("metric"),
+                    F.lit(float(th["min_avg_tokens"])).alias("threshold"),
+                    (F.col("avg_tokens") >= th["min_avg_tokens"]).alias("passed"),
                 )
             )
         if "min_rows" in th:

@@ -37,7 +37,9 @@ def default_pages_suite(with_drift: bool) -> CheckSuite:
     checks: list = [
         StatsCheck(
             thresholds={
-                "text": {"max_null_rate": 0.05, "min_rows": 1},
+                # min_avg_tokens: token-level content check (one regex
+                # tokenize pass, fused into the same aggregation)
+                "text": {"max_null_rate": 0.05, "min_rows": 1, "min_avg_tokens": 3},
                 "lang": {"max_null_rate": 0.05, "min_distinct": 2},
                 "url": {"max_null_rate": 0.0},
             }

@@ -34,6 +34,10 @@ def main() -> None:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # aggressively GC dereferenced RDDs/shuffles between timed runs —
+        # otherwise stale shuffle files from earlier runs accumulate and
+        # later runs slow down monotonically (observed 148→224 s drift)
+        .config("spark.cleaner.periodicGC.interval", "15s")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -62,6 +66,8 @@ def main() -> None:
     secs = []
     for _ in range(3):
         spark.catalog.clearCache()
+        spark._jvm.System.gc()  # release dereferenced shuffle files now
+        time.sleep(2)
         secs.append(one_run())
     secs.sort()
     sec = secs[1]
