@@ -102,6 +102,10 @@ t2 AS (SELECT o_orderkey, o_custkey,
 
 _RATIO_COLS = ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"]
 
+# full common-column list (pk included) — the reference's exclusive-PK
+# dumps project ALL common columns suffixed, pk among them
+_ORDERS_COLS = ["o_orderkey"] + _RATIO_COLS
+
 
 def _ratio_oracle() -> str:
     parts = []
@@ -247,7 +251,21 @@ def _q_sample_aligned(spark, sf_dir):
 
 
 def _q_dedup_exact(spark, sf_dir):
-    return exact_duplicates(_docs_with_dups(spark, sf_dir)).select("text_hash", "n")
+    return exact_duplicates(_docs_with_dups(spark, sf_dir))
+
+
+def _q_simhash_hamming(spark, sf_dir):
+    """Banded Hamming near-dup: seeded 1-token perturbations of every
+    20th document land within a few simhash bit flips of the original."""
+    from data_check_spark.operators.dedup import simhash_hamming_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    near = d.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + F.lit(200000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzqx")).alias("text"),
+    )
+    aug = d.select("doc_id", "text").unionByName(near)
+    return simhash_hamming_pairs(aug, max_hamming=3, bands=4)
 
 
 def _q_ngram_jaccard(spark, sf_dir):
@@ -506,6 +524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_stats": _q_approx_stats,
         "schema_diff": _q_schema_diff,
         "simhash_neardup": _q_simhash,
+        "simhash_hamming": _q_simhash_hamming,
         "minhash_pairs": _q_minhash,
         "lsh_topk": _q_lsh_topk,
         "suite_verdicts": _q_suite_verdicts,
@@ -522,11 +541,13 @@ SELECT count(*) AS total_rows,
        round(count(*) FILTER (WHERE a.o_orderkey IS NULL) * 1.0 / count(*), 6) AS missing_primary_keys_table1_ratio,
        round(count(*) FILTER (WHERE b.o_orderkey IS NULL) * 1.0 / count(*), 6) AS missing_primary_keys_table2_ratio
 FROM t1 a FULL OUTER JOIN t2 b ON a.o_orderkey = b.o_orderkey""",
-        "exclusive_pks_1": _VERSIONS_CTE + """
-SELECT * FROM t1 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM t2)
+        "exclusive_pks_1": _VERSIONS_CTE + f"""
+SELECT o_orderkey, {', '.join(f'{c} AS {c}__1' for c in _ORDERS_COLS)}
+FROM t1 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM t2)
 ORDER BY o_orderkey LIMIT 500""",
-        "exclusive_pks_2": _VERSIONS_CTE + """
-SELECT * FROM t2 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM t1)
+        "exclusive_pks_2": _VERSIONS_CTE + f"""
+SELECT o_orderkey, {', '.join(f'{c} AS {c}__2' for c in _ORDERS_COLS)}
+FROM t2 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM t1)
 ORDER BY o_orderkey LIMIT 500""",
         "column_match_ratios": _ratio_oracle(),
         "row_diff": _VERSIONS_CTE + """
@@ -580,7 +601,9 @@ WITH h1 AS (SELECT greatest(0, least(59, CAST(floor(n_chars / 10.0) AS INT))) AS
 SELECT round(max(abs(d)), 6) AS ks FROM cdf""",
         "sample_aligned": "SELECT o_orderkey FROM orders WHERE o_orderkey % 100 < 10",
         "dedup_exact": _DOCS_DUPS_CTE + """
-SELECT md5(text) AS text_hash, count(*) AS n
+SELECT md5(text) AS text_hash, count(*) AS n,
+       array_to_string(list_transform(list_slice(list_sort(list(doc_id)), 1, 5),
+                                      x -> CAST(x AS VARCHAR)), ',') AS doc_ids
 FROM docs WHERE text IS NOT NULL
 GROUP BY md5(text) HAVING count(*) > 1""",
         "ngram_jaccard": r"""
@@ -697,10 +720,10 @@ SELECT o_custkey, o_orderkey, o_totalprice,
 FROM orders QUALIFY rn <= 3""",
         "multimodal_meta": """
 SELECT doc_id,
-       CAST(octet_length(encode(text)) AS INT) AS byte_len,
-       'unknown' AS format,
-       CAST(octet_length(encode(text)) % 64 + 1 AS INT) AS width,
-       CAST(octet_length(encode(text)) % 48 + 1 AS INT) AS height,
-       TRUE AS ok
+       CASE WHEN text IS NULL THEN NULL ELSE CAST(octet_length(encode(text)) AS INT) END AS byte_len,
+       CASE WHEN text IS NULL THEN NULL ELSE 'unknown' END AS format,
+       CASE WHEN text IS NULL THEN NULL ELSE CAST(octet_length(encode(text)) % 64 + 1 AS INT) END AS width,
+       CASE WHEN text IS NULL THEN NULL ELSE CAST(octet_length(encode(text)) % 48 + 1 AS INT) END AS height,
+       text IS NOT NULL AS ok
 FROM documents""",
     }

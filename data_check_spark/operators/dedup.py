@@ -25,18 +25,58 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Groups of byte-identical texts: (text_hash, n, doc_ids).
-    Only the 32-hex-char md5 is shuffled — never the text bytes."""
-    h = F.md5(F.col(text_col).cast("binary")).alias("text_hash")
-    return (
-        df.filter(F.col(text_col).isNotNull())
-        .select(h, F.col(id_col))
-        .groupBy("text_hash")
-        .agg(F.count(F.lit(1)).alias("n"), F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
-        .filter(F.col("n") > 1)
-        .orderBy("text_hash")
+def duplicate_groups(
+    keyed: DataFrame,
+    group_col: str,
+    id_col: str,
+    n_exemplars: int = 5,
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """(group_col, n, doc_ids) for groups with n > 1, where doc_ids is
+    a comma-joined CAPPED exemplar list (the ``n_exemplars`` smallest
+    ids) — never the full membership.
+
+    Skew-safe two-phase plan: phase 1 groups on (group, salt) so a
+    pathological duplicate group (10^7 copies of boilerplate at CC
+    scale) is split across ``salt_buckets`` reducers, each holding at
+    most group_size/salt_buckets ids in its agg buffer before the
+    slice; phase 2 merges ≤ salt_buckets bounded arrays per group.
+    The capped output is deterministic (global smallest ids) for any
+    salt assignment. doc_ids is a STRING, not array — array columns
+    break order-insensitive result canonicalization downstream.
+    """
+    salt = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(salt_buckets))
+    p1 = (
+        keyed.groupBy(F.col(group_col), salt.alias("_salt"))
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.slice(F.sort_array(F.collect_list(id_col)), 1, n_exemplars).alias("_ex"),
+        )
     )
+    exemplars = F.slice(F.array_sort(F.flatten(F.collect_list("_ex"))), 1, n_exemplars)
+    return (
+        p1.groupBy(group_col)
+        .agg(
+            F.sum("_n").alias("n"),
+            F.array_join(
+                F.transform(exemplars, lambda x: x.cast("string")), ","
+            ).alias("doc_ids"),
+        )
+        .filter(F.col("n") > 1)
+        .orderBy(group_col)
+    )
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_exemplars: int = 5
+) -> DataFrame:
+    """Groups of byte-identical texts: (text_hash, n, doc_ids).
+    Only the 32-hex-char md5 is shuffled — never the text bytes; the
+    id list is capped to ``n_exemplars`` (see duplicate_groups) so a
+    degenerate group can't materialize 10^7 ids on one reducer."""
+    h = F.md5(F.col(text_col).cast("binary")).alias("text_hash")
+    keyed = df.filter(F.col(text_col).isNotNull()).select(h, F.col(id_col))
+    return duplicate_groups(keyed, "text_hash", id_col, n_exemplars)
 
 
 def _words(text_col: Column) -> Column:
@@ -117,6 +157,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     jaccard_threshold: float = 0.7,
+    max_bucket: int = 10_000,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard) via MinHash + LSH.
 
@@ -124,6 +165,13 @@ def minhash_lsh_pairs(
     band_hash, id); groupBy bucket; pairs emitted only inside buckets
     (the LSH point: candidate generation without an all-pairs join);
     exact Jaccard over distinct shingles verifies candidates.
+
+    Buckets with more than ``max_bucket`` members are dropped before
+    the self-join (standard LSH hygiene): a degenerate bucket —
+    boilerplate shingles hashing together — would otherwise cost
+    O(m²) candidate pairs on one reducer. Members of a dropped bucket
+    remain candidates through their other bands; truly identical
+    boilerplate is the exact-dedup operator's job anyway.
     """
     rows = num_hashes // bands
     # the signature computation is the CPU-heavy map pass — spread it
@@ -166,6 +214,13 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("_id", "bb.band", "bb.bucket")
+    # hot-bucket cap: drop buckets whose self-join would be quadratic
+    sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_m"))
+    banded = banded.join(
+        F.broadcast(sizes.filter(F.col("_m") > max_bucket).select("band", "bucket")),
+        ["band", "bucket"],
+        "left_anti",
+    )
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -253,12 +308,87 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     return agg.select(F.col("doc").alias(id_col), sim.alias("simhash")).orderBy(id_col)
 
 
-def simhash_near_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Documents sharing an identical simhash → (simhash, n, doc_ids)."""
+def simhash_near_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_exemplars: int = 5
+) -> DataFrame:
+    """Documents sharing an identical simhash → (simhash, n, doc_ids).
+    doc_ids is a capped comma-joined exemplar string (duplicate_groups);
+    for genuine near-dups (Hamming ≤ d) use simhash_hamming_pairs."""
     s = simhash64(df, text_col, id_col)
-    return (
-        s.groupBy("simhash")
-        .agg(F.count(F.lit(1)).alias("n"), F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
-        .filter(F.col("n") > 1)
-        .orderBy("simhash")
+    return duplicate_groups(s, "simhash", id_col, n_exemplars)
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance ≤ max_hamming,
+    via a banded bucket join (no all-pairs): split the 63-bit simhash
+    into ``bands`` contiguous bit-bands; by pigeonhole, any pair with
+    Hamming ≤ bands-1 agrees exactly on at least one full band, so
+    bucketing on (band_index, band_bits) and self-joining inside
+    buckets has recall 1.0 for max_hamming ≤ bands-1. Survivors are
+    verified with an exact popcount on the XOR.
+
+    Buckets larger than ``max_bucket`` (boilerplate pile-ups) are
+    dropped before the self-join — standard LSH hygiene; the quadratic
+    blowup of one hot bucket would otherwise dominate the stage. The
+    members of a dropped bucket are still identical-band docs, so they
+    surface through simhash_near_duplicates' exact grouping instead.
+
+    Output: (id_a, id_b, hamming), id_a < id_b, sorted.
+    """
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs bands >= max_hamming+1 "
+            f"(pigeonhole recall guarantee); got bands={bands}"
+        )
+    s = simhash64(df, text_col, id_col).select(
+        F.col(id_col).alias("_id"), F.col("simhash").alias("_sh")
     )
+    band_bits = 63 // bands
+    mask = (1 << band_bits) - 1
+    banded = s.select(
+        "_id",
+        "_sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("_sh"), b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bits"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "_sh", "bb.band", "bb.bits")
+    # hot-bucket cap: count members per bucket first, drop oversized
+    sizes = banded.groupBy("band", "bits").agg(F.count(F.lit(1)).alias("_m"))
+    capped = banded.join(
+        F.broadcast(sizes.filter(F.col("_m") > max_bucket).select("band", "bits")),
+        ["band", "bits"],
+        "left_anti",
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bits") == F.col("b.bits"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.bit_count(F.col("a._sh").bitwiseXOR(F.col("b._sh"))).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.filter(F.col("hamming") <= max_hamming).orderBy("id_a", "id_b")

@@ -92,10 +92,19 @@ def exclusive_rows(
 ) -> DataFrame:
     """Rows whose PK exists only on ``side`` (1 or 2) — left anti-join,
     capped like the reference's LIMIT 500 (``bigquery.py:105``),
-    sorted by pk so the capped set is deterministic."""
+    sorted by pk so the capped set is deterministic.
+
+    Projection matches the reference's observable contract
+    (``bigquery.py:104-141``): the pk unsuffixed, then every COMMON
+    column (pk included — ``columns_names`` carries it, see
+    ``models/table.py:48-50``) suffixed ``__1``/``__2`` per side."""
     a, b = (df1, df2) if side == 1 else (df2, df1)
     keys = b.select(pk).dropDuplicates()
-    return a.join(keys, on=pk, how="left_anti").orderBy(pk).limit(limit)
+    anti = a.join(keys, on=pk, how="left_anti")
+    suffix = f"__{side}"
+    common = [n for n, _ in common_columns(df1, df2)]
+    proj = [F.col(pk)] + [F.col(n).alias(f"{n}{suffix}") for n in common]
+    return anti.select(*proj).orderBy(pk).limit(limit)
 
 
 def column_match_ratios(

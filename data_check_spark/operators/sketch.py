@@ -49,6 +49,9 @@ def partition_sketch(
         counts = np.zeros(n_bins, dtype=np.int64)
         for pdf in batches:
             v = pdf["_v"].to_numpy(dtype=np.float64)
+            # NaN passes isNotNull and its cast to int64 is undefined —
+            # drop before bucketing (would land in an arbitrary bucket)
+            v = v[~np.isnan(v)]
             idx = np.clip(((v - lo) / width).astype(np.int64), 0, n_bins - 1)
             counts += np.bincount(idx, minlength=n_bins)
         nz = np.nonzero(counts)[0]

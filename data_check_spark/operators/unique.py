@@ -59,8 +59,27 @@ def uniqueness_violations(
     return out
 
 
-def uniqueness_check(df: DataFrame, key: str) -> tuple[bool, int]:
+def remediation_query(df: DataFrame, key: str) -> str:
+    """The GROUP-BY query a user can run to see the offending keys —
+    the reference embeds exactly this in its failure message
+    (``data_processor.py:263-264``)."""
+    src = "<table>"
+    return (
+        f"SELECT {key}, count(*) AS n FROM {src} "
+        f"GROUP BY {key} HAVING count(*) > 1 ORDER BY n DESC"
+    )
+
+
+def uniqueness_check(df: DataFrame, key: str) -> tuple[bool, int, str | None]:
     """Pass/fail à la the reference gate (data_processor.py:257-266):
-    empty violation set = pass. Returns (passed, n_violating_keys)."""
+    empty violation set = pass. Returns (passed, n_violating_keys,
+    message); on failure the message carries the offending-keys query
+    like the reference's remediation hint (data_processor.py:263-264)."""
     n = uniqueness_violations(df, key, salted=False).count()
-    return n == 0, n
+    if n == 0:
+        return True, 0, None
+    msg = (
+        f"uniqueness check failed: {n} value(s) of `{key}` occur more than once. "
+        f"Inspect them with: {remediation_query(df, key)}"
+    )
+    return False, n, msg

@@ -303,15 +303,40 @@ class CheckSuite:
         if not pending:
             return None
         scoped = df.filter(part_s.isin(pending))
-        result = self.run(spark, scoped, partition_col, reference_df, run_id)
+        # drift checks are global (partition='*'): run them over the
+        # UNFILTERED table so a resumed run reports the same drift
+        # verdict as an uninterrupted one — scoping them to pending
+        # partitions would make the answer depend on crash state
+        drift_checks = [
+            c for c in self.checks
+            if isinstance(c, (CategoricalDriftCheck, NumericDriftCheck))
+        ]
+        scoped_checks = [
+            c for c in self.checks
+            if not isinstance(c, (CategoricalDriftCheck, NumericDriftCheck))
+        ]
+        result = CheckSuite(scoped_checks or drift_checks).run(
+            spark, scoped if scoped_checks else df, partition_col, reference_df, run_id
+        )
+        if scoped_checks and drift_checks:
+            dres = CheckSuite(drift_checks).run(spark, df, partition_col, reference_df, run_id)
+            result.verdicts = result.verdicts.unionByName(dres.verdicts)
+            result.violations.update(dres.violations)
+            result.cached.extend(dres.cached)
         verdicts = result.verdicts.cache()
+        result.cached.append(verdicts)  # released by SuiteResult.unpersist()
+        result.verdicts = verdicts
         verdicts.count()
         if audit_path:
             write_audit(verdicts, f"{audit_path}/verdicts", run_id, "verdict")
             for name, viol in result.violations.items():
+                # one subdirectory per violation kind: the kinds have
+                # different schemas (unique→key_value, refint→ref_key)
+                # and a mixed parquet directory reads back lossily
+                safe = name.replace(":", "_").replace("/", "_")
                 write_audit(
                     viol.withColumn("violation", F.lit(name)),
-                    f"{audit_path}/violations",
+                    f"{audit_path}/violations/{safe}",
                     run_id,
                     name,
                 )

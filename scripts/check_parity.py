@@ -22,12 +22,13 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Mirrors the driver's canonicalizer EXACTLY: sort columns by
+    name, sort rows by all values with pandas. NO masking of array
+    columns — the driver's pandas sort throws `unhashable type: list`
+    on them (CORRECTNESS_r01: simhash_neardup), so a query() entry
+    returning an array column must FAIL here too."""
     df = df.reindex(sorted(df.columns), axis=1).copy()
     for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].map(
-                lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v
-            )
         if str(df[c].dtype).startswith("datetime"):
             df[c] = df[c].astype("datetime64[us]")
         if df[c].dtype == np.float32:
@@ -58,6 +59,14 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name}: spark error: {e}")
             continue
+        # the driver canonicalizes rows-only results too — an array
+        # column crashes it even without an oracle
+        try:
+            sdf_n = normalize(sdf)
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: driver canonicalizer would crash: {e}")
+            continue
         if name not in oracles:
             print(f"rows  {name}: {len(sdf)} rows (no oracle)")
             continue
@@ -67,7 +76,7 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {e}")
             continue
-        s, o = normalize(sdf), normalize(odf)
+        s, o = sdf_n, normalize(odf)
         if list(s.columns) != list(o.columns):
             failures.append(name)
             print(f"FAIL  {name}: columns {list(s.columns)} vs {list(o.columns)}")

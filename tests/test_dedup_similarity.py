@@ -33,7 +33,7 @@ def docs(spark):
 def test_exact_duplicates(docs):
     groups = exact_duplicates(docs).collect()
     assert len(groups) == 1
-    assert groups[0]["n"] == 2 and groups[0]["doc_ids"] == [1, 2]
+    assert groups[0]["n"] == 2 and groups[0]["doc_ids"] == "1,2"
 
 
 def test_word_shingles(spark):
@@ -68,7 +68,64 @@ def test_simhash(docs):
     ham = bin(s[1] ^ s[3]).count("1")
     assert ham < 16
     groups = simhash_near_duplicates(docs).collect()
-    assert any(g["doc_ids"] == [1, 2] for g in groups)
+    assert any(g["doc_ids"] == "1,2" for g in groups)
+
+
+def test_exact_duplicates_degenerate_group(spark):
+    """A pathological duplicate group (10^5 identical docs — empty/
+    boilerplate pages at CC scale) must finish with BOUNDED per-task
+    state: the salted two-phase plan caps each agg buffer at
+    group_size/salt_buckets ids and the output at n_exemplars."""
+    big = spark.range(100_000).select(
+        F.col("id").alias("doc_id"), F.lit("boilerplate page").alias("text")
+    )
+    extra = spark.createDataFrame(
+        [(200_000, "unique one"), (200_001, "unique two")], "doc_id bigint, text string"
+    )
+    out = exact_duplicates(big.unionByName(extra), n_exemplars=5).collect()
+    assert len(out) == 1
+    assert out[0]["n"] == 100_000
+    assert out[0]["doc_ids"] == "0,1,2,3,4"  # capped, globally smallest
+
+
+def test_simhash_hamming_pairs(spark):
+    """Seeded low-Hamming perturbations must be caught by the banded
+    join (pigeonhole: hamming ≤ bands-1 ⇒ one band agrees exactly)."""
+    from data_check_spark.operators.dedup import simhash_hamming_pairs
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the river bank "
+        "while the sun sets slowly behind the old stone bridge in autumn"
+    )
+    rows = [
+        (1, base),
+        (2, base + " extra"),          # tiny perturbation → low hamming
+        (3, base.replace("autumn", "winter")),
+        (4, "completely unrelated text about spark shuffle partitions and adaptive execution"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_hamming_pairs(df, max_hamming=8, bands=16).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 8
+    assert (1, 3) in pairs
+    assert not any(4 in p for p in pairs)
+    # recall guarantee requires bands > max_hamming
+    with pytest.raises(ValueError):
+        simhash_hamming_pairs(df, max_hamming=4, bands=4)
+
+
+def test_minhash_hot_bucket_cap(spark):
+    """With max_bucket below the degenerate group size, the hot bucket
+    is dropped instead of exploding quadratically; distinct near-dup
+    pairs elsewhere still surface."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, "same boilerplate text repeated again and again forever") for i in range(50)]
+    rows += [(100, base), (101, base + " extra")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = minhash_lsh_pairs(df, jaccard_threshold=0.5, max_bucket=10).collect()
+    ids = {(r["id_a"], r["id_b"]) for r in out}
+    assert (100, 101) in ids          # normal bucket unaffected
+    assert not any(a < 50 and b < 50 for a, b in ids)  # hot bucket dropped
 
 
 @pytest.fixture(scope="module")

@@ -57,8 +57,13 @@ def test_uniqueness(df):
     # salted and unsalted plans agree
     viol2 = uniqueness_violations(df, "k", salted=False).collect()
     assert [(r["key_value"], r["n"]) for r in viol2] == [("b", 2)]
-    passed, n = uniqueness_check(df.filter("k <> 'b'"), "k")
-    assert passed and n == 0
+    passed, n, msg = uniqueness_check(df.filter("k <> 'b'"), "k")
+    assert passed and n == 0 and msg is None
+    # failure carries the reference-style remediation query
+    # (data_processor.py:263-264)
+    passed, n, msg = uniqueness_check(df, "k")
+    assert not passed and n == 1
+    assert "GROUP BY k HAVING count(*) > 1" in msg
 
 
 def test_referential(spark, df):
