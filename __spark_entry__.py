@@ -435,7 +435,7 @@ def _q_minhash(spark, sf_dir):
 def _q_lsh_topk(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
-    return lsh_topk(e, q, dim=64, k=5, n_planes=4)
+    return lsh_topk(e, q, dim=64, k=5, n_planes=16, bands=4)
 
 
 def _q_cosine_neardup_lsh(spark, sf_dir):
@@ -448,7 +448,7 @@ def _q_cosine_neardup_lsh(spark, sf_dir):
     aug = e.unionByName(
         e.filter(F.col("vec_id") % 25 == 0).withColumn("vec_id", F.col("vec_id") + F.lit(10000))
     )
-    return cosine_near_duplicates(aug, dim=64, threshold=0.99, n_planes=10)
+    return cosine_near_duplicates(aug, dim=64, threshold=0.99, n_planes=16, bands=4)
 
 
 def _q_approx_stats(spark, sf_dir):

@@ -102,9 +102,10 @@ def brute_force_topk(
 
 
 def hyperplane_bucket(vec: Column, dim: int, n_planes: int = 16, seed: int = 42) -> Column:
-    """Random-hyperplane LSH bucket id: sign bits of dot products with
-    n_planes fixed pseudo-random hyperplanes (deterministic from seed,
-    generated driver-side with numpy, embedded as literals)."""
+    """JVM-only random-hyperplane sign bits (interpreted HOF per plane
+    — O(n_planes·dim) per row with no codegen). Kept for environments
+    without Python workers; the hot path is hyperplane_bits_udf, one
+    Arrow-batched matmul for all planes at once."""
     rng = np.random.RandomState(seed)
     planes = rng.standard_normal((n_planes, dim))
     bucket = F.lit(0).cast("bigint")
@@ -119,31 +120,98 @@ def hyperplane_bucket(vec: Column, dim: int, n_planes: int = 16, seed: int = 42)
     return bucket
 
 
+def hyperplane_bits_udf(dim: int, n_planes: int = 16, seed: int = 42):
+    """Vectorized sign-bit bucketing: ONE numpy matmul per Arrow batch
+    against the (dim × n_planes) plane matrix, bits packed into a
+    bigint. Replaces n_planes interpreted aggregate() passes per row —
+    at 16 planes × 768 dims this is the difference between the
+    bucketing being free vs being the bottleneck. Deterministic from
+    seed; identical bits to hyperplane_bucket (tested)."""
+    rng = np.random.RandomState(seed)
+    planes_t = rng.standard_normal((n_planes, dim)).T.copy()  # dim × planes
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    from pyspark.sql.types import LongType
+
+    @pandas_udf(LongType())
+    def bits(v: pd.Series) -> pd.Series:
+        m = np.asarray(v.tolist(), dtype=np.float64)  # batch × dim
+        signs = (m @ planes_t) > 0                    # batch × planes
+        return pd.Series(signs @ weights)
+
+    return bits
+
+
+def _banded(df: DataFrame, bits_col: str, n_planes: int, bands: int) -> DataFrame:
+    """Explode packed sign bits into (band, band_bits) bucket rows —
+    OR-amplified LSH: a pair is a candidate if ANY band's r=n_planes/bands
+    bits agree, so recall = 1-(1-p^r)^b instead of the all-bits-AND
+    p^n_planes that collapses as n_planes grows."""
+    r = n_planes // bands
+    mask = (1 << r) - 1
+    return df.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("_band"),
+                        F.shiftrightunsigned(F.col(bits_col), b * r)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("_bbits"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_bb"),
+    ).select(*[c for c in df.columns], "_bb._band", "_bb._bbits")
+
+
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     dim: int,
     k: int = 5,
-    n_planes: int = 8,
+    n_planes: int = 16,
+    bands: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH
-    bucket. With B≈2^n_planes buckets the scored set shrinks ~B×;
-    recall is tested against brute_force_topk. Bucketing is a map-only
-    pass; the bucket equi-join shuffles only (id, bucket, vec-in-bucket)."""
-    b = hyperplane_bucket(F.col(vec_col), dim, n_planes)
-    c = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), b.alias("_bucket")
+    """Approximate top-k: candidates = vectors sharing ANY sign-bit
+    band with the query (OR-amplified hyperplane LSH). With r =
+    n_planes/bands bits per band, a neighbor at angle θ is a candidate
+    with prob 1-(1-(1-θ/π)^r)^bands — e.g. cos≈0.95, 16 planes / 4
+    bands → ~0.99, where the old all-bits bucket gave ~0.2. Bucketing
+    is ONE pandas-UDF matmul pass; the band join shuffles only
+    (id, band, bits, vec). Recall ≥0.9 vs brute_force_topk is asserted
+    in tests."""
+    bits = hyperplane_bits_udf(dim, n_planes, seed)
+    c = _banded(
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_cv"),
+            bits(F.col(vec_col)).alias("_bits"),
+        ),
+        "_bits", n_planes, bands,
     )
     q = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), b.alias("_bucket")
+        _banded(
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("_qv"),
+                bits(F.col(vec_col)).alias("_bits"),
+            ),
+            "_bits", n_planes, bands,
         )
     )
-    j = q.join(c, "_bucket").filter(F.col("query_id") != F.col("neighbor_id"))
-    scored = j.select(
+    cand = (
+        q.join(c, ["_band", "_bbits"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
         "query_id",
         "neighbor_id",
         F.round(_cosine_pandas(F.col("_qv"), F.col("_cv")), round_to).alias("cosine"),
@@ -160,23 +228,51 @@ def cosine_near_duplicates(
     embeddings: DataFrame,
     dim: int,
     threshold: float = 0.95,
-    n_planes: int = 10,
+    n_planes: int = 16,
+    bands: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    seed: int = 42,
+    max_bucket: int = 10_000,
 ) -> DataFrame:
     """Embedding near-dup pairs (id_a < id_b, cosine ≥ threshold),
-    candidates restricted to same LSH bucket (high-cosine pairs very
-    likely share all sign bits; recall tested vs brute force)."""
-    b = hyperplane_bucket(F.col(vec_col), dim, n_planes)
-    v = embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), b.alias("_bucket"))
+    candidates = pairs sharing ANY sign-bit band (OR-amplification —
+    see lsh_topk; the old same-full-bucket rule had recall ≈
+    (1-θ/π)^n_planes, ~0.5 at cos 0.95 / 10 planes). Survivors are
+    verified with the exact cosine. Band buckets above ``max_bucket``
+    are dropped before the self-join (LSH hygiene, same as the
+    MinHash path)."""
+    bits = hyperplane_bits_udf(dim, n_planes, seed)
+    v = _banded(
+        embeddings.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            bits(F.col(vec_col)).alias("_bits"),
+        ),
+        "_bits", n_planes, bands,
+    )
+    sizes = v.groupBy("_band", "_bbits").agg(F.count(F.lit(1)).alias("_m"))
+    v = v.join(
+        F.broadcast(sizes.filter(F.col("_m") > max_bucket).select("_band", "_bbits")),
+        ["_band", "_bbits"],
+        "left_anti",
+    )
     a, c = v.alias("a"), v.alias("b")
-    pairs = a.join(
-        c,
-        (F.col("a._bucket") == F.col("b._bucket")) & (F.col("a._id") < F.col("b._id")),
-    ).select(
-        F.col("a._id").alias("id_a"),
-        F.col("b._id").alias("id_b"),
-        F.round(_cosine_pandas(F.col("a._v"), F.col("b._v")), round_to).alias("cosine"),
+    pairs = (
+        a.join(
+            c,
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._bbits") == F.col("b._bbits"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
+                F.col("a._v").alias("_va"), F.col("b._v").alias("_vb"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            F.round(_cosine_pandas(F.col("_va"), F.col("_vb")), round_to).alias("cosine"),
+        )
     )
     return pairs.filter(F.col("cosine") >= threshold).orderBy("id_a", "id_b")
