@@ -7,8 +7,10 @@ equivalent ANSI SQL for everything SQL-expressible. Column names and
 float rounding are aligned on both sides so the driver's
 order-insensitive value-hash comparison matches.
 
-Non-SQL-expressible entries (sketch/LSH/xxhash64-based, suite
-verdicts) intentionally have no oracle → rows-only check.
+Non-SQL-expressible entries (xxhash64-based simhash/minhash, numpy
+hyperplane LSH, HLL approx aggregates) intentionally have no oracle →
+rows-only check. Everything else — including the suite verdicts,
+sketch quantiles and schema diff — is oracle-checked.
 """
 
 from __future__ import annotations
@@ -414,10 +416,12 @@ def _q_percentiles(spark, sf_dir):
 
 
 def _q_sketch_quantiles(spark, sf_dir):
+    # n_bins=600 over [0,600] → width 1.0, centers i+0.5 exactly
+    # representable, so the DuckDB oracle below matches bit-for-bit
     from data_check_spark.operators.sketch import quantiles_via_sketch
 
     d = _t(spark, sf_dir, "documents")
-    return quantiles_via_sketch(d, "n_chars", 0.0, 600.0, [0.25, 0.5, 0.9], n_bins=512)
+    return quantiles_via_sketch(d, "n_chars", 0.0, 600.0, [0.25, 0.5, 0.9], n_bins=600)
 
 
 def _q_schema_diff(spark, sf_dir):
@@ -518,8 +522,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_canon": _q_array_canon,
         "sql_source": _q_sql_source,
         "percentiles": _q_percentiles,
-        # rows-only (no ANSI-SQL oracle: xxhash64/LSH/driver-side)
         "sketch_quantiles": _q_sketch_quantiles,
+        # rows-only (no ANSI-SQL oracle: xxhash64/LSH/driver-side)
         "cosine_neardup_lsh": _q_cosine_neardup_lsh,
         "approx_stats": _q_approx_stats,
         "schema_diff": _q_schema_diff,
@@ -695,6 +699,17 @@ WHERE o_orderstatus = 'F' AND o_totalprice > 100000""",
 SELECT doc_id,
        array_to_string(list_sort(list_distinct(regexp_extract_all(lower(text), '\S+'))), ',') AS canon
 FROM documents""",
+        "sketch_quantiles": """
+WITH w AS (
+  SELECT least(599, greatest(0, CAST(floor(n_chars) AS INT))) AS idx, count(*) AS wt
+  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1
+),
+c AS (SELECT idx, CAST(idx + 0.5 AS DOUBLE) AS center,
+             sum(wt) OVER (ORDER BY idx) AS cum
+      FROM w),
+t AS (SELECT sum(wt) AS total FROM w)
+SELECT q, (SELECT min(center) FROM c, t WHERE cum >= q * total) AS value
+FROM (SELECT unnest([0.25, 0.5, 0.9]::DOUBLE[]) AS q)""",
         "percentiles": """
 SELECT round(quantile_cont(n_chars, 0.25), 4) AS p25,
        round(quantile_cont(n_chars, 0.5), 4) AS p50,
@@ -718,6 +733,62 @@ GROUP BY l_returnflag, l_linestatus""",
 SELECT o_custkey, o_orderkey, o_totalprice,
        CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
 FROM orders QUALIFY rn <= 3""",
+        "schema_diff": """
+WITH s1 AS (SELECT column_name AS col,
+                   CASE lower(data_type) WHEN 'varchar' THEN 'string'
+                                         WHEN 'integer' THEN 'int'
+                                         WHEN 'timestamp' THEN 'timestamp_ntz'
+                                         ELSE lower(data_type) END AS t
+            FROM information_schema.columns WHERE table_name = 'orders'),
+     s2 AS (SELECT column_name AS col,
+                   CASE lower(data_type) WHEN 'varchar' THEN 'string'
+                                         WHEN 'integer' THEN 'int'
+                                         WHEN 'timestamp' THEN 'timestamp_ntz'
+                                         ELSE lower(data_type) END AS t
+            FROM information_schema.columns WHERE table_name = 'lineitem'),
+j AS (SELECT coalesce(s1.col, s2.col) AS c, s1.t AS type_1, s2.t AS type_2
+      FROM s1 FULL OUTER JOIN s2 ON s1.col = s2.col)
+SELECT c AS "column",
+       CASE WHEN type_1 IS NULL THEN 'exclusive_2'
+            WHEN type_2 IS NULL THEN 'exclusive_1'
+            WHEN type_1 <> type_2 THEN 'type_mismatch'
+            ELSE 'common' END AS status,
+       type_1, type_2
+FROM j""",
+        "suite_verdicts": """
+WITH base AS (
+  SELECT CAST(source AS VARCHAR) AS part,
+         count(*) AS n_rows,
+         count(*) FILTER (WHERE text IS NULL) * 1.0 / count(*) AS nr_text,
+         count(*) FILTER (WHERE lang IS NULL) * 1.0 / count(*) AS nr_lang,
+         count(DISTINCT lang) AS nd_lang
+  FROM documents GROUP BY 1
+),
+dups AS (
+  SELECT part, CAST(count(*) AS DOUBLE) AS dup_keys FROM (
+    SELECT CAST(source AS VARCHAR) AS part, doc_id, count(*) AS c
+    FROM documents GROUP BY 1, 2 HAVING count(*) > 1
+  ) GROUP BY 1
+),
+b AS (SELECT base.*, coalesce(dup_keys, 0.0) AS dup_keys FROM base LEFT JOIN dups USING (part)),
+v AS (
+  SELECT part, 'text' AS col, 'max_null_rate' AS chk, nr_text AS metric, 0.05 AS threshold, nr_text <= 0.05 AS passed FROM b
+  UNION ALL SELECT part, 'text', 'min_rows', CAST(n_rows AS DOUBLE), 1.0, n_rows >= 1 FROM b
+  UNION ALL SELECT part, 'lang', 'max_null_rate', nr_lang, 0.05, nr_lang <= 0.05 FROM b
+  UNION ALL SELECT part, 'lang', 'min_distinct', CAST(nd_lang AS DOUBLE), 2.0, nd_lang >= 2 FROM b
+),
+summary AS (
+  SELECT part, '*' AS col, 'all' AS chk,
+         CAST(count(*) FILTER (WHERE NOT passed) AS DOUBLE) AS metric,
+         0.0 AS threshold,
+         count(*) FILTER (WHERE NOT passed) = 0 AS passed
+  FROM v GROUP BY part
+),
+uniq AS (
+  SELECT part, 'doc_id' AS col, 'unique' AS chk, dup_keys AS metric, 0.0 AS threshold, dup_keys <= 0 AS passed FROM b
+)
+SELECT part AS "partition", col AS "column", chk AS "check", metric, threshold, passed
+FROM (SELECT * FROM v UNION ALL SELECT * FROM summary UNION ALL SELECT * FROM uniq)""",
         "multimodal_meta": """
 SELECT doc_id,
        CASE WHEN text IS NULL THEN NULL ELSE CAST(octet_length(encode(text)) AS INT) END AS byte_len,

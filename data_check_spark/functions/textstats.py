@@ -21,10 +21,13 @@ LANG_MARKERS: dict[str, str] = {
 
 
 def token_count(text: Column) -> Column:
-    """Whitespace token count (non-space runs); 0 for empty, NULL for NULL."""
+    """Whitespace token count (non-space runs); 0 for empty, NULL for
+    NULL. regexp_count — a pure counter, no token-array materialization
+    (size(regexp_extract_all(...)) builds and discards an array of
+    every token per row; at 10^8 rows that's the dominant GC load)."""
     return F.when(
         text.isNull(), F.lit(None).cast("int")
-    ).otherwise(F.size(F.regexp_extract_all(text, F.lit(r"\S+"), F.lit(0))))
+    ).otherwise(F.regexp_count(text, F.lit(r"\S+")).cast("int"))
 
 
 def bpe_ish_token_count(text: Column) -> Column:
@@ -35,35 +38,42 @@ def bpe_ish_token_count(text: Column) -> Column:
     pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
     return F.when(
         text.isNull(), F.lit(None).cast("int")
-    ).otherwise(F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0))))
+    ).otherwise(F.regexp_count(text, F.lit(pat)).cast("int"))
 
 
 def n_chars(text: Column) -> Column:
     return F.length(text)
 
 
+def _nonspace_chars(text: Column) -> Column:
+    # length - whitespace count: one regex pass, no rebuilt string
+    return F.length(text) - F.regexp_count(text, F.lit(r"\s"))
+
+
 def punct_ratio(text: Column) -> Column:
     """Fraction of non-space characters that are punctuation."""
-    nonspace = F.length(F.regexp_replace(text, r"\s", ""))
-    punct = F.length(F.regexp_replace(text, r"[^.,;:!?'\"()\[\]{}-]", ""))
-    return F.try_divide(punct.cast("double"), nonspace.cast("double"))
+    punct = F.regexp_count(text, F.lit(r"[.,;:!?'\"()\[\]{}-]"))
+    return F.try_divide(punct.cast("double"), _nonspace_chars(text).cast("double"))
 
 
 def digit_ratio(text: Column) -> Column:
-    nonspace = F.length(F.regexp_replace(text, r"\s", ""))
-    digits = F.length(F.regexp_replace(text, r"[^0-9]", ""))
-    return F.try_divide(digits.cast("double"), nonspace.cast("double"))
+    digits = F.regexp_count(text, F.lit(r"[0-9]"))
+    return F.try_divide(digits.cast("double"), _nonspace_chars(text).cast("double"))
 
 
 def mean_word_length(text: Column) -> Column:
-    toks = F.regexp_extract_all(text, F.lit(r"\S+"), F.lit(0))
-    total = F.aggregate(toks, F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w))
-    return F.try_divide(total.cast("double"), F.size(toks).cast("double"))
+    """Σ len(token) / #tokens. The numerator IS the non-space char
+    count (tokens partition exactly the non-space characters), so this
+    needs no token array at all — two regexp_count passes."""
+    return F.try_divide(
+        _nonspace_chars(text).cast("double"),
+        F.regexp_count(text, F.lit(r"\S+")).cast("double"),
+    )
 
 
 def stopword_ratio(text: Column, lang: str = "en") -> Column:
     """Fraction of tokens that are (lang) stopwords."""
-    hits = F.size(F.regexp_extract_all(F.lower(text), F.lit(LANG_MARKERS[lang]), F.lit(0)))
+    hits = F.regexp_count(F.lower(text), F.lit(LANG_MARKERS[lang]))
     return F.try_divide(hits.cast("double"), token_count(text).cast("double"))
 
 
@@ -97,7 +107,7 @@ def lang_guess(text: Column) -> Column:
     order), 'und' (undetermined) when nothing matches."""
     lowered = F.lower(text)
     s = {
-        lang: F.size(F.regexp_extract_all(lowered, F.lit(pat), F.lit(0)))
+        lang: F.regexp_count(lowered, F.lit(pat))
         for lang, pat in LANG_MARKERS.items()
     }
     return (

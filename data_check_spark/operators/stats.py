@@ -70,7 +70,9 @@ def _metric_struct(
         mean, stddev = null_lit("double"), null_lit("double")
     want_minmax = "min_max" in metrics and not is_binary
     if "avg_tokens" in metrics and isinstance(dtype, T.StringType):
-        avg_tokens = F.avg(F.size(F.regexp_extract_all(c, F.lit(r"\S+"), F.lit(0))))
+        # regexp_count, not size(regexp_extract_all): counting tokens
+        # must not materialize a token array per row
+        avg_tokens = F.avg(F.regexp_count(c, F.lit(r"\S+")))
     else:
         avg_tokens = null_lit("double")
     return F.struct(
@@ -98,6 +100,107 @@ def column_stats(
     return wide.select(F.explode("m").alias("m")).select("m.*")
 
 
+def _needed_metrics(th: dict[str, float]) -> frozenset:
+    m = set()
+    if "min_distinct" in th:
+        m.add("n_distinct")
+    if "min_avg_tokens" in th or "max_avg_tokens" in th:
+        m.add("avg_tokens")
+    return frozenset(m)
+
+
+def partition_stats_pass(
+    df: DataFrame,
+    partition_col: Column | str,
+    thresholds: dict[str, dict[str, float]],
+    approx: bool = True,
+    numeric_hists: dict[str, tuple[Column | str, float, float, int]] | None = None,
+) -> DataFrame:
+    """THE fused scan: one ``groupBy(partition)`` computing every
+    thresholded column's metrics AND (optionally) a fixed-width
+    bucket-count array per numeric-drift spec — so a suite with stat
+    thresholds on ``text`` and a text-length drift check decodes the
+    (large) text column exactly ONCE instead of once per pass.
+
+    Returns a SMALL frame (one row per partition): (partition,
+    _m array<struct metrics>, _h_<kind> array<bigint> per hist).
+    Callers persist it and derive verdicts (verdicts_from_pass),
+    drift profiles (numeric_profiles_from_pass) and the partition
+    list from it without touching the table again.
+
+    Bucket ids are projected as columns BEFORE the aggregation —
+    count_if(bucket == i) across n_buckets aggregates must compare an
+    int, not re-evaluate length(text) per bucket (HOF/CSE pitfall).
+    """
+    types = {f.name: f.dataType for f in df.schema.fields}
+    part = F.col(partition_col) if isinstance(partition_col, str) else partition_col
+    structs = [
+        _metric_struct(c, types[c], approx, _needed_metrics(th))
+        for c, th in thresholds.items()
+    ]
+    numeric_hists = numeric_hists or {}
+    base = df
+    if numeric_hists:
+        bucket_cols = []
+        for name, (c, lo, hi, nb) in numeric_hists.items():
+            col = F.col(c) if isinstance(c, str) else c
+            width = (hi - lo) / nb
+            b = F.floor((col.cast("double") - F.lit(lo)) / F.lit(width)).cast("int")
+            b = F.greatest(F.lit(0), F.least(F.lit(nb - 1), b))
+            bucket_cols.append(F.when(col.isNotNull(), b).alias(f"_b_{name}"))
+        base = df.select("*", *bucket_cols)
+    hist_aggs = []
+    for name, (_, _, _, nb) in numeric_hists.items():
+        bc = F.col(f"_b_{name}")
+        hist_aggs.append(
+            F.array(*[F.count_if(bc == i) for i in range(nb)]).alias(f"_h_{name}")
+        )
+    return base.groupBy(part.alias("partition")).agg(
+        F.array(*structs).alias("_m"), *hist_aggs
+    )
+
+
+def verdicts_from_pass(
+    pass_df: DataFrame, thresholds: dict[str, dict[str, float]]
+) -> DataFrame:
+    """Threshold verdicts from a partition_stats_pass frame (no table
+    scan — operates on one row per partition)."""
+    per_part = (
+        pass_df.select("partition", F.explode("_m").alias("m")).select("partition", "m.*")
+    )
+    return _verdicts_from_per_part(per_part, thresholds)
+
+
+def numeric_profiles_from_pass(
+    pass_df: DataFrame,
+    numeric_hists: dict[str, tuple[Column | str, float, float, int]],
+) -> DataFrame:
+    """Global numeric drift profiles (kind, key, n, freq) by summing
+    the per-partition bucket arrays — same output contract as
+    drift_profile's numeric kinds (zero buckets absent, so PSI's
+    epsilon floor applies identically)."""
+    profs = None
+    for name in numeric_hists:
+        h = pass_df.select(F.posexplode(F.col(f"_h_{name}")).alias("pos", "cnt"))
+        counts = (
+            h.groupBy("pos")
+            .agg(F.sum("cnt").alias("n"))
+            .filter(F.col("n") > 0)
+            .select(
+                F.lit(name).alias("kind"),
+                F.col("pos").cast("string").alias("key"),
+                "n",
+            )
+        )
+        profs = counts if profs is None else profs.unionByName(counts)
+    totals = profs.groupBy("kind").agg(F.sum("n").alias("_total"))
+    return (
+        profs.join(F.broadcast(totals), "kind")
+        .withColumn("freq", F.col("n").cast("double") / F.col("_total"))
+        .drop("_total")
+    )
+
+
 def partition_stats_verdicts(
     df: DataFrame,
     partition_col: Column | str,
@@ -118,27 +221,14 @@ def partition_stats_verdicts(
     parallelism: all values are exact-or-sketch aggregates of the
     partition's rows, independent of task layout.
     """
-    types = {f.name: f.dataType for f in df.schema.fields}
-    part = F.col(partition_col) if isinstance(partition_col, str) else partition_col
-
-    def needed(th: dict[str, float]) -> frozenset:
-        m = set()
-        if "min_distinct" in th:
-            m.add("n_distinct")
-        if "min_avg_tokens" in th or "max_avg_tokens" in th:
-            m.add("avg_tokens")
-        return frozenset(m)
-
-    structs = [
-        _metric_struct(c, types[c], approx, needed(th)) for c, th in thresholds.items()
-    ]
-    per_part = (
-        df.groupBy(part.alias("partition"))
-        .agg(F.array(*structs).alias("m"))
-        .select("partition", F.explode("m").alias("m"))
-        .select("partition", "m.*")
+    return verdicts_from_pass(
+        partition_stats_pass(df, partition_col, thresholds, approx), thresholds
     )
 
+
+def _verdicts_from_per_part(
+    per_part: DataFrame, thresholds: dict[str, dict[str, float]]
+) -> DataFrame:
     checks = []
     for col, th in thresholds.items():
         base = per_part.filter(F.col("column") == col)

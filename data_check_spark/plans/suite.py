@@ -56,6 +56,11 @@ class ReferentialCheck:
     dim: Callable[[SparkSession], DataFrame]
     dim_key: str
     max_violation_rows: int = 0
+    # set when fact_key is a PURE FUNCTION of a UniquenessCheck's key
+    # (e.g. domain(url) vs uniqueness on url): the suite then derives
+    # this check from the uniqueness aggregation's exchange instead of
+    # re-scanning the fact table — one url shuffle serves both checks
+    derived_from_key: str | None = None
 
 
 @dataclass
@@ -144,12 +149,48 @@ class CheckSuite:
         if (fused_cat or fused_num) and reference_df is None:
             names = [c.column for c in fused_cat] + [c.name for c in fused_num]
             raise ValueError(f"drift checks {names}: no reference table")
+
+        # the suite's ONE expensive scan: when a StatsCheck exists, its
+        # groupBy(partition) pass also computes the numeric-drift
+        # histograms (text-length buckets etc.), so the wide text
+        # column is decoded exactly once for stats + drift combined.
+        # The tiny per-partition result is persisted and feeds the
+        # stats verdicts, the df-side drift profile AND the partition
+        # list without touching the table again.
+        stats_checks = [c for c in self.checks if isinstance(c, StatsCheck)]
+        fused_stats: StatsCheck | None = stats_checks[0] if stats_checks else None
+        stats_verdicts_df: DataFrame | None = None
+        pass_df = None
+        if fused_stats is not None:
+            from data_check_spark.operators.stats import (
+                numeric_profiles_from_pass,
+                partition_stats_pass,
+                verdicts_from_pass,
+            )
+
+            nums = {c.name: (c.expr(), c.lo, c.hi, c.n_buckets) for c in fused_num}
+            pass_df = partition_stats_pass(
+                df, part_s, fused_stats.thresholds, fused_stats.approx, nums
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            cached.append(pass_df)
+            all_parts = pass_df.select("partition")
+            stats_verdicts_df = verdicts_from_pass(pass_df, fused_stats.thresholds)
+
         if fused_cat or fused_num:
             from data_check_spark.operators.drift import drift_profile, psi_from_profiles
+            from data_check_spark.operators.stats import numeric_profiles_from_pass
 
             cats = {c.column: F.col(c.column) for c in fused_cat}
             nums = {c.name: (c.expr(), c.lo, c.hi, c.n_buckets) for c in fused_num}
-            prof1 = drift_profile(df, cats, nums)
+            if pass_df is not None and fused_num:
+                # numeric profiles fall out of the stats pass; the
+                # categorical scan reads only the (dictionary-encoded,
+                # cheap) category columns
+                prof1 = numeric_profiles_from_pass(pass_df, nums)
+                if fused_cat:
+                    prof1 = prof1.unionByName(drift_profile(df, cats, {}))
+            else:
+                prof1 = drift_profile(df, cats, nums)
             prof2 = drift_profile(reference_df, cats, nums)
             psi = psi_from_profiles(prof1, prof2)
             th = {c.column: (c.max_psi, "psi_categorical") for c in fused_cat}
@@ -171,11 +212,68 @@ class CheckSuite:
                 )
             )
 
+        # fuse uniqueness + key-derived referential checks into ONE
+        # shuffle of the fact table: both derive from the same
+        # groupBy(partition, key) aggregation. The two small result
+        # branches are unioned and materialized in a single action, so
+        # the key exchange is planned once (ReuseExchange) and the
+        # fact table is scanned once for both checks — at 10^12 rows
+        # the url shuffle is the dominant non-scan cost.
+        fused_combo: DataFrame | None = None
+        fused_uniq: UniquenessCheck | None = None
+        fused_refs: list[ReferentialCheck] = []
+        uniq_checks = [c for c in self.checks if isinstance(c, UniquenessCheck)]
+        if uniq_checks:
+            fused_uniq = uniq_checks[0]
+            fused_refs = [
+                c for c in self.checks
+                if isinstance(c, ReferentialCheck) and c.derived_from_key == fused_uniq.key
+            ]
+        if fused_uniq is not None and fused_refs:
+            key = fused_uniq.key
+            keyed = df.groupBy(part_s.alias("partition"), F.col(key)).agg(
+                F.count(F.lit(1)).alias("n")
+            )
+            branches = [
+                keyed.filter(F.col("n") > 1).select(
+                    "partition",
+                    F.col(key).cast("string").alias("key"),
+                    "n",
+                    F.lit(f"unique:{key}").alias("kind"),
+                )
+            ]
+            for rc in fused_refs:
+                fk = F.expr(rc.fact_key) if isinstance(rc.fact_key, str) else rc.fact_key()
+                dim_keys = F.broadcast(
+                    rc.dim(spark).select(F.col(rc.dim_key).alias("_dk")).dropDuplicates()
+                )
+                slim = keyed.select("partition", fk.alias("ref_key"), "n")
+                missing = slim.join(dim_keys, slim["ref_key"] == dim_keys["_dk"], "left_anti")
+                branches.append(
+                    missing.groupBy("partition", "ref_key")
+                    .agg(F.sum("n").alias("n"))
+                    .select(
+                        "partition",
+                        F.col("ref_key").cast("string").alias("key"),
+                        "n",
+                        F.lit(f"refint:{rc.name}").alias("kind"),
+                    )
+                )
+            fused_combo = branches[0]
+            for b in branches[1:]:
+                fused_combo = fused_combo.unionByName(b)
+            fused_combo = fused_combo.persist(StorageLevel.MEMORY_AND_DISK)
+            fused_combo.count()  # one action → one fact scan + one key shuffle
+            cached.append(fused_combo)
+
         for chk in self.checks:
             if isinstance(chk, (CategoricalDriftCheck, NumericDriftCheck)) and chk.reference is None:
                 continue  # handled by the fused profile above
             if isinstance(chk, StatsCheck):
-                v = partition_stats_verdicts(df, part_s, chk.thresholds, chk.approx)
+                if chk is fused_stats:
+                    v = stats_verdicts_df  # from the persisted fused pass
+                else:
+                    v = partition_stats_verdicts(df, part_s, chk.thresholds, chk.approx)
                 verdict_frames.append(v.select(*VERDICT_COLS))
 
             elif isinstance(chk, UniquenessCheck):
@@ -186,13 +284,18 @@ class CheckSuite:
                 # violations dump and the verdict aggregation don't
                 # each re-run the big shuffle (separate actions get no
                 # exchange reuse).
-                dups = (
-                    df.groupBy(part_s.alias("partition"), F.col(chk.key).alias("key_value"))
-                    .agg(F.count(F.lit(1)).alias("n"))
-                    .filter(F.col("n") > 1)
-                    .persist(StorageLevel.MEMORY_AND_DISK)
-                )
-                cached.append(dups)
+                if chk is fused_uniq and fused_combo is not None:
+                    dups = fused_combo.filter(
+                        F.col("kind") == f"unique:{chk.key}"
+                    ).select("partition", F.col("key").alias("key_value"), "n")
+                else:
+                    dups = (
+                        df.groupBy(part_s.alias("partition"), F.col(chk.key).alias("key_value"))
+                        .agg(F.count(F.lit(1)).alias("n"))
+                        .filter(F.col("n") > 1)
+                        .persist(StorageLevel.MEMORY_AND_DISK)
+                    )
+                    cached.append(dups)
                 violations[f"unique:{chk.key}"] = dups.orderBy(
                     "partition", "key_value"
                 ).limit(chk.violation_limit)
@@ -213,21 +316,26 @@ class CheckSuite:
                 verdict_frames.append(v)
 
             elif isinstance(chk, ReferentialCheck):
-                fk = F.expr(chk.fact_key) if isinstance(chk.fact_key, str) else chk.fact_key()
-                dim = chk.dim(spark)
-                slim = df.select(part_s.alias("partition"), fk.alias("ref_key"))
-                dim_keys = F.broadcast(dim.select(F.col(chk.dim_key).alias("_dk")).dropDuplicates())
-                missing = slim.join(dim_keys, slim["ref_key"] == dim_keys["_dk"], "left_anti")
-                # aggregate to per-(partition, key) ONCE and persist —
-                # both the violation dump and the per-partition verdict
-                # derive from this small frame, so the anti-join over
-                # the fact table runs exactly once
-                per_key = (
-                    missing.groupBy("partition", "ref_key")
-                    .agg(F.count(F.lit(1)).alias("n"))
-                    .persist(StorageLevel.MEMORY_AND_DISK)
-                )
-                cached.append(per_key)
+                if fused_combo is not None and any(chk is rc for rc in fused_refs):
+                    per_key = fused_combo.filter(
+                        F.col("kind") == f"refint:{chk.name}"
+                    ).select("partition", F.col("key").alias("ref_key"), "n")
+                else:
+                    fk = F.expr(chk.fact_key) if isinstance(chk.fact_key, str) else chk.fact_key()
+                    dim = chk.dim(spark)
+                    slim = df.select(part_s.alias("partition"), fk.alias("ref_key"))
+                    dim_keys = F.broadcast(dim.select(F.col(chk.dim_key).alias("_dk")).dropDuplicates())
+                    missing = slim.join(dim_keys, slim["ref_key"] == dim_keys["_dk"], "left_anti")
+                    # aggregate to per-(partition, key) ONCE and persist —
+                    # both the violation dump and the per-partition verdict
+                    # derive from this small frame, so the anti-join over
+                    # the fact table runs exactly once
+                    per_key = (
+                        missing.groupBy("partition", "ref_key")
+                        .agg(F.count(F.lit(1)).alias("n"))
+                        .persist(StorageLevel.MEMORY_AND_DISK)
+                    )
+                    cached.append(per_key)
                 violations[f"refint:{chk.name}"] = per_key.orderBy("partition", "ref_key")
                 per_part = per_key.groupBy("partition").agg(
                     F.sum("n").cast("double").alias("metric")

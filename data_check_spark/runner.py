@@ -51,6 +51,10 @@ def default_pages_suite(with_drift: bool) -> CheckSuite:
             dim=synth_domains,
             dim_key="domain",
             max_violation_rows=0,
+            # domain(url) is a pure function of the uniqueness key →
+            # this check rides the uniqueness aggregation's exchange
+            # (one url shuffle for both checks)
+            derived_from_key="url",
         ),
     ]
     if with_drift:
