@@ -85,7 +85,7 @@ def run_worker(cores: int, zpath: str, p1: str, p2: str) -> dict:
         os.path.join(REPO, "scripts", "scaling_worker.py"),
         str(cores), p1, p2,
     ]
-    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=7200)
     for line in out.stdout.splitlines():
         line = line.strip()
         if line.startswith("{"):

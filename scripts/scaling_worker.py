@@ -30,7 +30,13 @@ def main() -> None:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.shuffle.partitions", str(cores))
+        # 4 tasks per core and ≥8 waves per scan stage: with splits ==
+        # cores the LAST task's tail is a full wave — at 4N cores a
+        # 64-split input is only 2 waves and one straggler costs 50%
+        # of the stage. Small splits + AQE coalescing amortize tails
+        # identically at both parallelism levels (fair N vs 4N).
+        .config("spark.sql.shuffle.partitions", str(cores * 4))
+        .config("spark.sql.files.maxPartitionBytes", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
