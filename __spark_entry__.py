@@ -458,13 +458,30 @@ def _q_cosine_neardup_lsh(spark, sf_dir):
 def _q_approx_stats(spark, sf_dir):
     """Sketch aggregates (HLL distinct + KLL-ish quantiles) — the
     100 TB path where exact distinct/percentile are impractical.
-    Rows-only check (approximate by nature)."""
+    Oracle form: Spark computes BOTH the sketch and the exact value in
+    one agg and emits exact-checkable columns plus within-tolerance
+    booleans; the DuckDB oracle recomputes the exact columns and
+    asserts the tolerance claims hold (sketch estimates themselves are
+    engine-specific and cannot hash-match across engines)."""
     d = _t(spark, sf_dir, "documents")
-    return d.agg(
-        F.approx_count_distinct("text").alias("approx_distinct_text"),
-        F.approx_count_distinct("lang").alias("approx_distinct_lang"),
-        F.percentile_approx("n_chars", F.lit(0.5), F.lit(10000)).alias("approx_p50_nchars"),
-        F.percentile_approx("n_chars", F.lit(0.9), F.lit(10000)).alias("approx_p90_nchars"),
+    a = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("lang").alias("distinct_lang"),
+        F.approx_count_distinct("text").alias("_ad_text"),
+        F.count_distinct("text").alias("_ed_text"),
+        F.percentile_approx("n_chars", F.lit(0.5), F.lit(10000)).alias("_ap50"),
+        F.expr("percentile(n_chars, 0.5)").alias("_ep50"),
+    )
+    return a.select(
+        "n_docs",
+        "distinct_lang",
+        (
+            F.abs(F.col("_ad_text") - F.col("_ed_text"))
+            <= 0.05 * F.col("_ed_text")
+        ).alias("hll_text_within_5pct"),
+        (F.abs(F.col("_ap50") - F.col("_ep50")) <= 0.01 * F.col("_ep50")).alias(
+            "p50_within_1pct"
+        ),
     )
 
 
@@ -523,15 +540,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_source": _q_sql_source,
         "percentiles": _q_percentiles,
         "sketch_quantiles": _q_sketch_quantiles,
-        # rows-only (no ANSI-SQL oracle: xxhash64/LSH/driver-side)
         "cosine_neardup_lsh": _q_cosine_neardup_lsh,
         "approx_stats": _q_approx_stats,
         "schema_diff": _q_schema_diff,
+        "minhash_pairs": _q_minhash,
+        "suite_verdicts": _q_suite_verdicts,
+        # rows-only (no ANSI-SQL oracle): simhash is xxhash64-based
+        # (no DuckDB twin); lsh_topk's exact-match twin would need
+        # recall 1.0 on near-orthogonal random vectors (true top-5
+        # cosines ~0.25-0.37 here), where sign-bit LSH is measured at
+        # 24/25 — its recall>=0.9-vs-brute-force contract is asserted
+        # in tests/test_dedup_similarity.py instead
         "simhash_neardup": _q_simhash,
         "simhash_hamming": _q_simhash_hamming,
-        "minhash_pairs": _q_minhash,
         "lsh_topk": _q_lsh_topk,
-        "suite_verdicts": _q_suite_verdicts,
     }
 
 
@@ -789,6 +811,47 @@ uniq AS (
 )
 SELECT part AS "partition", col AS "column", chk AS "check", metric, threshold, passed
 FROM (SELECT * FROM v UNION ALL SELECT * FROM summary UNION ALL SELECT * FROM uniq)""",
+        # GENUINE exact twin for the LSH path: recall on the seeded
+        # sf0.01 data is exactly 1.0 (verified by
+        # scripts/exp_lsh_oracle.py — deterministic signatures), so the
+        # banded-LSH candidate generation + exact-Jaccard verification
+        # must reproduce the exact all-pairs answer bit-for-bit.
+        "minhash_pairs": r"""
+WITH docs AS (
+  SELECT * FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 10 = 0
+),
+w AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws FROM docs WHERE text IS NOT NULL),
+g AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, len(ws) - 1),
+                                          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+      FROM w WHERE len(ws) >= 3),
+j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(len(list_intersect(a.sh, b.sh)) * 1.0
+                   / nullif(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 0), 6) AS jaccard
+      FROM g a JOIN g b ON a.doc_id < b.doc_id)
+SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.8""",
+        # exact twin of the banded hyperplane-LSH near-dup: the planted
+        # pairs are exact vector copies (cosine 1.0 -> identical sign
+        # bits in every band), so LSH recall is structurally 1.0 here
+        "cosine_neardup_lsh": """
+WITH aug AS (
+  SELECT * FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000 AS vec_id, embedding, label FROM embeddings WHERE vec_id % 25 = 0
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.99""",
+        "approx_stats": """
+SELECT count(*) AS n_docs,
+       count(DISTINCT lang) AS distinct_lang,
+       TRUE AS hll_text_within_5pct,
+       TRUE AS p50_within_1pct
+FROM documents""",
         "multimodal_meta": """
 SELECT doc_id,
        CASE WHEN text IS NULL THEN NULL ELSE CAST(octet_length(encode(text)) AS INT) END AS byte_len,
