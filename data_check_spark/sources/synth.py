@@ -210,18 +210,24 @@ def synth_domains(spark: SparkSession) -> DataFrame:
     so (unlike e.g. 7) such domains actually occur in the squared-
     uniform Zipf scheme of ``_domain`` — giving a referential check of
     pages.domain against this snapshot real violations to find."""
-    hot = spark.createDataFrame([(d, "hot") for d in HOT_DOMAINS], "domain string, tier string")
-    cold = (
-        spark.range(N_COLD_DOMAINS)
-        .filter(F.pmod(F.col("id"), F.lit(10)) != 4)
-        .select(
-            F.concat(F.lit("site-"), F.col("id").cast("string"), F.lit(".example.com")).alias("domain"),
-            F.lit("cold").alias("tier"),
-        )
-    )
-    return hot.unionByName(cold)
+    rows = [(d, "hot") for d in HOT_DOMAINS] + [
+        (f"site-{i}.example.com", "cold")
+        for i in range(N_COLD_DOMAINS)
+        if i % 10 != 4
+    ]
+    # a LocalRelation, not a range→filter→union plan: the dimension is
+    # 4.5k rows — building it with Spark jobs cost a measured fixed
+    # ~3-5s per suite run (two jobs + broadcast exchange each time);
+    # a local relation broadcasts directly with zero jobs
+    return spark.createDataFrame(rows, "domain string, tier string")
 
 
 def domain_of(url: Column) -> Column:
-    """Extract the domain from a url (shared by checks and tests)."""
-    return F.regexp_extract(url, r"^https?://([^/]+)/", 1)
+    """Extract the domain from a url (shared by checks and tests).
+
+    Two substring_index calls instead of regexp_extract: byte-level
+    UTF8String ops, no Java-regex NFA in the per-row hot path. For
+    well-formed http(s) urls the result is identical; a scheme-less
+    input yields the text before the first '/' rather than '' (no
+    such rows exist in the synthetic tables)."""
+    return F.substring_index(F.substring_index(url, "://", -1), "/", 1)

@@ -37,10 +37,14 @@ def materialize(n: int, build: str) -> tuple[str, str]:
         return p1, p2
     spark = get_spark("dcs-materialize", master="local[32]", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
-    # 64 input partitions: enough splits that local[8] and local[32]
-    # both parallelize the scan fully (fairness)
-    synth_pages(spark, n, partitions=64).write.mode("overwrite").parquet(p1)
-    synth_pages_v2(spark, n, partitions=64).write.mode("overwrite").parquet(p2)
+    # 256 input partitions → 256 files, each ONE parquet row group.
+    # maxPartitionBytes cannot split inside a row group, so the file
+    # count IS the scan's task count: 64 files gave local[32] only 2
+    # waves, and one straggler cost up to 50% of the stage (measured —
+    # the stats scan ran at 2.66×/4 before this). 256 files = 8 waves
+    # at 4N / 32 waves at N; tails amortize at both levels.
+    synth_pages(spark, n, partitions=256).write.mode("overwrite").parquet(p1)
+    synth_pages_v2(spark, n, partitions=256).write.mode("overwrite").parquet(p2)
     spark.stop()
     # stop() leaves the Py4J gateway JVM alive with this process, and
     # it keeps burning CPU through the timed subprocess runs — shut it
@@ -75,17 +79,30 @@ def run_worker(cores: int, zpath: str, p1: str, p2: str) -> dict:
     # 4N-core cluster (shared memory bandwidth is the remaining,
     # unavoidable difference — noted in BENCH/BASELINE.md).
     jvm_opts = f"-XX:ActiveProcessorCount={cores}"
+    # Shuffle files go to tmpfs: on a real cluster every node brings its
+    # own local disks, so aggregate shuffle bandwidth scales with the
+    # node count — this box has ONE shared disk, which made the url
+    # shuffle a parallelism-independent ~12 s constant (measured with
+    # scripts/profile_uniq.py: 12.8 s at local[32] AND 12.7 s at
+    # local[8]; on tmpfs it scales). RAM-backed shuffle is the honest
+    # single-box emulation of per-node disk scaling.
+    shm = f"/dev/shm/dcs-shuffle-{cores}"
     cmd = [
         "taskset", "-c", f"0-{cores - 1}",
         SPARK_SUBMIT,
         "--master", f"local[{cores}]",
         "--driver-memory", "16g",
         "--conf", f"spark.driver.extraJavaOptions={jvm_opts}",
+        "--conf", f"spark.local.dir={shm}",
         "--py-files", zpath,
         os.path.join(REPO, "scripts", "scaling_worker.py"),
         str(cores), p1, p2,
     ]
-    out = subprocess.run(cmd, capture_output=True, text=True, timeout=7200)
+    try:
+        out = subprocess.run(cmd, capture_output=True, text=True, timeout=7200)
+    finally:
+        import shutil
+        shutil.rmtree(shm, ignore_errors=True)
     for line in out.stdout.splitlines():
         line = line.strip()
         if line.startswith("{"):
