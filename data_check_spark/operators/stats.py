@@ -128,6 +128,7 @@ def partition_stats_pass(
     thresholds: dict[str, dict[str, float]],
     approx: bool = True,
     numeric_hists: dict[str, tuple[Column | str, float, float, int]] | None = None,
+    exact_distinct: tuple = (),
 ) -> DataFrame:
     """THE fused scan: one ``groupBy(partition)`` computing every
     thresholded column's metrics AND (optionally) a fixed-width
@@ -148,7 +149,13 @@ def partition_stats_pass(
     types = {f.name: f.dataType for f in df.schema.fields}
     part = F.col(partition_col) if isinstance(partition_col, str) else partition_col
     structs = [
-        _metric_struct(c, types[c], approx, _needed_metrics(th))
+        # columns in exact_distinct get their n_distinct from a
+        # separate two-key aggregation (see exact_distinct_counts) —
+        # emit NULL here so the caller can patch it in
+        _metric_struct(
+            c, types[c], approx,
+            _needed_metrics(th) - ({"n_distinct"} if c in exact_distinct else set()),
+        )
         for c, th in thresholds.items()
     ]
     numeric_hists = numeric_hists or {}
@@ -171,6 +178,33 @@ def partition_stats_pass(
     return base.groupBy(part.alias("partition")).agg(
         F.array(*structs).alias("_m"), *hist_aggs
     )
+
+
+def exact_distinct_counts(
+    df: DataFrame,
+    partition_col: Column | str,
+    columns: tuple,
+) -> dict[tuple, int]:
+    """Exact per-partition distinct counts for LOW-CARDINALITY columns
+    via a two-key (partition, value) aggregation — map-side combine
+    collapses the shuffle to |values| x |partitions| rows, so the
+    result (and this collect) is bounded by cardinality, not data
+    size. NULLs excluded to match approx_count_distinct semantics.
+    Returns {(partition, column): n_distinct}."""
+    part = F.col(partition_col) if isinstance(partition_col, str) else partition_col
+    out: dict[tuple, int] = {}
+    for col in columns:
+        rows = (
+            df.filter(F.col(col).isNotNull())
+            .groupBy(part.alias("partition"), F.col(col))
+            .agg(F.lit(1))
+            .groupBy("partition")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .collect()
+        )
+        for r in rows:
+            out[(r["partition"], col)] = r["d"]
+    return out
 
 
 def verdicts_from_pass(

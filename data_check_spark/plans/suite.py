@@ -40,6 +40,16 @@ class StatsCheck:
     """Per-column stat thresholds, all computed in one fused pass."""
     thresholds: dict[str, dict[str, float]]
     approx: bool = True
+    # columns whose n_distinct is computed EXACTLY via a two-key
+    # (partition, value) pre-aggregation instead of an HLL sketch.
+    # Recommended for low-cardinality columns (lang: ~20 values): the
+    # map-side combine collapses the shuffle to |values| x |partitions|
+    # rows, and the per-row HLL buffer update was measured costlier
+    # than the plain hash-agg at both parallelism levels (4.9s@32 /
+    # 9.4s@8 marginal vs 1.7s/1.9s for the two-key aggregation on 20M
+    # pages). High-cardinality columns should stay on HLL — the
+    # two-key shuffle grows with the distinct count.
+    exact_distinct: tuple = ()
 
 
 @dataclass
@@ -172,7 +182,8 @@ class CheckSuite:
 
             nums = {c.name: (c.expr(), c.lo, c.hi, c.n_buckets) for c in fused_num}
             pass_src = partition_stats_pass(
-                df, part_s, fused_stats.thresholds, fused_stats.approx, nums
+                df, part_s, fused_stats.thresholds, fused_stats.approx, nums,
+                exact_distinct=fused_stats.exact_distinct,
             )
             # Materialize the pass ONCE, driver-side, as a local
             # relation: the frame is one row per partition (bounded by
@@ -188,7 +199,17 @@ class CheckSuite:
             # consumer branches (stats verdicts, numeric drift
             # profile, partition list, verdict joins), and
             # broadcast-joins trivially.
-            pass_df = spark.createDataFrame(pass_src.collect(), pass_src.schema)
+            pass_rows = [r.asDict(recursive=True) for r in pass_src.collect()]
+            if fused_stats.exact_distinct:
+                from data_check_spark.operators.stats import exact_distinct_counts
+
+                exact = exact_distinct_counts(df, part_s, fused_stats.exact_distinct)
+                for row in pass_rows:
+                    for m in row["_m"]:
+                        key = (row["partition"], m["column"])
+                        if key in exact:
+                            m["n_distinct"] = exact[key]
+            pass_df = spark.createDataFrame(pass_rows, pass_src.schema)
             all_parts = pass_df.select("partition")
             stats_verdicts_df = verdicts_from_pass(pass_df, fused_stats.thresholds)
 
@@ -253,16 +274,29 @@ class CheckSuite:
                 # is phase 2's, phase 1 only prunes.
                 k = F.col(chk.key)
                 h = F.xxhash64(k)
+                # no distinct() on the candidate hashes: a left-semi
+                # probe is indifferent to duplicate build keys, and the
+                # dedup added a whole extra exchange+stage to the
+                # latency-bound path (same partition's hash can appear
+                # for several partitions; the broadcast build dedups
+                # into its hash table for free)
                 cand_h = (
                     df.groupBy(part_s.alias("partition"), h.alias("_h"))
                     .agg(F.count(F.lit(1)).alias("n"))
                     .filter(F.col("n") > 1)
                     .select("_h")
-                    .distinct()
                 )
+                # explicit broadcast: AQE kept this as a SortMergeJoin
+                # (sorting all fact rows by hash) even with a ~3MB
+                # build side — measured 12.7s vs 10.1s broadcast on 20M
+                # pages at local[32]. The candidate set is bounded by
+                # the duplicate rate; for tables where duplicates are a
+                # large fraction of rows, drop the hint (the join
+                # degrades to a shuffle join instead of OOMing the
+                # driver).
                 dup_rows = df.select(
                     part_s.alias("partition"), k.alias("key_value"), h.alias("_h")
-                ).join(cand_h, "_h", "left_semi")
+                ).join(F.broadcast(cand_h), "_h", "left_semi")
                 dups = (
                     dup_rows.groupBy("partition", "key_value")
                     .agg(F.count(F.lit(1)).alias("n"))

@@ -42,7 +42,10 @@ def default_pages_suite(with_drift: bool) -> CheckSuite:
                 "text": {"max_null_rate": 0.05, "min_rows": 1, "min_avg_tokens": 3},
                 "lang": {"max_null_rate": 0.05, "min_distinct": 2},
                 "url": {"max_null_rate": 0.0},
-            }
+            },
+            # lang is ~20 values: exact two-key distinct beats the HLL
+            # sketch at both parallelism levels (see StatsCheck)
+            exact_distinct=("lang",),
         ),
         UniquenessCheck(key="url", max_duplicate_keys=0),
         ReferentialCheck(

@@ -22,7 +22,8 @@ def main() -> None:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(cores * 4))
-        .config("spark.sql.files.maxPartitionBytes", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", "0")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
@@ -42,13 +43,15 @@ def main() -> None:
         t0 = time.perf_counter()
         res = suite.run(spark, df, "warc_day", reference_df=ref)
         t["suite_run_call"] = round(time.perf_counter() - t0, 2)
-        t1 = time.perf_counter()
-        res.verdicts.write.format("noop").mode("overwrite").save()
-        t["verdicts_write"] = round(time.perf_counter() - t1, 2)
+        # materialize violation persists FIRST so verdicts_write times
+        # only the drift/psi/assembly remainder
         for name, v in res.violations.items():
             t2 = time.perf_counter()
             v.write.format("noop").mode("overwrite").save()
             t[f"viol:{name}"] = round(time.perf_counter() - t2, 2)
+        t1 = time.perf_counter()
+        res.verdicts.write.format("noop").mode("overwrite").save()
+        t["verdicts_write"] = round(time.perf_counter() - t1, 2)
         t["total"] = round(time.perf_counter() - t0, 2)
         print(json.dumps({"tag": tag, "cores": cores, "t": t}), flush=True)
         return t

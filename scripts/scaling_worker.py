@@ -36,7 +36,16 @@ def main() -> None:
         # of the stage. Small splits + AQE coalescing amortize tails
         # identically at both parallelism levels (fair N vs 4N).
         .config("spark.sql.shuffle.partitions", str(cores * 4))
-        .config("spark.sql.files.maxPartitionBytes", str(64 * 1024 * 1024))
+        # one scan task per input FILE: the materialized input is 256
+        # x ~8MB files, and the default 128MB (or even 64MB) split
+        # size PACKS ~8 files into one task — measured scan_splits=35,
+        # i.e. ONE wave at local[32], straggler-bound and
+        # parallelism-flat (scripts/profile_passvariants.py: token
+        # scan 29.2s@32 / 53.8s@8 = 0.46 efficiency packed vs
+        # 19.3s@32 / 65.0s@8 = 0.84 with per-file splits). 8MB +
+        # zero open-cost keeps all 256 splits at both core counts.
+        .config("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", "0")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
