@@ -54,21 +54,41 @@ def _force(df) -> None:
 
 
 def run_pages_suite(spark, n: int) -> float:
-    """Full validation suite over a synthesized pages table → seconds."""
+    """Full validation suite over a synthesized pages table → seconds.
+
+    The synthetic table is materialized to parquet OUTSIDE the timed
+    region: the suite makes several passes over its input, and timing
+    it over the raw generator relation re-pays the synthesis
+    expressions (xxhash/repeat/sha2 per row) once per pass — measuring
+    the generator, not the engine. Scanning parquet is also what the
+    north rule describes (validation over an Iceberg/parquet table)."""
+    import shutil
+    import tempfile
+
     from pyspark.sql import functions as F
 
     from data_check_spark.runner import default_pages_suite
     from data_check_spark.sources.synth import synth_pages, synth_pages_v2
 
-    df = synth_pages(spark, n).withColumn("warc_day", F.to_date("warc_ts"))
-    ref = synth_pages_v2(spark, n)
-    suite = default_pages_suite(with_drift=True)
-    t0 = time.perf_counter()
-    res = suite.run(spark, df, "warc_day", reference_df=ref)
-    _force(res.verdicts)
-    for v in res.violations.values():
-        _force(v)
-    return time.perf_counter() - t0
+    tmp = tempfile.mkdtemp(prefix="dcs_bench_pages_")
+    try:
+        synth_pages(spark, n).write.mode("overwrite").parquet(f"{tmp}/pages")
+        synth_pages_v2(spark, n).write.mode("overwrite").parquet(f"{tmp}/pages_v2")
+        df = spark.read.parquet(f"{tmp}/pages").withColumn(
+            "warc_day", F.to_date("warc_ts")
+        )
+        ref = spark.read.parquet(f"{tmp}/pages_v2")
+        suite = default_pages_suite(with_drift=True)
+        t0 = time.perf_counter()
+        res = suite.run(spark, df, "warc_day", reference_df=ref)
+        _force(res.verdicts)
+        for v in res.violations.values():
+            _force(v)
+        sec = time.perf_counter() - t0
+        res.unpersist()
+        return sec
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def main() -> None:

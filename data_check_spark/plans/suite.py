@@ -124,6 +124,9 @@ class CheckSuite:
         run_id: str | None = None,
     ) -> SuiteResult:
         run_id = run_id or uuid.uuid4().hex[:12]
+        import math
+        from concurrent.futures import ThreadPoolExecutor
+
         from pyspark import StorageLevel
 
         part = F.col(partition_col) if isinstance(partition_col, str) else partition_col
@@ -162,148 +165,243 @@ class CheckSuite:
             names = [c.column for c in fused_cat] + [c.name for c in fused_num]
             raise ValueError(f"drift checks {names}: no reference table")
 
-        # the suite's ONE expensive scan: when a StatsCheck exists, its
-        # groupBy(partition) pass also computes the numeric-drift
-        # histograms (text-length buckets etc.), so the wide text
-        # column is decoded exactly once for stats + drift combined.
-        # The tiny per-partition result is persisted and feeds the
-        # stats verdicts, the df-side drift profile AND the partition
-        # list without touching the table again.
         stats_checks = [c for c in self.checks if isinstance(c, StatsCheck)]
         fused_stats: StatsCheck | None = stats_checks[0] if stats_checks else None
         stats_verdicts_df: DataFrame | None = None
         pass_df = None
-        if fused_stats is not None:
-            from data_check_spark.operators.stats import (
-                numeric_profiles_from_pass,
-                partition_stats_pass,
-                verdicts_from_pass,
-            )
+        pass_src = None
+        nums = {c.name: (c.expr(), c.lo, c.hi, c.n_buckets) for c in fused_num}
+        cats = {c.column: F.col(c.column) for c in fused_cat}
 
-            nums = {c.name: (c.expr(), c.lo, c.hi, c.n_buckets) for c in fused_num}
-            pass_src = partition_stats_pass(
-                df, part_s, fused_stats.thresholds, fused_stats.approx, nums,
-                exact_distinct=fused_stats.exact_distinct,
-            )
-            # Materialize the pass ONCE, driver-side, as a local
-            # relation: the frame is one row per partition (bounded by
-            # the partition count, never the data size — same class of
-            # bounded collect as the sketch readout). persist() here
-            # was measured strictly worse: the cache build cost 44s vs
-            # 31s for a plain collect of the same aggregation
-            # (local[32], 20M pages), and later actions on plans
-            # referencing the cached frame were observed re-running
-            # the full scan anyway (35-53s per action — cache misses
-            # on the composed verdict plans). A local relation is
-            # computed exactly once, is free to read in all four
-            # consumer branches (stats verdicts, numeric drift
-            # profile, partition list, verdict joins), and
-            # broadcast-joins trivially.
-            pass_rows = [r.asDict(recursive=True) for r in pass_src.collect()]
-            if fused_stats.exact_distinct:
-                from data_check_spark.operators.stats import exact_distinct_counts
-
-                exact = exact_distinct_counts(df, part_s, fused_stats.exact_distinct)
-                for row in pass_rows:
-                    for m in row["_m"]:
-                        key = (row["partition"], m["column"])
-                        if key in exact:
-                            m["n_distinct"] = exact[key]
-            pass_df = spark.createDataFrame(pass_rows, pass_src.schema)
-            all_parts = pass_df.select("partition")
-            stats_verdicts_df = verdicts_from_pass(pass_df, fused_stats.thresholds)
-
-        if fused_cat or fused_num:
-            from data_check_spark.operators.drift import drift_profile, psi_from_profiles
-            from data_check_spark.operators.stats import numeric_profiles_from_pass
-
-            cats = {c.column: F.col(c.column) for c in fused_cat}
-            nums = {c.name: (c.expr(), c.lo, c.hi, c.n_buckets) for c in fused_num}
-            if pass_df is not None and fused_num:
-                # numeric profiles fall out of the stats pass; the
-                # categorical scan reads only the (dictionary-encoded,
-                # cheap) category columns
-                prof1 = numeric_profiles_from_pass(pass_df, nums)
-                if fused_cat:
-                    prof1 = prof1.unionByName(drift_profile(df, cats, {}))
-            else:
-                prof1 = drift_profile(df, cats, nums)
-            prof2 = drift_profile(reference_df, cats, nums)
-            psi = psi_from_profiles(prof1, prof2)
-            th = {c.column: (c.max_psi, "psi_categorical") for c in fused_cat}
-            th.update({c.name: (c.max_psi, "psi_numeric") for c in fused_num})
-            th_df = F.broadcast(
-                spark.createDataFrame(
-                    [(k, v[0], v[1]) for k, v in th.items()],
-                    "kind string, max_psi double, check string",
+        # ---- Phase 1: submit every heavy materialization as a
+        # CONCURRENT Spark action. The suite's expensive inputs are
+        # mutually independent — the fused stats pass, the two drift
+        # profile scans, the uniqueness duplicate census and each
+        # referential per-key aggregate — and every one reduces to a
+        # SMALL result (bounded by partitions/buckets/violations, not
+        # data size). Running them from a thread pool overlaps their
+        # job latencies on the shared executor pool: the latency-bound
+        # phases (shuffle stage barriers, AQE re-plans, broadcast
+        # builds) hide behind the compute-bound stats scan instead of
+        # adding to it serially.
+        pool = ThreadPoolExecutor(max_workers=6)
+        futs: dict = {}
+        uniq_dups: dict[int, DataFrame] = {}
+        ref_perkey: dict[int, DataFrame] = {}
+        try:
+            if fused_stats is not None:
+                from data_check_spark.operators.stats import (
+                    exact_distinct_counts,
+                    partition_stats_pass,
                 )
-            )
-            verdict_frames.append(
-                psi.join(th_df, "kind").select(
-                    F.lit("*").alias("partition"),
-                    F.col("kind").alias("column"),
-                    F.col("check"),
-                    F.col("psi").alias("metric"),
-                    F.col("max_psi").alias("threshold"),
-                    (F.col("psi") <= F.col("max_psi")).alias("passed"),
+
+                # the suite's ONE expensive scan: the groupBy(partition)
+                # pass also computes the numeric-drift histograms, so
+                # the wide text column is decoded exactly once for
+                # stats + drift combined. The per-partition result is
+                # collected driver-side (bounded by the partition
+                # count, same class of bounded collect as the sketch
+                # readout): persist() here was measured strictly worse
+                # — 44s cache build vs 31s collect for the same
+                # aggregation at local[32]/20M pages, and composed
+                # verdict plans were observed re-running the scan on
+                # cache misses anyway. A local relation is computed
+                # exactly once and is free to read in all consumer
+                # branches (stats verdicts, numeric drift profile,
+                # partition list, verdict joins).
+                pass_src = partition_stats_pass(
+                    df, part_s, fused_stats.thresholds, fused_stats.approx, nums,
+                    exact_distinct=fused_stats.exact_distinct,
                 )
-            )
+                futs["pass"] = pool.submit(
+                    lambda: [r.asDict(recursive=True) for r in pass_src.collect()]
+                )
+                if fused_stats.exact_distinct:
+                    futs["exact"] = pool.submit(
+                        exact_distinct_counts, df, part_s, fused_stats.exact_distinct
+                    )
+
+            if fused_cat or fused_num:
+                from data_check_spark.operators.drift import drift_profile
+
+                # profiles collapse to (kind, key, n, freq) rows
+                # bounded by |categories| + |buckets| — collected and
+                # reduced to PSI verdicts driver-side, which removes
+                # the profile join / psi aggregation / threshold
+                # broadcast stages from the critical path entirely
+                if fused_stats is not None and fused_num:
+                    # numeric df-side profile falls out of the stats
+                    # pass; scan only the cheap categorical columns
+                    if fused_cat:
+                        futs["prof_df"] = pool.submit(
+                            lambda: drift_profile(df, cats, {}).collect()
+                        )
+                else:
+                    futs["prof_df"] = pool.submit(
+                        lambda: drift_profile(df, cats, nums).collect()
+                    )
+                futs["prof_ref"] = pool.submit(
+                    lambda: drift_profile(reference_df, cats, nums).collect()
+                )
+
+            for chk in self.checks:
+                if isinstance(chk, UniquenessCheck):
+                    # Hash-candidate two-phase duplicate census. Phase
+                    # 1 shuffles (partition, xxhash64(key)) — 8-byte
+                    # hashes, not full key strings: measured 2.3x
+                    # faster than the string-keyed groupBy at
+                    # local[32] on 20M urls (primitive-key
+                    # HashAggregate + ~4x fewer shuffle bytes). No
+                    # distinct() on the candidates: a left-semi probe
+                    # is indifferent to duplicate build keys and the
+                    # dedup added an exchange+stage. Phase 2 re-scans
+                    # only the key column, keeps rows whose hash is a
+                    # duplicate candidate, and recounts BY THE ACTUAL
+                    # KEY — hash collisions can never fabricate a
+                    # duplicate; phase 1 only prunes. The explicit
+                    # broadcast matters: AQE kept a SortMergeJoin
+                    # (sorting all fact rows) even with a ~3MB build
+                    # side; the candidate set is bounded by the
+                    # duplicate rate — for tables where duplicates are
+                    # a large fraction of rows, drop the hint.
+                    k = F.col(chk.key)
+                    h = F.xxhash64(k)
+                    cand_h = (
+                        df.groupBy(part_s.alias("partition"), h.alias("_h"))
+                        .agg(F.count(F.lit(1)).alias("n"))
+                        .filter(F.col("n") > 1)
+                        .select("_h")
+                    )
+                    dup_rows = df.select(
+                        part_s.alias("partition"), k.alias("key_value"), h.alias("_h")
+                    ).join(F.broadcast(cand_h), "_h", "left_semi")
+                    dups = (
+                        dup_rows.groupBy("partition", "key_value")
+                        .agg(F.count(F.lit(1)).alias("n"))
+                        .filter(F.col("n") > 1)
+                        .persist(StorageLevel.MEMORY_AND_DISK)
+                    )
+                    cached.append(dups)
+                    uniq_dups[id(chk)] = dups
+                    futs[f"uniq_{id(chk)}"] = pool.submit(dups.count)
+                elif isinstance(chk, ReferentialCheck):
+                    fk = F.expr(chk.fact_key) if isinstance(chk.fact_key, str) else chk.fact_key()
+                    dim = chk.dim(spark)
+                    dim_keys = F.broadcast(
+                        dim.select(F.col(chk.dim_key).alias("_dk")).dropDuplicates()
+                    )
+                    # aggregate BEFORE the anti-join: the (partition,
+                    # ref_key) groupBy collapses via map-side combine
+                    # to at most |dims| x |partitions| rows, so the
+                    # anti-join probes a tiny aggregate instead of
+                    # every fact row; the violation dump and the
+                    # per-partition verdict both reuse the persisted
+                    # result — the fact table is scanned exactly once
+                    # per referential check
+                    per_key = (
+                        df.groupBy(part_s.alias("partition"), fk.alias("ref_key"))
+                        .agg(F.count(F.lit(1)).alias("n"))
+                        .join(dim_keys, F.col("ref_key") == F.col("_dk"), "left_anti")
+                        .persist(StorageLevel.MEMORY_AND_DISK)
+                    )
+                    cached.append(per_key)
+                    ref_perkey[id(chk)] = per_key
+                    futs[f"ref_{id(chk)}"] = pool.submit(per_key.count)
+
+            # ---- Phase 2: gather the bounded results and assemble
+            # verdicts — driver-side math on collected profiles,
+            # distributed joins only against already-persisted small
+            # frames.
+            if fused_stats is not None:
+                from data_check_spark.operators.stats import verdicts_from_pass
+
+                pass_rows = futs["pass"].result()
+                if "exact" in futs:
+                    exact = futs["exact"].result()
+                    for row in pass_rows:
+                        for m in row["_m"]:
+                            mkey = (row["partition"], m["column"])
+                            if mkey in exact:
+                                m["n_distinct"] = exact[mkey]
+                pass_df = spark.createDataFrame(pass_rows, pass_src.schema)
+                all_parts = pass_df.select("partition")
+                stats_verdicts_df = verdicts_from_pass(pass_df, fused_stats.thresholds)
+
+            if fused_cat or fused_num:
+                from data_check_spark.operators.drift import EPS
+
+                # prof1 = df-side profile: numeric part summed from
+                # the stats-pass histograms driver-side (replicating
+                # numeric_profiles_from_pass: zero buckets absent so
+                # the EPS floor applies identically), categorical part
+                # from the collected scan
+                prof1: dict[tuple, float] = {}
+                if fused_stats is not None and fused_num:
+                    for name in nums:
+                        buckets: dict[int, int] = {}
+                        for row in pass_rows:
+                            for pos, cnt in enumerate(row[f"_h_{name}"]):
+                                if cnt:
+                                    buckets[pos] = buckets.get(pos, 0) + cnt
+                        total = sum(buckets.values())
+                        for pos, cnt in buckets.items():
+                            prof1[(name, str(pos))] = cnt / total
+                for r in (futs["prof_df"].result() if "prof_df" in futs else []):
+                    prof1[(r["kind"], r["key"])] = r["freq"]
+                prof2 = {
+                    (r["kind"], r["key"]): r["freq"]
+                    for r in futs["prof_ref"].result()
+                }
+                th = {c.column: (c.max_psi, "psi_categorical") for c in fused_cat}
+                th.update({c.name: (c.max_psi, "psi_numeric") for c in fused_num})
+                drift_rows = []
+                for kind, (max_psi, check_name) in th.items():
+                    keys = {ky for kd, ky in prof1 if kd == kind} | {
+                        ky for kd, ky in prof2 if kd == kind
+                    }
+                    psi = round(
+                        sum(
+                            (prof1.get((kind, ky), EPS) - prof2.get((kind, ky), EPS))
+                            * math.log(
+                                prof1.get((kind, ky), EPS)
+                                / prof2.get((kind, ky), EPS)
+                            )
+                            for ky in keys
+                        ),
+                        6,
+                    )
+                    drift_rows.append(
+                        ("*", kind, check_name, float(psi), float(max_psi), psi <= max_psi)
+                    )
+                verdict_frames.append(
+                    spark.createDataFrame(
+                        drift_rows,
+                        "partition string, column string, check string, "
+                        "metric double, threshold double, passed boolean",
+                    )
+                )
+
+            # drain the uniqueness/refint materializations so any
+            # executor-side failure surfaces here, inside the pool scope
+            for fkey, fut in futs.items():
+                if fkey.startswith("uniq_") or fkey.startswith("ref_"):
+                    fut.result()
+        finally:
+            pool.shutdown(wait=True)
 
         for chk in self.checks:
             if isinstance(chk, (CategoricalDriftCheck, NumericDriftCheck)) and chk.reference is None:
-                continue  # handled by the fused profile above
+                continue  # handled by the fused profiles above
             if isinstance(chk, StatsCheck):
                 if chk is fused_stats:
-                    v = stats_verdicts_df  # from the persisted fused pass
+                    v = stats_verdicts_df  # from the collected fused pass
                 else:
                     v = partition_stats_verdicts(df, part_s, chk.thresholds, chk.approx)
                 verdict_frames.append(v.select(*VERDICT_COLS))
 
             elif isinstance(chk, UniquenessCheck):
-                # Hash-candidate two-phase duplicate census. Phase 1
-                # shuffles (partition, xxhash64(key)) — 8-byte hashes,
-                # not full key strings: measured 2.3x faster than the
-                # string-keyed groupBy at local[32] on 20M urls (the
-                # primitive-key HashAggregate path + ~4x fewer shuffle
-                # bytes). Phase 2 re-scans only the key column, keeps
-                # rows whose hash is a duplicate candidate (a ~dup-rate
-                # sized set — the join stays a broadcast under AQE at
-                # sane dup rates, degrades to a shuffle join gracefully
-                # when not), and recounts BY THE ACTUAL KEY — so hash
-                # collisions can never fabricate a duplicate; exactness
-                # is phase 2's, phase 1 only prunes.
-                k = F.col(chk.key)
-                h = F.xxhash64(k)
-                # no distinct() on the candidate hashes: a left-semi
-                # probe is indifferent to duplicate build keys, and the
-                # dedup added a whole extra exchange+stage to the
-                # latency-bound path (same partition's hash can appear
-                # for several partitions; the broadcast build dedups
-                # into its hash table for free)
-                cand_h = (
-                    df.groupBy(part_s.alias("partition"), h.alias("_h"))
-                    .agg(F.count(F.lit(1)).alias("n"))
-                    .filter(F.col("n") > 1)
-                    .select("_h")
-                )
-                # explicit broadcast: AQE kept this as a SortMergeJoin
-                # (sorting all fact rows by hash) even with a ~3MB
-                # build side — measured 12.7s vs 10.1s broadcast on 20M
-                # pages at local[32]. The candidate set is bounded by
-                # the duplicate rate; for tables where duplicates are a
-                # large fraction of rows, drop the hint (the join
-                # degrades to a shuffle join instead of OOMing the
-                # driver).
-                dup_rows = df.select(
-                    part_s.alias("partition"), k.alias("key_value"), h.alias("_h")
-                ).join(F.broadcast(cand_h), "_h", "left_semi")
-                dups = (
-                    dup_rows.groupBy("partition", "key_value")
-                    .agg(F.count(F.lit(1)).alias("n"))
-                    .filter(F.col("n") > 1)
-                    .persist(StorageLevel.MEMORY_AND_DISK)
-                )
-                cached.append(dups)
+                # built, persisted and materialized in Phase 1
+                dups = uniq_dups[id(chk)]
                 violations[f"unique:{chk.key}"] = dups.orderBy(
                     "partition", "key_value"
                 ).limit(chk.violation_limit)
@@ -324,23 +422,8 @@ class CheckSuite:
                 verdict_frames.append(v)
 
             elif isinstance(chk, ReferentialCheck):
-                fk = F.expr(chk.fact_key) if isinstance(chk.fact_key, str) else chk.fact_key()
-                dim = chk.dim(spark)
-                dim_keys = F.broadcast(dim.select(F.col(chk.dim_key).alias("_dk")).dropDuplicates())
-                # aggregate BEFORE the anti-join: the (partition,
-                # ref_key) groupBy collapses via map-side combine to at
-                # most |dims| x |partitions| rows, so the anti-join
-                # probes a tiny aggregate instead of every fact row,
-                # and the violation dump + per-partition verdict both
-                # reuse the persisted result — the fact table is
-                # scanned exactly once per referential check
-                per_key = (
-                    df.groupBy(part_s.alias("partition"), fk.alias("ref_key"))
-                    .agg(F.count(F.lit(1)).alias("n"))
-                    .join(dim_keys, F.col("ref_key") == F.col("_dk"), "left_anti")
-                    .persist(StorageLevel.MEMORY_AND_DISK)
-                )
-                cached.append(per_key)
+                # built, persisted and materialized in Phase 1
+                per_key = ref_perkey[id(chk)]
                 violations[f"refint:{chk.name}"] = per_key.orderBy("partition", "ref_key")
                 per_part = per_key.groupBy("partition").agg(
                     F.sum("n").cast("double").alias("metric")
