@@ -66,24 +66,44 @@ def pk_census(df1: DataFrame, df2: DataFrame, pk: str) -> DataFrame:
     (total_rows, missing_primary_keys_table1/2, ratios).
 
     Matches ``bigquery.py:55-92``: COUNTIF(side IS NULL) per side,
-    SAFE_DIVIDE → try_divide. Only the pk column is shuffled.
+    SAFE_DIVIDE → try_divide.
+
+    Plan: NOT a join. Both key columns are unioned with a side tag and
+    reduced in ONE groupBy(pk) (map-side combine → the shuffle carries
+    per-distinct-key partial counts), then a scalar aggregate applies
+    the full-outer accounting arithmetic:
+
+    * key on both sides → the join would emit n1*n2 rows, all matched;
+    * key on one side → n1+n2 unmatched rows (count toward the other
+      side's missing);
+    * NULL keys never equi-join-match → every NULL row is unmatched
+      (the groupBy pools NULLs into one group, so that group's counts
+      are exactly the per-side NULL-row counts).
+
+    Same result as the full-outer join (duplicate and NULL keys
+    included) for half the shuffle passes and no sort: the SMJ variant
+    measured ~6s of the sf0.1 bench; this is one hash aggregation.
     """
-    k1 = df1.select(F.col(pk).alias("pk1"))
-    k2 = df2.select(F.col(pk).alias("pk2"))
-    joined = k1.join(k2, k1["pk1"] == k2["pk2"], "full_outer")
-    total = F.count(F.lit(1))
-    miss1 = F.count_if(F.col("pk1").isNull())  # pk present only in table2
-    miss2 = F.count_if(F.col("pk2").isNull())  # pk present only in table1
-    return joined.agg(
-        total.alias("total_rows"),
-        miss1.alias("missing_primary_keys_table1"),
-        miss2.alias("missing_primary_keys_table2"),
-        F.round(F.try_divide(miss1.cast("double"), total.cast("double")), 6).alias(
-            "missing_primary_keys_table1_ratio"
-        ),
-        F.round(F.try_divide(miss2.cast("double"), total.cast("double")), 6).alias(
-            "missing_primary_keys_table2_ratio"
-        ),
+    k = F.col("k")
+    u = df1.select(
+        F.col(pk).alias("k"), F.lit(1).alias("c1"), F.lit(0).alias("c2")
+    ).unionAll(df2.select(F.col(pk).alias("k"), F.lit(0).alias("c1"), F.lit(1).alias("c2")))
+    per_key = u.groupBy("k").agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    n1, n2 = F.col("n1"), F.col("n2")
+    unmatched = k.isNull() | (n1 == 0) | (n2 == 0)
+    total = F.sum(F.when(unmatched, n1 + n2).otherwise(n1 * n2))
+    miss1 = F.sum(F.when(k.isNull() | (n1 == 0), n2).otherwise(F.lit(0)))
+    miss2 = F.sum(F.when(k.isNull() | (n2 == 0), n1).otherwise(F.lit(0)))
+    return per_key.agg(
+        F.coalesce(total, F.lit(0)).alias("total_rows"),
+        F.coalesce(miss1, F.lit(0)).alias("missing_primary_keys_table1"),
+        F.coalesce(miss2, F.lit(0)).alias("missing_primary_keys_table2"),
+        F.round(
+            F.try_divide(miss1.cast("double"), total.cast("double")), 6
+        ).alias("missing_primary_keys_table1_ratio"),
+        F.round(
+            F.try_divide(miss2.cast("double"), total.cast("double")), 6
+        ).alias("missing_primary_keys_table2_ratio"),
     )
 
 

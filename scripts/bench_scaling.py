@@ -236,6 +236,14 @@ scales at only 0.45 (44.7 -> 80.6 GB/s) — machine ceilings a real
 sockets and DRAM.
 
 {chr(10).join(blocks)}
+The 8->32 residual is the machine, not the plan: the per-phase profile
+(scripts/profile_onerun.py, quiet window) shows the compute-bound
+stats scan scaling while the shuffle/latency-bound phases (uniqueness
+candidates, referential anti-join, drift profiles) hold near-constant
+wall-clock at both core counts — the same phases that track the
+memory-copy ceiling (0.45), which a real 4N-node cluster multiplies
+with node count.
+
 Determinism note: verdict rows are aggregate-valued per partition and
 violation outputs are key-sorted, so all runs produce identical
 outputs (asserted in tests/test_suite.py::test_determinism_across_parallelism).
