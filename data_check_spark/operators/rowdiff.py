@@ -76,9 +76,13 @@ def pk_census(df1: DataFrame, df2: DataFrame, pk: str) -> DataFrame:
     * key on both sides → the join would emit n1*n2 rows, all matched;
     * key on one side → n1+n2 unmatched rows (count toward the other
       side's missing);
-    * NULL keys never equi-join-match → every NULL row is unmatched
-      (the groupBy pools NULLs into one group, so that group's counts
-      are exactly the per-side NULL-row counts).
+    * NULL keys never equi-join-match → every NULL row is unmatched,
+      AND its own key column is NULL in the joined row, so the
+      reference's COUNTIF(pk IS NULL) counts every NULL-key row from
+      EITHER side toward BOTH missing counters (the groupBy pools
+      NULLs into one group whose counts are the per-side NULL-row
+      counts — asserted against an inline join in
+      tests/test_rowdiff.py::test_pk_census_duplicate_and_null_keys).
 
     Same result as the full-outer join (duplicate and NULL keys
     included) for half the shuffle passes and no sort: the SMJ variant
@@ -92,8 +96,12 @@ def pk_census(df1: DataFrame, df2: DataFrame, pk: str) -> DataFrame:
     n1, n2 = F.col("n1"), F.col("n2")
     unmatched = k.isNull() | (n1 == 0) | (n2 == 0)
     total = F.sum(F.when(unmatched, n1 + n2).otherwise(n1 * n2))
-    miss1 = F.sum(F.when(k.isNull() | (n1 == 0), n2).otherwise(F.lit(0)))
-    miss2 = F.sum(F.when(k.isNull() | (n2 == 0), n1).otherwise(F.lit(0)))
+    miss1 = F.sum(
+        F.when(k.isNull(), n1 + n2).when(n1 == 0, n2).otherwise(F.lit(0))
+    )
+    miss2 = F.sum(
+        F.when(k.isNull(), n1 + n2).when(n2 == 0, n1).otherwise(F.lit(0))
+    )
     return per_key.agg(
         F.coalesce(total, F.lit(0)).alias("total_rows"),
         F.coalesce(miss1, F.lit(0)).alias("missing_primary_keys_table1"),

@@ -117,3 +117,49 @@ def test_array_canonicalization(spark):
     assert row_diff(a, b, "A").count() == 0
     c = spark.createDataFrame([(1, ["a", "c"])], "A bigint, D array<string>")
     assert row_diff(a, c, "A").count() == 1
+
+
+def test_pk_census_duplicate_and_null_keys(spark):
+    """The union+groupBy census must reproduce the full-outer JOIN's
+    accounting exactly: duplicate keys multiply (n1*n2 matched rows),
+    NULL keys never equi-match (each NULL row is unmatched on its own
+    side). Verified against an inline join-based reference."""
+    from pyspark.sql import functions as F
+
+    from data_check_spark.operators.rowdiff import pk_census
+
+    t1 = spark.createDataFrame(
+        [(1,), (1,), (2,), (None,), (None,), (4,)], "k bigint"
+    )
+    t2 = spark.createDataFrame([(1,), (2,), (2,), (3,), (None,)], "k bigint")
+    got = pk_census(t1, t2, "k").collect()[0]
+
+    k1 = t1.select(F.col("k").alias("pk1"))
+    k2 = t2.select(F.col("k").alias("pk2"))
+    joined = k1.join(k2, k1["pk1"] == k2["pk2"], "full_outer")
+    ref = joined.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.count_if(F.col("pk1").isNull()).alias("m1"),
+        F.count_if(F.col("pk2").isNull()).alias("m2"),
+    ).collect()[0]
+
+    assert got["total_rows"] == ref["total"]
+    assert got["missing_primary_keys_table1"] == ref["m1"]
+    assert got["missing_primary_keys_table2"] == ref["m2"]
+    # spot-check the arithmetic by hand: k=1 -> 2*1, k=2 -> 1*2,
+    # k=4 -> 1 unmatched, k=3 -> 1 unmatched, NULLs -> 2+1 unmatched;
+    # a NULL-key row leaves BOTH join key columns NULL, so all 3 NULL
+    # rows count toward both missing counters (reference COUNTIF)
+    assert got["total_rows"] == 2 + 2 + 1 + 1 + 3
+    assert got["missing_primary_keys_table1"] == 1 + 3  # k=3 + all NULLs
+    assert got["missing_primary_keys_table2"] == 1 + 3  # k=4 + all NULLs
+
+
+def test_pk_census_empty_inputs(spark):
+    from data_check_spark.operators.rowdiff import pk_census
+
+    e = spark.createDataFrame([], "k bigint")
+    got = pk_census(e, e, "k").collect()[0]
+    assert got["total_rows"] == 0
+    assert got["missing_primary_keys_table1"] == 0
+    assert got["missing_primary_keys_table1_ratio"] is None
