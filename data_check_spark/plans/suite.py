@@ -94,6 +94,24 @@ class NumericDriftCheck:
 
 
 @dataclass
+class KSDriftCheck:
+    """Kolmogorov-Smirnov drift over a fixed-width histogram of a
+    numeric expression (north rule: "PSI/KS over t-digest/histograms").
+    Fused like NumericDriftCheck: the df-side histogram rides the
+    stats pass, the reference side rides the shared profile scan, and
+    the KS statistic (max |CDF1-CDF2| over bucket edges, resolution =
+    bucket width — matching operators/drift.ks_statistic) is computed
+    driver-side from the collected profiles."""
+    name: str
+    expr: Callable[[], Column]
+    lo: float
+    hi: float
+    n_buckets: int = 50
+    max_ks: float = 0.2
+    reference: Callable[[SparkSession], DataFrame] | None = None
+
+
+@dataclass
 class SuiteResult:
     run_id: str
     verdicts: DataFrame
@@ -156,13 +174,20 @@ class CheckSuite:
         # `reference` loader run individually below.
         fused_cat: list[CategoricalDriftCheck] = []
         fused_num: list[NumericDriftCheck] = []
+        fused_ks: list[KSDriftCheck] = []
         for chk in self.checks:
             if isinstance(chk, CategoricalDriftCheck) and chk.reference is None:
                 fused_cat.append(chk)
             elif isinstance(chk, NumericDriftCheck) and chk.reference is None:
                 fused_num.append(chk)
-        if (fused_cat or fused_num) and reference_df is None:
-            names = [c.column for c in fused_cat] + [c.name for c in fused_num]
+            elif isinstance(chk, KSDriftCheck) and chk.reference is None:
+                fused_ks.append(chk)
+        if (fused_cat or fused_num or fused_ks) and reference_df is None:
+            names = (
+                [c.column for c in fused_cat]
+                + [c.name for c in fused_num]
+                + [c.name for c in fused_ks]
+            )
             raise ValueError(f"drift checks {names}: no reference table")
 
         stats_checks = [c for c in self.checks if isinstance(c, StatsCheck)]
@@ -171,6 +196,7 @@ class CheckSuite:
         pass_df = None
         pass_src = None
         nums = {c.name: (c.expr(), c.lo, c.hi, c.n_buckets) for c in fused_num}
+        nums.update({c.name: (c.expr(), c.lo, c.hi, c.n_buckets) for c in fused_ks})
         cats = {c.column: F.col(c.column) for c in fused_cat}
 
         # ---- Phase 1: submit every heavy materialization as a
@@ -221,7 +247,7 @@ class CheckSuite:
                         exact_distinct_counts, df, part_s, fused_stats.exact_distinct
                     )
 
-            if fused_cat or fused_num:
+            if fused_cat or fused_num or fused_ks:
                 from data_check_spark.operators.drift import drift_profile
 
                 # profiles collapse to (kind, key, n, freq) rows
@@ -229,7 +255,7 @@ class CheckSuite:
                 # reduced to PSI verdicts driver-side, which removes
                 # the profile join / psi aggregation / threshold
                 # broadcast stages from the critical path entirely
-                if fused_stats is not None and fused_num:
+                if fused_stats is not None and (fused_num or fused_ks):
                     # numeric df-side profile falls out of the stats
                     # pass; scan only the cheap categorical columns
                     if fused_cat:
@@ -327,7 +353,7 @@ class CheckSuite:
                 all_parts = pass_df.select("partition")
                 stats_verdicts_df = verdicts_from_pass(pass_df, fused_stats.thresholds)
 
-            if fused_cat or fused_num:
+            if fused_cat or fused_num or fused_ks:
                 from data_check_spark.operators.drift import EPS
 
                 # prof1 = df-side profile: numeric part summed from
@@ -336,7 +362,7 @@ class CheckSuite:
                 # the EPS floor applies identically), categorical part
                 # from the collected scan
                 prof1: dict[tuple, float] = {}
-                if fused_stats is not None and fused_num:
+                if fused_stats is not None and (fused_num or fused_ks):
                     for name in nums:
                         buckets: dict[int, int] = {}
                         for row in pass_rows:
@@ -373,6 +399,20 @@ class CheckSuite:
                     drift_rows.append(
                         ("*", kind, check_name, float(psi), float(max_psi), psi <= max_psi)
                     )
+                for c in fused_ks:
+                    # KS = max |CDF1 - CDF2| over the bucket edges,
+                    # absent buckets = 0 frequency (matching
+                    # drift.ks_statistic's coalesce-to-0 semantics)
+                    cdf1 = cdf2 = 0.0
+                    ks = 0.0
+                    for pos in range(c.n_buckets):
+                        cdf1 += prof1.get((c.name, str(pos)), 0.0)
+                        cdf2 += prof2.get((c.name, str(pos)), 0.0)
+                        ks = max(ks, abs(cdf1 - cdf2))
+                    ks = round(ks, 6)
+                    drift_rows.append(
+                        ("*", c.name, "ks_numeric", float(ks), float(c.max_ks), ks <= c.max_ks)
+                    )
                 verdict_frames.append(
                     spark.createDataFrame(
                         drift_rows,
@@ -390,7 +430,10 @@ class CheckSuite:
             pool.shutdown(wait=True)
 
         for chk in self.checks:
-            if isinstance(chk, (CategoricalDriftCheck, NumericDriftCheck)) and chk.reference is None:
+            if (
+                isinstance(chk, (CategoricalDriftCheck, NumericDriftCheck, KSDriftCheck))
+                and chk.reference is None
+            ):
                 continue  # handled by the fused profiles above
             if isinstance(chk, StatsCheck):
                 if chk is fused_stats:
@@ -465,6 +508,22 @@ class CheckSuite:
                     F.col("psi").alias("metric"),
                     F.lit(float(chk.max_psi)).alias("threshold"),
                     (F.col("psi") <= chk.max_psi).alias("passed"),
+                )
+                verdict_frames.append(v)
+            elif isinstance(chk, KSDriftCheck):
+                from data_check_spark.operators.drift import ks_statistic
+
+                ref = chk.reference(spark) if chk.reference else reference_df
+                if ref is None:
+                    raise ValueError(f"drift check {chk.name}: no reference table")
+                ks = ks_statistic(df, ref, chk.expr(), chk.lo, chk.hi, chk.n_buckets)
+                v = ks.select(
+                    F.lit("*").alias("partition"),
+                    F.lit(chk.name).alias("column"),
+                    F.lit("ks_numeric").alias("check"),
+                    F.col("ks").alias("metric"),
+                    F.lit(float(chk.max_ks)).alias("threshold"),
+                    (F.col("ks") <= chk.max_ks).alias("passed"),
                 )
                 verdict_frames.append(v)
             else:

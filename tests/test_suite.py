@@ -139,3 +139,69 @@ def test_determinism_across_parallelism(spark, suite):
     exact_a = va.filter("check <> 'min_distinct'")
     exact_b = vb.filter("check <> 'min_distinct'")
     assert exact_a.exceptAll(exact_b).isEmpty() and exact_b.exceptAll(exact_a).isEmpty()
+
+
+def test_ks_drift_check_fused_matches_operator(spark, pages):
+    """KSDriftCheck's driver-side CDF math (fused path, riding the
+    stats-pass histogram) must reproduce operators/drift.ks_statistic
+    on the same inputs, buckets and bounds."""
+    from data_check_spark.operators.drift import ks_statistic
+    from data_check_spark.plans.suite import KSDriftCheck, NumericDriftCheck
+
+    ref = synth_pages_v2(spark, N)
+    suite = CheckSuite(
+        [
+            StatsCheck(thresholds={"text": {"max_null_rate": 0.05}}),
+            NumericDriftCheck(
+                name="text_length",
+                expr=lambda: F.length("text"),
+                lo=0.0,
+                hi=5000.0,
+                max_psi=0.2,
+            ),
+            KSDriftCheck(
+                name="text_length_ks",
+                expr=lambda: F.length("text"),
+                lo=0.0,
+                hi=5000.0,
+                n_buckets=50,
+                max_ks=0.5,
+            ),
+        ]
+    )
+    res = suite.run(spark, pages, "warc_day", reference_df=ref)
+    row = res.verdicts.filter("check = 'ks_numeric'").collect()
+    assert len(row) == 1
+    got = row[0]
+    assert got["column"] == "text_length_ks"
+    expected = ks_statistic(
+        pages, ref, F.length("text"), 0.0, 5000.0, 50
+    ).collect()[0]["ks"]
+    assert got["metric"] == pytest.approx(expected, abs=1e-9)
+    assert got["passed"] == (expected <= 0.5)
+    res.unpersist()
+
+
+def test_ks_drift_check_own_reference(spark, pages):
+    """KSDriftCheck with its own reference loader takes the generic
+    distributed ks_statistic path."""
+    from data_check_spark.plans.suite import KSDriftCheck
+
+    suite = CheckSuite(
+        [
+            KSDriftCheck(
+                name="self_ks",
+                expr=lambda: F.length("text"),
+                lo=0.0,
+                hi=5000.0,
+                n_buckets=20,
+                max_ks=0.01,
+                reference=lambda s: synth_pages(s, N),
+            )
+        ]
+    )
+    res = suite.run(spark, pages, "warc_day")
+    got = res.verdicts.collect()[0]
+    # identical distributions → KS = 0, passes any threshold
+    assert got["metric"] == 0.0
+    assert got["passed"]
