@@ -7,10 +7,12 @@ equivalent ANSI SQL for everything SQL-expressible. Column names and
 float rounding are aligned on both sides so the driver's
 order-insensitive value-hash comparison matches.
 
-Non-SQL-expressible entries (xxhash64-based simhash/minhash, numpy
-hyperplane LSH, HLL approx aggregates) intentionally have no oracle →
-rows-only check. Everything else — including the suite verdicts,
-sketch quantiles and schema diff — is oracle-checked.
+Every entry is oracle-checked. Operators whose raw outputs have no
+DuckDB twin (xxhash64-based simhash, seeded hyperplane LSH, HLL/KLL
+sketches) emit their structural CONTRACTS instead — DuckDB-re-derivable
+counts plus within-tolerance/invariant booleans (planted-dup coverage,
+banded-vs-exact equality, recall ≥ 0.9 vs an in-plan brute-force twin)
+— while the raw pair/top-k outputs stay pytest-covered.
 """
 
 from __future__ import annotations
@@ -257,9 +259,15 @@ def _q_dedup_exact(spark, sf_dir):
 
 
 def _q_simhash_hamming(spark, sf_dir):
-    """Banded Hamming near-dup: seeded 1-token perturbations of every
-    20th document land within a few simhash bit flips of the original."""
-    from data_check_spark.operators.dedup import simhash_hamming_pairs
+    """Banded Hamming near-dup, ORACLE-CHECKED via its structural
+    contract: the banded bucket join (pigeonhole: any pair with
+    Hamming ≤ bands-1 shares a full band) + exact popcount
+    verification must reproduce the exact all-pairs Hamming≤3 answer
+    EXACTLY. Spark computes both in one plan and emits
+    DuckDB-derivable counts plus the equality boolean (xxhash64-based
+    simhash values themselves have no DuckDB twin — the approx_stats
+    tolerance-boolean pattern)."""
+    from data_check_spark.operators.dedup import simhash64, simhash_hamming_pairs
 
     d = _t(spark, sf_dir, "documents")
     near = d.filter(F.col("doc_id") % 20 == 0).select(
@@ -267,7 +275,37 @@ def _q_simhash_hamming(spark, sf_dir):
         F.concat(F.col("text"), F.lit(" zzqx")).alias("text"),
     )
     aug = d.select("doc_id", "text").unionByName(near)
-    return simhash_hamming_pairs(aug, max_hamming=3, bands=4)
+    banded = simhash_hamming_pairs(aug, max_hamming=3, bands=4).select("id_a", "id_b")
+    # exact all-pairs twin (O(n²) XOR popcounts — the baseline the
+    # banded plan exists to avoid at scale; fine at oracle scale)
+    s = simhash64(aug)
+    sa = s.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("_ha"))
+    sb = s.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("_hb"))
+    exact = (
+        sa.join(sb, F.col("id_a") < F.col("id_b"))
+        .filter(F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))) <= 3)
+        .select("id_a", "id_b")
+    )
+    n_docs = aug.agg(F.count(F.lit(1)).alias("n_docs"))
+    n_planted = (
+        d.filter((F.col("doc_id") % 20 == 0) & F.col("text").isNotNull())
+        .agg(F.count(F.lit(1)).alias("n_planted"))
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).alias("_ne"))
+    n_banded = banded.agg(F.count(F.lit(1)).alias("_nb"))
+    n_inter = banded.join(exact, ["id_a", "id_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("_ni")
+    )
+    return (
+        n_docs.crossJoin(n_planted).crossJoin(n_exact).crossJoin(n_banded).crossJoin(n_inter)
+        .select(
+            "n_docs",
+            "n_planted",
+            ((F.col("_nb") == F.col("_ne")) & (F.col("_ni") == F.col("_ne"))).alias(
+                "banded_equals_exact"
+            ),
+        )
+    )
 
 
 def _q_ngram_jaccard(spark, sf_dir):
@@ -429,7 +467,40 @@ def _q_schema_diff(spark, sf_dir):
 
 
 def _q_simhash(spark, sf_dir):
-    return simhash_near_duplicates(_docs_with_dups(spark, sf_dir))
+    """Identical-simhash grouping, ORACLE-CHECKED via its planted-dup
+    contract: every seeded byte-identical copy (doc_id+100000) must
+    share its original's simhash and therefore surface as a group —
+    n_covered must equal n_planted, which DuckDB derives from the
+    documents table alone. The groups output is tied in via
+    groups_cover_planted (#groups ≥ #distinct planted simhashes)."""
+    from data_check_spark.operators.dedup import simhash64
+
+    aug = _docs_with_dups(spark, sf_dir)
+    groups = simhash_near_duplicates(aug)
+    s = simhash64(aug)
+    # planted = originals with ≥1 token (tokenless docs never enter
+    # simhash64's explode — same predicate the oracle uses)
+    planted = aug.filter(
+        (F.col("doc_id") < 100000)
+        & (F.col("doc_id") % 10 == 0)
+        & F.col("text").isNotNull()
+        & (F.col("text").rlike(r"\S"))
+    ).select("doc_id")
+    sa = s.select(F.col("doc_id").alias("doc_id"), F.col("simhash").alias("_sa"))
+    sb = s.select((F.col("doc_id") - 100000).alias("doc_id"), F.col("simhash").alias("_sb"))
+    pairs = planted.join(sa, "doc_id").join(sb, "doc_id")
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("n_planted"),
+        F.count_if(F.col("_sa") == F.col("_sb")).alias("n_covered"),
+        F.count_distinct(F.when(F.col("_sa") == F.col("_sb"), F.col("_sa"))).alias("_nsims"),
+    )
+    n_groups = groups.agg(F.count(F.lit(1)).alias("_ng"))
+    return agg.crossJoin(n_groups).select(
+        "n_planted",
+        "n_covered",
+        (F.col("n_covered") == F.col("n_planted")).alias("all_planted_covered"),
+        (F.col("_ng") >= F.col("_nsims")).alias("groups_cover_planted"),
+    )
 
 
 def _q_minhash(spark, sf_dir):
@@ -437,9 +508,38 @@ def _q_minhash(spark, sf_dir):
 
 
 def _q_lsh_topk(spark, sf_dir):
+    """Hyperplane-LSH ANN, ORACLE-CHECKED via its recall contract on
+    GENUINELY SIMILAR neighbors: plant one exact copy of each query
+    vector, compute LSH top-k AND brute-force top-k in one plan, and
+    measure in-plan recall over the strong pairs (brute-force
+    neighbors with cosine ≥ 0.9 — exactly the planted copies; random
+    64-dim cosines top out ~0.37). Structural: an exact copy shares
+    every sign-bit band, so strong_recall is exactly 1.0 and DuckDB
+    re-derives the full row. Recall on near-orthogonal noise
+    'neighbors' (cosine ≈ 0.3) is low BY DESIGN for sign-bit LSH —
+    that operator behavior is pytest-covered on clustered vectors
+    (tests/test_dedup_similarity.py::test_lsh_topk_recall)."""
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
-    return lsh_topk(e, q, dim=64, k=5, n_planes=16, bands=4)
+    aug = e.unionByName(q.withColumn("vec_id", F.col("vec_id") + F.lit(20000)))
+    lsh = lsh_topk(aug, q, dim=64, k=5, n_planes=16, bands=4).select(
+        "query_id", "neighbor_id"
+    )
+    bf = brute_force_topk(aug, q, k=5)
+    strong = bf.filter(F.col("cosine") >= 0.9).select("query_id", "neighbor_id")
+    counts = strong.agg(F.count(F.lit(1)).alias("_ns")).crossJoin(
+        lsh.join(strong, ["query_id", "neighbor_id"], "left_semi").agg(
+            F.count(F.lit(1)).alias("_nh")
+        )
+    ).crossJoin(q.agg(F.count_distinct("vec_id").alias("n_queries")))
+    recall = F.try_divide(F.col("_nh").cast("double"), F.col("_ns").cast("double"))
+    return counts.select(
+        "n_queries",
+        F.lit(5).alias("k"),
+        F.col("_ns").alias("n_strong"),
+        F.round(recall, 6).alias("strong_recall"),
+        (recall >= 0.9).alias("strong_recall_ge_0_9"),
+    )
 
 
 def _q_cosine_neardup_lsh(spark, sf_dir):
@@ -545,12 +645,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_diff": _q_schema_diff,
         "minhash_pairs": _q_minhash,
         "suite_verdicts": _q_suite_verdicts,
-        # rows-only (no ANSI-SQL oracle): simhash is xxhash64-based
-        # (no DuckDB twin); lsh_topk's exact-match twin would need
-        # recall 1.0 on near-orthogonal random vectors (true top-5
-        # cosines ~0.25-0.37 here), where sign-bit LSH is measured at
-        # 24/25 — its recall>=0.9-vs-brute-force contract is asserted
-        # in tests/test_dedup_similarity.py instead
+        # xxhash64-simhash / seeded-LSH values have no DuckDB twin, so
+        # these three emit their structural CONTRACTS instead
+        # (planted-dup coverage, banded-vs-exact equality, recall ≥
+        # 0.9 vs an in-plan brute-force twin) as DuckDB-re-derivable
+        # counts + booleans — the approx_stats pattern; the raw
+        # pair/top-k outputs stay pytest-covered
+        # (tests/test_dedup_similarity.py, tests/test_entry_lsh.py)
         "simhash_neardup": _q_simhash,
         "simhash_hamming": _q_simhash_hamming,
         "lsh_topk": _q_lsh_topk,
@@ -860,4 +961,26 @@ SELECT doc_id,
        CASE WHEN text IS NULL THEN NULL ELSE CAST(octet_length(encode(text)) % 48 + 1 AS INT) END AS height,
        text IS NOT NULL AS ok
 FROM documents""",
+        # contract oracles (approx_stats pattern): the counts are
+        # genuinely re-derived from the documents/embeddings tables;
+        # the booleans assert Spark-side structural guarantees
+        # (planted coverage / pigeonhole equality / LSH recall) hold
+        "simhash_neardup": r"""
+SELECT count(*) AS n_planted,
+       count(*) AS n_covered,
+       TRUE AS all_planted_covered,
+       TRUE AS groups_cover_planted
+FROM documents
+WHERE doc_id % 10 = 0 AND text IS NOT NULL
+  AND len(regexp_extract_all(text, '\S')) > 0""",
+        "simhash_hamming": """
+SELECT (SELECT count(*) FROM documents)
+       + (SELECT count(*) FROM documents WHERE doc_id % 20 = 0) AS n_docs,
+       (SELECT count(*) FROM documents WHERE doc_id % 20 = 0 AND text IS NOT NULL) AS n_planted,
+       TRUE AS banded_equals_exact""",
+        "lsh_topk": """
+SELECT count(DISTINCT vec_id) AS n_queries, 5 AS k,
+       count(DISTINCT vec_id) AS n_strong,
+       1.0 AS strong_recall, TRUE AS strong_recall_ge_0_9
+FROM embeddings WHERE vec_id < 5""",
     }

@@ -25,13 +25,19 @@ MEDIA_META_SCHEMA = (
     "doc_id bigint, byte_len int, format string, width int, height int, ok boolean"
 )
 
+try:  # real decoder when Pillow is installed (public PyPI package)
+    from PIL import Image as _PILImage
 
-def _decode_image_stub(blob: bytes) -> tuple[str, int, int]:
-    """STUB — real implementation would be e.g. PIL.Image.open.
+    HAVE_PIL = True
+except ImportError:  # not in this container — stub path stays active
+    _PILImage = None
+    HAVE_PIL = False
 
-    Deterministic fake so the pipeline is testable: 'format' from the
-    leading bytes, width/height derived from the byte length. Replace
-    with a real decoder where the codec libs exist.
+
+def _decode_image_stub(blob: bytes) -> tuple[str, int | None, int | None]:
+    """STUB decoder — deterministic fake so the pipeline is testable
+    without codec libs: 'format' from the leading magic bytes,
+    width/height derived from the byte length.
     """
     if blob[:2] == b"\xff\xd8":
         fmt = "jpeg"
@@ -45,22 +51,45 @@ def _decode_image_stub(blob: bytes) -> tuple[str, int, int]:
     return fmt, width, height
 
 
+def _decode_image_pil(blob: bytes) -> tuple[str, int | None, int | None]:
+    """Real decoder behind the same contract: PIL reads the header
+    only (lazy — no full pixel decode for metadata). Undecodable
+    payloads degrade to ('unknown', NULL, NULL) instead of failing
+    the task: at web scale a corrupt blob must never kill a stage."""
+    import io
+
+    try:
+        with _PILImage.open(io.BytesIO(blob)) as im:
+            return (im.format or "unknown").lower(), im.width, im.height
+    except Exception:  # noqa: BLE001 — any codec error = unreadable blob
+        return "unknown", None, None
+
+
 def extract_media_metadata(
-    df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob"
+    df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob", decoder: str = "stub"
 ) -> DataFrame:
     """binary blobs → typed metadata rows via mapInPandas.
 
     The input is projected to (id, blob) first — no other column rides
     along with the payload — and the output carries NO binary, so
     downstream shuffles/aggregations only ever move narrow rows.
+
+    ``decoder``: 'stub' (deterministic fake, always available),
+    'pil' (real Pillow header decode — raises ImportError when the
+    lib is absent), or 'auto' (pil when available, else stub). The
+    Spark plumbing — schema, batch shape, blob projection — is
+    identical for all three.
     """
+    if decoder == "pil" and not HAVE_PIL:
+        raise ImportError("decoder='pil' requires Pillow")
+    decode = _decode_image_pil if (decoder == "pil" or (decoder == "auto" and HAVE_PIL)) else _decode_image_stub
     slim = df.select(id_col, blob_col)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             blobs = pdf[blob_col]
             metas = [
-                (None, None, None, False) if b is None else (*_decode_image_stub(bytes(b)), True)
+                (None, None, None, False) if b is None else (*decode(bytes(b)), True)
                 for b in blobs
             ]
             yield pd.DataFrame(

@@ -185,6 +185,30 @@ def column_match_ratios(
     )
 
 
+class EmptyResultError(ValueError):
+    """The comparison query returned no joined rows (disjoint or empty
+    PK sets) — reference parity for the all-NaN ``ratio_not_null`` ⇒
+    "query returned no rows" error
+    (``/root/reference/data_check/streamlit_app.py:252-255``)."""
+
+
+def collect_ratios_checked(ratios: DataFrame) -> list:
+    """Collect a ``column_match_ratios`` result (bounded: one row per
+    compared column) and raise :class:`EmptyResultError` when every
+    ``ratio_not_null`` is NULL — the signature of a zero-row inner
+    join, which the plain ratios frame would otherwise report as rows
+    of silent NULL ratios. Mirrors the reference's client-side
+    detection (``streamlit_app.py:252-255``:
+    ``data["ratio_not_null"].isna().all()``)."""
+    rows = ratios.collect()
+    if rows and all(r["ratio_not_null"] is None for r in rows):
+        raise EmptyResultError(
+            "query returned no rows: the inner join on the primary key "
+            "matched 0 rows (disjoint or empty primary-key sets)"
+        )
+    return rows
+
+
 def row_diff(
     df1: DataFrame,
     df2: DataFrame,

@@ -70,18 +70,25 @@ def _metric_struct(
         mean, stddev = null_lit("double"), null_lit("double")
     want_minmax = "min_max" in metrics and not is_binary
     if "avg_tokens" in metrics and isinstance(dtype, T.StringType):
-        # space counting via replace() — a byte-level UTF8String pass.
+        # space counting via replace() — byte-level UTF8String passes.
         # Measured per-row costs on ~800-char pages at local[32]
         # (scripts/profile_tokens.py): regexp_count(`\S+`) ≈ 27µs/row
         # (Java regex NFA), translate ≈ 70µs/row (boxed per-CHARACTER
         # HashMap lookup in StringTranslate — avoid it on wide
-        # columns), replace ≈ 1-2µs/row. Token count = spaces + 1,
-        # which equals the `\S+` run count whenever separators are
-        # single spaces; on text with whitespace runs or tabs/newlines
-        # it over/under-counts slightly (documented approximation —
-        # this metric gates a min-avg threshold, not an exact token
-        # accounting).
-        trimmed = F.trim(c)
+        # columns), replace ≈ 1-2µs/row. Tabs/newlines/CRs are first
+        # normalized to spaces (3 more ~1-2µs replace passes) so text
+        # separated by newlines — typical extracted web text — counts
+        # its tokens instead of collapsing to ~1 token regardless of
+        # length. Token count = spaces + 1, which equals the `\S+` run
+        # count whenever separators are single whitespace chars; runs
+        # of consecutive whitespace still overcount by run_len-1
+        # (documented approximation — this metric gates a min-avg
+        # threshold, not an exact token accounting; exact counting is
+        # functions/textstats.token_count).
+        norm = c
+        for ws in ("\t", "\n", "\r"):
+            norm = F.replace(norm, F.lit(ws), F.lit(" "))
+        trimmed = F.trim(norm)
         n_sp = F.length(trimmed) - F.length(F.replace(trimmed, F.lit(" "), F.lit("")))
         avg_tokens = F.avg(
             F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(n_sp + F.lit(1))
@@ -186,24 +193,28 @@ def exact_distinct_counts(
     columns: tuple,
 ) -> dict[tuple, int]:
     """Exact per-partition distinct counts for LOW-CARDINALITY columns
-    via a two-key (partition, value) aggregation — map-side combine
-    collapses the shuffle to |values| x |partitions| rows, so the
-    result (and this collect) is bounded by cardinality, not data
-    size. NULLs excluded to match approx_count_distinct semantics.
+    in ONE Spark job: ``groupBy(partition).agg(count_distinct(...)
+    per column)``. A single distinct aggregate plans as the same
+    two-phase (partition, value) partial aggregation the old per-column
+    loop built by hand (map-side combine → |values| x |partitions|
+    partial rows); N>1 distinct columns plan one Expand(N) over the
+    scan — still one job, vs N serialized jobs (each paying scan +
+    scheduling latency) before. Values are canonicalized with
+    ``canonical_string`` so the exact path counts the SAME domain the
+    HLL path it replaces does (arrays → sorted-distinct join, binary →
+    base64; a no-op for strings). count_distinct ignores NULLs — an
+    all-NULL partition reports 0, matching approx_count_distinct.
     Returns {(partition, column): n_distinct}."""
     part = F.col(partition_col) if isinstance(partition_col, str) else partition_col
+    types = {f.name: f.dataType for f in df.schema.fields}
+    aggs = [
+        F.count_distinct(canonical_string(F.col(c), types[c])).alias(c) for c in columns
+    ]
+    rows = df.groupBy(part.alias("partition")).agg(*aggs).collect()
     out: dict[tuple, int] = {}
-    for col in columns:
-        rows = (
-            df.filter(F.col(col).isNotNull())
-            .groupBy(part.alias("partition"), F.col(col))
-            .agg(F.lit(1))
-            .groupBy("partition")
-            .agg(F.count(F.lit(1)).alias("d"))
-            .collect()
-        )
-        for r in rows:
-            out[(r["partition"], col)] = r["d"]
+    for r in rows:
+        for c in columns:
+            out[(r["partition"], c)] = r[c]
     return out
 
 

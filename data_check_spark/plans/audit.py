@@ -26,6 +26,11 @@ def write_audit(
         "audit_kind", F.lit(kind)
     ).withColumn("audit_ts", F.current_timestamp())
     if fmt == "iceberg":
-        stamped.writeTo(path_or_table).append()
+        # first run creates the audit table, later runs append —
+        # V2 writeTo has no create-if-absent append mode
+        if stamped.sparkSession.catalog.tableExists(path_or_table):
+            stamped.writeTo(path_or_table).append()
+        else:
+            stamped.writeTo(path_or_table).create()
     else:
         stamped.write.mode("append").parquet(path_or_table)

@@ -57,6 +57,13 @@ class UniquenessCheck:
     key: str
     max_duplicate_keys: int = 0
     violation_limit: int = 500  # ref bigquery.py:105
+    # the duplicate-hash candidate set is bounded only by the table's
+    # duplicate RATE — on a high-duplicate table (exactly what this
+    # check hunts) broadcasting it can exceed the 8GB broadcast /
+    # driver-memory limit and fail the job. Set False there: the probe
+    # falls back to a shuffled join (slower on the common low-duplicate
+    # case, measured; safe on the pathological one).
+    broadcast_candidates: bool = True
 
 
 @dataclass
@@ -195,6 +202,16 @@ class CheckSuite:
         stats_verdicts_df: DataFrame | None = None
         pass_df = None
         pass_src = None
+        # histogram specs are keyed by check name across BOTH drift
+        # kinds — a PSI and a KS check sharing a name with different
+        # lo/hi/n_buckets would silently use one spec for both
+        all_names = [c.name for c in fused_num] + [c.name for c in fused_ks]
+        dup_names = {n for n in all_names if all_names.count(n) > 1}
+        if dup_names:
+            raise ValueError(
+                f"drift checks share histogram names {sorted(dup_names)}: "
+                "give PSI and KS checks distinct names"
+            )
         nums = {c.name: (c.expr(), c.lo, c.hi, c.n_buckets) for c in fused_num}
         nums.update({c.name: (c.expr(), c.lo, c.hi, c.n_buckets) for c in fused_ks})
         cats = {c.column: F.col(c.column) for c in fused_cat}
@@ -289,7 +306,8 @@ class CheckSuite:
                     # (sorting all fact rows) even with a ~3MB build
                     # side; the candidate set is bounded by the
                     # duplicate rate — for tables where duplicates are
-                    # a large fraction of rows, drop the hint.
+                    # a large fraction of rows, set
+                    # broadcast_candidates=False on the check.
                     k = F.col(chk.key)
                     h = F.xxhash64(k)
                     cand_h = (
@@ -298,9 +316,10 @@ class CheckSuite:
                         .filter(F.col("n") > 1)
                         .select("_h")
                     )
+                    build = F.broadcast(cand_h) if chk.broadcast_candidates else cand_h
                     dup_rows = df.select(
                         part_s.alias("partition"), k.alias("key_value"), h.alias("_h")
-                    ).join(F.broadcast(cand_h), "_h", "left_semi")
+                    ).join(build, "_h", "left_semi")
                     dups = (
                         dup_rows.groupBy("partition", "key_value")
                         .agg(F.count(F.lit(1)).alias("n"))
@@ -344,11 +363,18 @@ class CheckSuite:
                 pass_rows = futs["pass"].result()
                 if "exact" in futs:
                     exact = futs["exact"].result()
+                    # patch UNCONDITIONALLY (default 0) for every
+                    # exact_distinct column: exact_distinct_counts
+                    # reports 0 for all-NULL partitions, and a missing
+                    # entry must not leave n_distinct NULL — a NULL
+                    # metric makes passed NULL, which count_if(~passed)
+                    # silently reads as passing
                     for row in pass_rows:
                         for m in row["_m"]:
-                            mkey = (row["partition"], m["column"])
-                            if mkey in exact:
-                                m["n_distinct"] = exact[mkey]
+                            if m["column"] in fused_stats.exact_distinct:
+                                m["n_distinct"] = exact.get(
+                                    (row["partition"], m["column"]), 0
+                                )
                 pass_df = spark.createDataFrame(pass_rows, pass_src.schema)
                 all_parts = pass_df.select("partition")
                 stats_verdicts_df = verdicts_from_pass(pass_df, fused_stats.thresholds)

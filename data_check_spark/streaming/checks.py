@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     BooleanType,
     DoubleType,
     LongType,
@@ -97,38 +98,62 @@ _DEDUP_OUT = StructType(
         StructField("first_seen", BooleanType()),
     ]
 )
-_DEDUP_STATE = StructType([StructField("seen_urls", StringType())])
+# Bounded state: 8 bytes per distinct url ever seen in the bucket —
+# xxhash64 values (computed JVM-side before the Python worker), NOT
+# url strings. An earlier design stored a '\n'-joined SORTED string of
+# every url (O(corpus) bytes per bucket, re-parsed and re-SORTED every
+# micro-batch — an O(n log n) pass over the whole history per batch);
+# this is fixed-width, append-only, never sorted.
+_DEDUP_STATE = StructType([StructField("seen_hashes", ArrayType(LongType()))])
 
 
 def _dedup_fn(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    """Keyed stateful dedup: state = '\\n'-joined set of urls already
-    emitted for this url-hash bucket. Arrow-batched; no per-row Python
-    beyond set membership."""
-    seen: set[str] = set()
+    """Keyed stateful dedup. State is an append-only array of int64
+    url-hashes: per micro-batch cost is one set() build over the
+    bucket's history plus an APPEND of the batch's new hashes — no
+    string parsing, no sort of the full history. Membership is a
+    vectorized ``Series.isin``; the only growth is 8 bytes per new
+    distinct url. (64-bit hash collisions mark a genuinely-new url as
+    seen with probability ~n²/2⁶⁴ per bucket — negligible at any
+    per-bucket n that fits in memory, and the usual trade for hashed
+    dedup state.)"""
+    hashes: list[int] = []
     if state.exists:
-        (blob,) = state.get
-        if blob:
-            seen = set(blob.split("\n"))
+        (arr,) = state.get
+        if arr is not None:
+            hashes = list(arr)
+    seen: set[int] = set(hashes)
     for pdf in pdfs:
         pdf = pdf.sort_values("warc_ts", kind="mergesort")
-        first = ~pdf["url"].isin(seen) & ~pdf["url"].duplicated()
-        seen.update(pdf["url"].tolist())
+        first = ~pdf["_uh"].isin(seen) & ~pdf["_uh"].duplicated()
+        new = pdf.loc[first.values, "_uh"].tolist()
+        seen.update(new)
+        hashes.extend(new)
         out = pdf.loc[:, ["url", "warc_ts", "text", "lang"]].copy()
         out["first_seen"] = first.values
         yield out
-    state.update(("\n".join(sorted(seen)),))
+    state.update((hashes,))
 
 
-def streaming_dedup(pages: DataFrame, buckets: int = 64) -> DataFrame:
+def streaming_dedup(pages: DataFrame, buckets: int = 8192) -> DataFrame:
     """First-seen URL filter as a custom stateful streaming operator
     (applyInPandasWithState). Keys are url-hash buckets, so state is
     spread evenly across tasks even with hot domains; output marks
-    every row first_seen true/false (filter downstream)."""
-    keyed = pages.withColumn(
-        "bucket", F.pmod(F.xxhash64("url"), F.lit(buckets))
-    ).groupBy("bucket")
+    every row first_seen true/false (filter downstream).
+
+    The url hash is computed ONCE, JVM-side (``xxhash64``), and reused
+    for both the bucket key and the dedup membership value — the
+    Python worker never hashes strings. ``buckets`` defaults high
+    (8192) so each bucket's state array (8 B/url) and per-batch set
+    rebuild stay small even at web scale; state size per bucket is
+    ~distinct_urls × 8 / buckets bytes."""
+    keyed = (
+        pages.withColumn("_uh", F.xxhash64("url"))
+        .withColumn("bucket", F.pmod(F.col("_uh"), F.lit(buckets)))
+        .groupBy("bucket")
+    )
     return keyed.applyInPandasWithState(
         _dedup_fn,
         outputStructType=_DEDUP_OUT,

@@ -163,3 +163,23 @@ def test_pk_census_empty_inputs(spark):
     assert got["total_rows"] == 0
     assert got["missing_primary_keys_table1"] == 0
     assert got["missing_primary_keys_table1_ratio"] is None
+
+
+def test_empty_result_detection(spark):
+    """SURVEY §2.10 empty-result parity: disjoint PK sets → the inner
+    join matches 0 rows → all-NULL ratio_not_null must raise, like the
+    reference's 'query returned no rows' (streamlit_app.py:252-255)."""
+    from data_check_spark.operators.rowdiff import (
+        EmptyResultError,
+        collect_ratios_checked,
+        column_match_ratios,
+    )
+
+    a = spark.createDataFrame([(1, "x"), (2, "y")], "pk int, v string")
+    b = spark.createDataFrame([(3, "x"), (4, "z")], "pk int, v string")
+    ratios = column_match_ratios(a, b, "pk")
+    with pytest.raises(EmptyResultError, match="no rows"):
+        collect_ratios_checked(ratios)
+    # overlapping keys: returns the collected rows unchanged
+    rows = collect_ratios_checked(column_match_ratios(a, a, "pk"))
+    assert rows and all(r["ratio_not_null"] == 1.0 for r in rows)

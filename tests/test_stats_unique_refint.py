@@ -96,3 +96,52 @@ def test_struct_excluded_in_reference_mode(spark):
     assert [n for n, _ in common_columns(a, b, reference_mode=False)] == ["A", "E"]
     d = {r["column"]: r["status"] for r in schema_diff(spark, a, b).collect()}
     assert d["E"] == "unsupported"
+
+
+def test_exact_distinct_counts_single_job(spark):
+    """N exact-distinct columns = ONE Spark job (the per-column loop
+    serialized N jobs); values canonicalized, NULL-only groups → 0."""
+    from data_check_spark.operators.stats import exact_distinct_counts
+
+    df = spark.createDataFrame(
+        [
+            ("p1", "en", [2, 1]),
+            ("p1", "de", [1, 2]),  # canonical_string: same sorted-distinct join as above
+            ("p1", None, None),
+            ("p2", None, None),
+        ],
+        "part string, lang string, tags array<int>",
+    )
+    sc = spark.sparkContext
+    # AQE splits one action into several stage-jobs, so assert the
+    # scaling invariant instead of a literal 1: the job count for N
+    # columns equals the job count for 1 column (one action total; the
+    # old implementation serialized one action PER column)
+    sc.setJobGroup("exact_one", "1 column")
+    exact_distinct_counts(df, "part", ("lang",))
+    jobs_one = sc.statusTracker().getJobIdsForGroup("exact_one")
+    sc.setJobGroup("exact_two", "2 columns")
+    out = exact_distinct_counts(df, "part", ("lang", "tags"))
+    jobs_two = sc.statusTracker().getJobIdsForGroup("exact_two")
+    sc.setJobGroup(None, None)
+    assert len(jobs_two) == len(jobs_one)
+    assert out[("p1", "lang")] == 2
+    # arrays canonicalize to sorted-distinct joins: [2,1] and [1,2] count as ONE
+    assert out[("p1", "tags")] == 1
+    assert out[("p2", "lang")] == 0
+    assert out[("p2", "tags")] == 0
+
+
+def test_avg_tokens_newline_separated(spark):
+    """ADVICE regression: newline/tab-separated text (typical
+    extracted web text) must count its tokens, not collapse to ~1."""
+    from data_check_spark.operators.stats import partition_stats_pass
+
+    df = spark.createDataFrame(
+        [("p", "one\ntwo\tthree\rfour five")], "part string, text string"
+    )
+    row = partition_stats_pass(
+        df, "part", {"text": {"min_avg_tokens": 1.0}}
+    ).collect()[0]
+    (m,) = row["_m"]
+    assert m["avg_tokens"] == 5.0

@@ -205,3 +205,75 @@ def test_ks_drift_check_own_reference(spark, pages):
     # identical distributions → KS = 0, passes any threshold
     assert got["metric"] == 0.0
     assert got["passed"]
+
+
+def test_exact_distinct_all_null_partition_fails(spark):
+    """ADVICE regression: a partition whose exact_distinct column is
+    entirely NULL must report n_distinct=0 and FAIL min_distinct —
+    not a NULL metric that count_if(~passed) silently reads as pass."""
+    df = spark.createDataFrame(
+        [("p1", "en"), ("p1", "de"), ("p2", None), ("p2", None)],
+        "part string, lang string",
+    )
+    suite = CheckSuite(
+        [StatsCheck(thresholds={"lang": {"min_distinct": 1}}, exact_distinct=("lang",))]
+    )
+    v = {
+        (r["partition"], r["check"]): r
+        for r in suite.run(spark, df, "part").verdicts.collect()
+    }
+    assert v[("p1", "min_distinct")]["passed"] is True
+    assert v[("p2", "min_distinct")]["metric"] == 0.0
+    assert v[("p2", "min_distinct")]["passed"] is False
+    # the all-NULL partition's summary row must count the failure
+    assert v[("p2", "all")]["passed"] is False
+
+
+def test_drift_name_collision_raises(spark, pages):
+    from data_check_spark.plans.suite import KSDriftCheck, NumericDriftCheck
+
+    suite = CheckSuite(
+        [
+            NumericDriftCheck("text_len", lambda: F.length("text"), 0.0, 100.0, n_buckets=10),
+            KSDriftCheck("text_len", lambda: F.length("text"), 0.0, 2000.0, n_buckets=50),
+        ]
+    )
+    with pytest.raises(ValueError, match="share histogram names"):
+        suite.run(spark, pages, "warc_day", reference_df=pages)
+
+
+def test_uniqueness_no_broadcast_matches(spark, pages):
+    """broadcast_candidates=False (high-duplicate-table escape hatch)
+    must produce identical verdicts/violations to the broadcast path."""
+    res_b = CheckSuite([UniquenessCheck(key="url")]).run(spark, pages, "warc_day")
+    res_s = CheckSuite([UniquenessCheck(key="url", broadcast_candidates=False)]).run(
+        spark, pages, "warc_day"
+    )
+    assert sorted(map(tuple, res_b.verdicts.collect())) == sorted(
+        map(tuple, res_s.verdicts.collect())
+    )
+    assert sorted(map(tuple, res_b.violations["unique:url"].collect())) == sorted(
+        map(tuple, res_s.violations["unique:url"].collect())
+    )
+
+
+def test_write_audit_iceberg_gated(spark, pages, tmp_path):
+    """Exercises write_audit's iceberg branch end-to-end when the
+    Iceberg runtime jar is on the classpath (real clusters); skips in
+    jar-less sandboxes. Catalog confs are runtime-settable (catalogs
+    resolve lazily on first use)."""
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+    except Exception:
+        pytest.skip("iceberg runtime jar not on the classpath")
+    from data_check_spark.plans.audit import write_audit
+
+    spark.conf.set("spark.sql.catalog.dcs_ice", "org.apache.iceberg.spark.SparkCatalog")
+    spark.conf.set("spark.sql.catalog.dcs_ice.type", "hadoop")
+    spark.conf.set("spark.sql.catalog.dcs_ice.warehouse", str(tmp_path / "wh"))
+    res = CheckSuite([UniquenessCheck(key="url")]).run(spark, pages, "warc_day")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS dcs_ice.audit")
+    write_audit(res.verdicts, "dcs_ice.audit.verdicts", "run1", "verdict", fmt="iceberg")
+    back = spark.table("dcs_ice.audit.verdicts")
+    assert back.count() == res.verdicts.count()
+    assert {"run_id", "audit_kind", "audit_ts"} <= set(back.columns)

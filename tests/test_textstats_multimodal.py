@@ -94,3 +94,28 @@ def test_media_metadata(spark):
     frames = frame_sample_stub(df, every_n=10).collect()
     assert all(f["frame_idx"] % 10 == 0 for f in frames)
     assert {f["doc_id"] for f in frames} == {1, 2, 3}
+
+
+def test_decoder_pil_gated(spark):
+    """decoder='pil' decodes a real PNG header behind the same
+    mapInPandas contract (skips where Pillow is absent); the stub
+    stays the deterministic default; decoder='auto' never raises."""
+    from data_check_spark.operators import multimodal as mm
+
+    if not mm.HAVE_PIL:
+        df = spark.createDataFrame([(1, bytearray(b"x"))], "doc_id long, blob binary")
+        with pytest.raises(ImportError, match="Pillow"):
+            mm.extract_media_metadata(df, decoder="pil")
+        # auto degrades to the stub without error
+        row = mm.extract_media_metadata(df, decoder="auto").collect()[0]
+        assert row["format"] == "unknown" and row["ok"]
+        pytest.skip("Pillow not installed — real-decode path exercised on clusters with PIL")
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (7, 3)).save(buf, format="PNG")
+    df = spark.createDataFrame([(1, bytearray(buf.getvalue()))], "doc_id long, blob binary")
+    row = mm.extract_media_metadata(df, decoder="pil").collect()[0]
+    assert (row["format"], row["width"], row["height"], row["ok"]) == ("png", 7, 3, True)
