@@ -4,12 +4,26 @@ ONE JSON line:
   {"metric": ..., "value": total_sec, "unit": "sec",
    "queries": {name: sec, ...}, "sf": ..., "docs_per_sec": ...}
 
+Measurement protocol (the host is intermittently oversubscribed —
+pure-CPU scaling ceilings between 0.41 and 1.0 were observed within an
+hour, which made earlier single-run benches contradict plan-level
+facts): one UNTIMED warmup sweep, then DCS_BENCH_REPS (default 3) full
+timed sweeps; each query reports its MEDIAN across sweeps and `value`
+is the sum of medians. The whole timed block is sandwiched by the same
+concurrent pure-CPU sha256 ceiling probes the scaling bench uses
+(scripts/bench_scaling.py) and retried up to DCS_BENCH_ATTEMPTS
+(default 2) until a quiet window (both probes >= 0.8); the
+best-window attempt is kept and the probe readings are reported in
+the JSON ("ceiling_pre"/"ceiling_post") so a noisy number is visibly
+noisy.
+
 Each query is forced with a noop-format write (full computation, no
-driver collect overhead). ``pages_suite`` is the north-rule headline:
-the full validation CheckSuite over a synthesized web-pages table
-(PAGES_N rows, deterministic) — its docs/sec is reported separately.
-Scaling evidence (local[8] vs local[32]) lives in
-scripts/bench_scaling.py → BENCH/BASELINE.md.
+driver collect overhead — and no count(): Catalyst PRUNES aggregate
+expressions under count()). ``pages_suite`` is the north-rule
+headline: the full validation CheckSuite over a pre-materialized
+synthesized web-pages table (PAGES_N rows, deterministic) — its
+docs/sec is reported separately. Scaling evidence (local[8] vs
+local[32]) lives in scripts/bench_scaling.py → BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
@@ -17,10 +31,13 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "scripts"))
 
 import __spark_entry__ as entry
 from data_check_spark.session import get_spark
@@ -47,48 +64,55 @@ HEADLINE = [
 ]
 
 PAGES_N = int(os.environ.get("DCS_BENCH_PAGES_N", "500000"))
+REPS = int(os.environ.get("DCS_BENCH_REPS", "3"))
+ATTEMPTS = int(os.environ.get("DCS_BENCH_ATTEMPTS", "2"))
 
 
 def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def run_pages_suite(spark, n: int) -> float:
-    """Full validation suite over a synthesized pages table → seconds.
-
-    The synthetic table is materialized to parquet OUTSIDE the timed
-    region: the suite makes several passes over its input, and timing
-    it over the raw generator relation re-pays the synthesis
-    expressions (xxhash/repeat/sha2 per row) once per pass — measuring
-    the generator, not the engine. Scanning parquet is also what the
-    north rule describes (validation over an Iceberg/parquet table)."""
-    import shutil
-    import tempfile
-
+def _materialize_pages(spark, n: int, tmp: str) -> tuple:
+    """Synthesize the pages tables ONCE, outside every timed region:
+    the suite makes several passes over its input and re-paying the
+    synthesis expressions per pass measures the generator, not the
+    engine. Scanning parquet is also what the north rule describes."""
     from pyspark.sql import functions as F
 
-    from data_check_spark.runner import default_pages_suite
     from data_check_spark.sources.synth import synth_pages, synth_pages_v2
 
-    tmp = tempfile.mkdtemp(prefix="dcs_bench_pages_")
-    try:
-        synth_pages(spark, n).write.mode("overwrite").parquet(f"{tmp}/pages")
-        synth_pages_v2(spark, n).write.mode("overwrite").parquet(f"{tmp}/pages_v2")
-        df = spark.read.parquet(f"{tmp}/pages").withColumn(
-            "warc_day", F.to_date("warc_ts")
-        )
-        ref = spark.read.parquet(f"{tmp}/pages_v2")
-        suite = default_pages_suite(with_drift=True)
+    synth_pages(spark, n).write.mode("overwrite").parquet(f"{tmp}/pages")
+    synth_pages_v2(spark, n).write.mode("overwrite").parquet(f"{tmp}/pages_v2")
+    df = spark.read.parquet(f"{tmp}/pages").withColumn(
+        "warc_day", F.to_date("warc_ts")
+    )
+    ref = spark.read.parquet(f"{tmp}/pages_v2")
+    return df, ref
+
+
+def run_pages_suite(spark, df, ref) -> float:
+    """One timed run of the full validation suite → seconds."""
+    from data_check_spark.runner import default_pages_suite
+
+    suite = default_pages_suite(with_drift=True)
+    t0 = time.perf_counter()
+    res = suite.run(spark, df, "warc_day", reference_df=ref)
+    _force(res.verdicts)
+    for v in res.violations.values():
+        _force(v)
+    sec = time.perf_counter() - t0
+    res.unpersist()
+    return sec
+
+
+def one_sweep(spark, qs, sf_dir, pages, timings: dict) -> None:
+    """One full timed pass over every headline query + the suite;
+    appends each query's seconds to timings[name]."""
+    for name in HEADLINE:
         t0 = time.perf_counter()
-        res = suite.run(spark, df, "warc_day", reference_df=ref)
-        _force(res.verdicts)
-        for v in res.violations.values():
-            _force(v)
-        sec = time.perf_counter() - t0
-        res.unpersist()
-        return sec
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        _force(qs[name](spark, sf_dir))
+        timings.setdefault(name, []).append(time.perf_counter() - t0)
+    timings.setdefault("pages_suite", []).append(run_pages_suite(spark, *pages))
 
 
 def main() -> None:
@@ -99,20 +123,48 @@ def main() -> None:
     spark = get_spark("dcs-bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
     spark.sparkContext.setLogLevel("ERROR")
 
-    qs = entry.queries()
-    timings: dict[str, float] = {}
-    total = 0.0
-    for name in HEADLINE:
-        t0 = time.perf_counter()
-        _force(qs[name](spark, sf_dir))
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        total += dt
+    from bench_scaling import cpu_ceiling  # sha256 probe, scripts/bench_scaling.py
 
-    suite_sec = run_pages_suite(spark, PAGES_N)
-    timings["pages_suite"] = round(suite_sec, 3)
-    total += suite_sec
-    docs_per_sec = round(PAGES_N / suite_sec, 1)
+    import shutil
+    import tempfile
+
+    qs = entry.queries()
+    tmp = tempfile.mkdtemp(prefix="dcs_bench_pages_")
+    try:
+        pages = _materialize_pages(spark, PAGES_N, tmp)
+
+        # untimed warmup: JIT, parquet footer caches, Python workers
+        warm: dict = {}
+        one_sweep(spark, qs, sf_dir, pages, warm)
+
+        best = None
+        for attempt in range(ATTEMPTS):
+            c_pre = cpu_ceiling(8, 32)
+            timings: dict = {}
+            for _ in range(REPS):
+                one_sweep(spark, qs, sf_dir, pages, timings)
+            c_post = cpu_ceiling(8, 32)
+            att = {
+                "timings": timings,
+                "ceiling_pre": round(c_pre, 3),
+                "ceiling_post": round(c_post, 3),
+                "attempt": attempt,
+            }
+            if best is None or min(c_pre, c_post) > min(
+                best["ceiling_pre"], best["ceiling_post"]
+            ):
+                best = att
+            if c_pre >= 0.8 and c_post >= 0.8:
+                break
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    medians = {
+        name: round(statistics.median(secs), 3)
+        for name, secs in best["timings"].items()
+    }
+    total = sum(medians.values())
+    docs_per_sec = round(PAGES_N / medians["pages_suite"], 1)
 
     print(
         json.dumps(
@@ -120,10 +172,18 @@ def main() -> None:
                 "metric": "headline queries + validation-suite throughput",
                 "value": round(total, 3),
                 "unit": "sec",
-                "queries": timings,
+                "queries": medians,
                 "sf": sf,
                 "pages_n": PAGES_N,
                 "docs_per_sec": docs_per_sec,
+                "protocol": {
+                    "reps": REPS,
+                    "stat": "median",
+                    "warmup": 1,
+                    "ceiling_pre": best["ceiling_pre"],
+                    "ceiling_post": best["ceiling_post"],
+                    "attempt": best["attempt"],
+                },
             }
         )
     )

@@ -70,28 +70,29 @@ def _metric_struct(
         mean, stddev = null_lit("double"), null_lit("double")
     want_minmax = "min_max" in metrics and not is_binary
     if "avg_tokens" in metrics and isinstance(dtype, T.StringType):
-        # space counting via replace() — byte-level UTF8String passes.
-        # Measured per-row costs on ~800-char pages at local[32]
-        # (scripts/profile_tokens.py): regexp_count(`\S+`) ≈ 27µs/row
-        # (Java regex NFA), translate ≈ 70µs/row (boxed per-CHARACTER
-        # HashMap lookup in StringTranslate — avoid it on wide
-        # columns), replace ≈ 1-2µs/row. Tabs/newlines/CRs are first
-        # normalized to spaces (3 more ~1-2µs replace passes) so text
-        # separated by newlines — typical extracted web text — counts
-        # its tokens instead of collapsing to ~1 token regardless of
-        # length. Token count = spaces + 1, which equals the `\S+` run
-        # count whenever separators are single whitespace chars; runs
-        # of consecutive whitespace still overcount by run_len-1
-        # (documented approximation — this metric gates a min-avg
-        # threshold, not an exact token accounting; exact counting is
-        # functions/textstats.token_count).
-        norm = c
-        for ws in ("\t", "\n", "\r"):
-            norm = F.replace(norm, F.lit(ws), F.lit(" "))
-        trimmed = F.trim(norm)
+        # Two-tier token counting. Measured per-row costs on ~800-char
+        # pages at local[32] (scripts/profile_tokens.py + the 20M A/B
+        # below): regexp_count(`\S+`) ≈ 27µs/row (Java regex NFA),
+        # each chained replace() ≈ 10µs/row (it REBUILDS the string —
+        # an earlier version normalized \t\n\r with 3 unconditional
+        # replaces and cost +29 core-µs/row, +290 s on the 20M-page
+        # local[2] suite), contains() ≈ sub-µs byte scan (no rebuild),
+        # translate ≈ 70µs/row (boxed per-CHARACTER HashMap — never).
+        # So: rows containing any \t/\n/\r — newline-separated
+        # extracted web text, where space-counting collapses to ~1
+        # token regardless of length — pay ONE exact regexp_count
+        # pass; clean single-space rows keep the one-rebuild
+        # spaces+1 fast path (which overcounts space RUNS by
+        # run_len-1 — documented approximation for a threshold
+        # metric; exact counting is functions/textstats.token_count).
+        other_ws = (
+            c.contains(F.lit("\t")) | c.contains(F.lit("\n")) | c.contains(F.lit("\r"))
+        )
+        trimmed = F.trim(c)
         n_sp = F.length(trimmed) - F.length(F.replace(trimmed, F.lit(" "), F.lit("")))
+        clean_count = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(n_sp + F.lit(1))
         avg_tokens = F.avg(
-            F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(n_sp + F.lit(1))
+            F.when(other_ws, F.regexp_count(c, F.lit(r"\S+"))).otherwise(clean_count)
         )
     else:
         avg_tokens = null_lit("double")

@@ -157,6 +157,23 @@ def bench_pair(lo: int, hi: int, attempts: int, zpath: str, p1: str, p2: str) ->
     attempt is accepted when both probes show a quiet window (ceiling
     >= 0.80); otherwise retry, finally keeping the attempt with the
     best surrounding ceiling."""
+    def spread(runs: list) -> float:
+        return max(runs) / min(runs)
+
+    def att_score(att: dict) -> float:
+        # Rank attempts: first by how steady the timed runs themselves
+        # were (the edge probes cannot see MID-RUN interference — an
+        # attempt with probe readings 1.02/0.95 still showed a 39%
+        # internal spread when the host got busy between runs), then
+        # by probe distance from the ideal 1.0 (a probe ABOVE ~1 is as
+        # suspect as one below 0.8: sha scaling can't genuinely exceed
+        # 1.0, so a high reading means the low-parallelism probe
+        # itself was disturbed — observed 1.25 right before a 2-core
+        # run that came out 50% slow).
+        s = max(spread(att["r_lo"]["all_runs_sec"]), spread(att["r_hi"]["all_runs_sec"]))
+        w = max(abs(att["ceiling_pre"] - 1.0), abs(att["ceiling_post"] - 1.0))
+        return -(s + 0.5 * w)
+
     best = None
     for i in range(attempts):
         c_pre = cpu_ceiling(lo, hi)
@@ -168,15 +185,17 @@ def bench_pair(lo: int, hi: int, attempts: int, zpath: str, p1: str, p2: str) ->
             "lo": lo, "hi": hi, "attempt": i,
             "ceiling_pre": round(c_pre, 3),
             "ceiling_post": round(c_post, 3),
+            "spread_lo": round(spread(r_lo["all_runs_sec"]), 3),
+            "spread_hi": round(spread(r_hi["all_runs_sec"]), 3),
             "r_lo": r_lo, "r_hi": r_hi,
             "efficiency": round(eff_i, 3),
         }
         print(json.dumps({"attempt_result": att}), flush=True)
-        if best is None or min(att["ceiling_pre"], att["ceiling_post"]) > min(
-            best["ceiling_pre"], best["ceiling_post"]
-        ):
+        if best is None or att_score(att) > att_score(best):
             best = att
-        if c_pre >= 0.80 and c_post >= 0.80:
+        quiet_probes = 0.80 <= c_pre <= 1.15 and 0.80 <= c_post <= 1.15
+        steady_runs = att["spread_lo"] <= 1.2 and att["spread_hi"] <= 1.2
+        if quiet_probes and steady_runs:
             break
     return best
 
@@ -243,6 +262,29 @@ candidates, referential anti-join, drift profiles) hold near-constant
 wall-clock at both core counts — the same phases that track the
 memory-copy ceiling (0.45), which a real 4N-node cluster multiplies
 with node count.
+
+## Headline bench protocol & pk_census plan A/B
+
+`bench.py` reports per-query MEDIANS over 3 timed sweeps after one
+untimed warmup, sandwiched by the same ceiling probes (retry until a
+quiet window >= 0.8; the probe readings ship inside the JSON's
+`protocol` field). Under this protocol the round-2 single-run
+"regressions" disappear — measured in a 0.86/0.86 window
+(`BENCH/HEADLINE_MEDIANS.json`): pk_census 0.97 s (single-run r2:
+7.53), dedup_exact 0.71 (1.49), psi_lang 0.75 (1.90), stats_documents
+1.04 (2.44), minhash_pairs 4.74 (7.15); headline total 31.3 s vs
+47.7/40.2 in r2/r1. The r2 numbers were first-run warmup + host noise,
+not plan costs.
+
+pk_census plan A/B (`scripts/ab_pk_census.py`: union+groupBy census vs
+the reference-shaped FULL OUTER JOIN, alternating runs, median of 3,
+identical answers asserted in-run; raw numbers in
+`BENCH/AB_PK_CENSUS.jsonl`): at 20M urls the union plan wins 3.47 s vs
+4.44 s (-22%) — half the shuffled passes, no sort — while at sf0.1
+orders (~1.5M keys) the join is ~0.08 s faster, a stage-count latency
+constant inside host noise. The union plan is kept unconditionally:
+its advantage grows with data size, which is the regime the engine is
+for.
 
 Determinism note: verdict rows are aggregate-valued per partition and
 violation outputs are key-sorted, so all runs produce identical
