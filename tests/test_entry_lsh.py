@@ -23,3 +23,15 @@ def test_cosine_neardup_lsh_recall_vs_exact(spark):
     assert recall >= 0.9, f"recall {recall} ({exact - approx} missed)"
     # candidates are verified with the exact cosine → no false accepts
     assert approx <= exact
+
+
+def test_lsh_topk_contract_row(spark):
+    """The oracle-checked lsh_topk contract: planted exact copies of
+    the query vectors are strong brute-force neighbors (cosine 1.0)
+    and sign-bit LSH must recall ALL of them (identical bits in every
+    band) — strong_recall is structurally 1.0."""
+    row = entry.queries()["lsh_topk"](spark, SF).collect()[0]
+    assert row["n_queries"] == 5
+    assert row["n_strong"] >= row["n_queries"]
+    assert row["strong_recall"] == 1.0
+    assert row["strong_recall_ge_0_9"] is True

@@ -127,3 +127,51 @@ def test_streaming_dedup(spark, pages_dir):
     assert (
         out.filter("first_seen").groupBy("url").count().filter("count > 1").count() == 0
     )
+
+
+def test_streaming_dedup_restart_carries_state(spark, tmp_path):
+    """The bounded hash-array state must survive a query RESTART from
+    checkpoint: urls seen before the stop are not first_seen after it.
+    This exercises real state-store (de)serialization of the
+    ArrayType(Long) state — the unit-level fake above cannot."""
+    import datetime
+
+    src, cp, out = str(tmp_path / "src"), str(tmp_path / "cp"), str(tmp_path / "out")
+
+    def write_batch(urls, day):
+        rows = [
+            (u, datetime.datetime(2024, 1, day), "<html>", "text " + u, "en")
+            for u in urls
+        ]
+        spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, html string, text string, lang string"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def run_query():
+        # file sink (not memory) — it supports recovery from checkpoint,
+        # which is the behavior under test
+        q = (
+            streaming_dedup(stream_pages(spark, src), buckets=32)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    batch1 = [f"u{i}" for i in range(200)]
+    write_batch(batch1, day=1)
+    run_query()
+    assert spark.read.parquet(out).filter("first_seen").count() == 200
+
+    # restart: 100 repeats + 100 new urls land after the first query stopped
+    write_batch([f"u{i}" for i in range(100, 300)], day=2)
+    run_query()
+    out2 = spark.read.parquet(out).filter("to_date(warc_ts) = '2024-01-02'")
+    assert out2.count() == 200
+    firsts = {r["url"] for r in out2.filter("first_seen").collect()}
+    assert firsts == {f"u{i}" for i in range(200, 300)}, (
+        "urls deduped before the restart must stay deduped after it"
+    )
