@@ -66,6 +66,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _assert_id_headroom(df: DataFrame, col: str, offset: int) -> None:
+    """Planted-duplicate queries shift copies to id+offset; if the base
+    table ever reaches the offset the copy COLLIDES with a real id and
+    the contract silently breaks (dropDuplicates collapses the planted
+    pair, coverage counts drift vs the DuckDB oracle). Fail loudly at
+    query build time instead — a bounded 1-row aggregate."""
+    mx = df.agg(F.max(F.col(col)).alias("mx")).collect()[0]["mx"]
+    if mx is not None and mx >= offset:
+        raise ValueError(
+            f"planted-id offset {offset} too small: max({col}) = {mx}. "
+            f"The seeded-duplicate contract needs max({col}) < offset; "
+            "raise the offset in BOTH the Spark query and its oracle SQL."
+        )
+
+
 # ---------------------------------------------------------------------------
 # Two deterministic "versions" of orders for the diff-family checks.
 # The same perturbations are expressed in the SQL CTE below so Spark
@@ -111,7 +126,10 @@ _RATIO_COLS = ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_o
 _ORDERS_COLS = ["o_orderkey"] + _RATIO_COLS
 
 
-def _ratio_oracle() -> str:
+def _ratio_body() -> str:
+    """The per-column ratio SELECT (union-all over _RATIO_COLS) —
+    reused standalone by column_match_ratios' oracle and as a CTE body
+    by the suite_compare_verdicts oracle."""
     parts = []
     for c in _RATIO_COLS:
         parts.append(f"""
@@ -124,7 +142,11 @@ SELECT '{c}' AS "column",
        round(1.0 - count(*) FILTER (WHERE coalesce(CAST(a.{c} AS VARCHAR), 'none') = coalesce(CAST(b.{c} AS VARCHAR), 'non')) * 1.0
              / nullif(count(*) FILTER (WHERE coalesce(CAST(a.{c} AS VARCHAR), CAST(b.{c} AS VARCHAR)) IS NOT NULL), 0), 6) AS percentage_diff_values
 FROM t1 a JOIN t2 b USING (o_orderkey)""")
-    return _VERSIONS_CTE + " UNION ALL ".join(parts)
+    return " UNION ALL ".join(parts)
+
+
+def _ratio_oracle() -> str:
+    return _VERSIONS_CTE + _ratio_body()
 
 
 # ---------------------------------------------------------------------------
@@ -134,6 +156,7 @@ FROM t1 a JOIN t2 b USING (o_orderkey)""")
 
 def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
+    _assert_id_headroom(d, "doc_id", 100000)
     dups = d.filter(F.col("doc_id") % 10 == 0).withColumn(
         "doc_id", F.col("doc_id") + F.lit(100000)
     )
@@ -270,6 +293,7 @@ def _q_simhash_hamming(spark, sf_dir):
     from data_check_spark.operators.dedup import simhash64, simhash_hamming_pairs
 
     d = _t(spark, sf_dir, "documents")
+    _assert_id_headroom(d, "doc_id", 200000)
     near = d.filter(F.col("doc_id") % 20 == 0).select(
         (F.col("doc_id") + F.lit(200000)).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zzqx")).alias("text"),
@@ -325,6 +349,7 @@ def _q_knn(spark, sf_dir):
 
 def _q_cosine_neardup(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
+    _assert_id_headroom(e, "vec_id", 10000)
     aug = e.unionByName(
         e.filter(F.col("vec_id") % 25 == 0).withColumn("vec_id", F.col("vec_id") + F.lit(10000))
     )
@@ -521,7 +546,12 @@ def _q_lsh_topk(spark, sf_dir):
     (tests/test_dedup_similarity.py::test_lsh_topk_recall)."""
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
-    aug = e.unionByName(q.withColumn("vec_id", F.col("vec_id") + F.lit(20000)))
+    # planted-copy offset DERIVED from the table (bounded 1-row agg):
+    # a hardcoded offset collides once the table reaches it, collapsing
+    # the planted copy under any dedup and breaking strong_recall=1.0.
+    # The oracle never references the offset, so deriving it is safe.
+    mx = e.agg(F.max("vec_id").alias("mx")).collect()[0]["mx"] or 0
+    aug = e.unionByName(q.withColumn("vec_id", F.col("vec_id") + F.lit(int(mx) + 1)))
     lsh = lsh_topk(aug, q, dim=64, k=5, n_planes=16, bands=4).select(
         "query_id", "neighbor_id"
     )
@@ -549,6 +579,7 @@ def _q_cosine_neardup_lsh(spark, sf_dir):
     from data_check_spark.operators.similarity import cosine_near_duplicates
 
     e = _t(spark, sf_dir, "embeddings")
+    _assert_id_headroom(e, "vec_id", 10000)
     aug = e.unionByName(
         e.filter(F.col("vec_id") % 25 == 0).withColumn("vec_id", F.col("vec_id") + F.lit(10000))
     )
@@ -604,6 +635,29 @@ def _q_suite_verdicts(spark, sf_dir):
     return suite.run(spark, d, "source").verdicts
 
 
+def _q_suite_compare(spark, sf_dir):
+    """The reference's flagship two-table diff session (census +
+    per-column ratios, data_processor.py:211-285) declared INSIDE
+    CheckSuite as a CompareCheck (VERDICT r3 top-next) — verdicts in
+    the uniform suite schema, oracle re-derives every row from the
+    same census/ratio SQL already validated standalone."""
+    from data_check_spark.plans.suite import CheckSuite, CompareCheck
+
+    t1, t2 = _orders_versions(spark, sf_dir)
+    suite = CheckSuite(
+        [
+            CompareCheck(
+                name="orders_diff",
+                pk="o_orderkey",
+                columns=_RATIO_COLS,
+                max_missing_ratio=0.01,
+                min_ratio_equal=0.95,
+            )
+        ]
+    )
+    return suite.run(spark, t1, "o_orderstatus", reference_df=t2).verdicts
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full check-suite verdicts over sf0.001 documents."""
     return _q_suite_verdicts(spark, "/root/testdata/sf0.001")
@@ -645,6 +699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_diff": _q_schema_diff,
         "minhash_pairs": _q_minhash,
         "suite_verdicts": _q_suite_verdicts,
+        "suite_compare_verdicts": _q_suite_compare,
         # xxhash64-simhash / seeded-LSH values have no DuckDB twin, so
         # these three emit their structural CONTRACTS instead
         # (planted-dup coverage, banded-vs-exact equality, recall ≥
@@ -912,6 +967,20 @@ uniq AS (
 )
 SELECT part AS "partition", col AS "column", chk AS "check", metric, threshold, passed
 FROM (SELECT * FROM v UNION ALL SELECT * FROM summary UNION ALL SELECT * FROM uniq)""",
+        "suite_compare_verdicts": _VERSIONS_CTE + f""",
+cen AS (
+  SELECT round(count(*) FILTER (WHERE a.o_orderkey IS NULL) * 1.0 / count(*), 6) AS m1,
+         round(count(*) FILTER (WHERE b.o_orderkey IS NULL) * 1.0 / count(*), 6) AS m2
+  FROM t1 a FULL OUTER JOIN t2 b ON a.o_orderkey = b.o_orderkey
+),
+rat AS ({_ratio_body()})
+SELECT '*' AS "partition", 'o_orderkey' AS "column", 'pk_missing_ratio_1' AS "check",
+       m1 AS metric, 0.01 AS threshold, m1 <= 0.01 AS passed FROM cen
+UNION ALL
+SELECT '*', 'o_orderkey', 'pk_missing_ratio_2', m2, 0.01, m2 <= 0.01 FROM cen
+UNION ALL
+SELECT '*', "column", 'ratio_equal', ratio_equal, 0.95,
+       coalesce(ratio_equal >= 0.95, FALSE) FROM rat""",
         # GENUINE exact twin for the LSH path: recall on the seeded
         # sf0.01 data is exactly 1.0 (verified by
         # scripts/exp_lsh_oracle.py — deterministic signatures), so the
@@ -965,13 +1034,18 @@ FROM documents""",
         # genuinely re-derived from the documents/embeddings tables;
         # the booleans assert Spark-side structural guarantees
         # (planted coverage / pigeonhole equality / LSH recall) hold
+        # the doc_id < 100000 bound mirrors the Spark-side planted
+        # filter exactly (originals only, below the planted offset) —
+        # omitting it here would let the two sides drift silently at a
+        # scale factor where documents reaches 100000 rows (the build-
+        # time headroom assert also fails loudly there)
         "simhash_neardup": r"""
 SELECT count(*) AS n_planted,
        count(*) AS n_covered,
        TRUE AS all_planted_covered,
        TRUE AS groups_cover_planted
 FROM documents
-WHERE doc_id % 10 = 0 AND text IS NOT NULL
+WHERE doc_id < 100000 AND doc_id % 10 = 0 AND text IS NOT NULL
   AND len(regexp_extract_all(text, '\S')) > 0""",
         "simhash_hamming": """
 SELECT (SELECT count(*) FROM documents)

@@ -55,9 +55,21 @@ def _decode_image_pil(blob: bytes) -> tuple[str, int | None, int | None]:
     """Real decoder behind the same contract: PIL reads the header
     only (lazy — no full pixel decode for metadata). Undecodable
     payloads degrade to ('unknown', NULL, NULL) instead of failing
-    the task: at web scale a corrupt blob must never kill a stage."""
+    the task: at web scale a corrupt blob must never kill a stage.
+
+    The Pillow presence check is re-done HERE, on the executor — the
+    driver-side check in extract_media_metadata does not prove the
+    workers have the library (this module re-imports per worker), and
+    a broad except around a None _PILImage would silently turn every
+    blob into ('unknown', NULL, NULL). Missing Pillow on a worker must
+    surface as a task failure, never as all-unknown metadata."""
     import io
 
+    if _PILImage is None:
+        raise ImportError(
+            "decoder='pil' requires Pillow on the EXECUTOR's Python "
+            "environment (driver check passed but worker import failed)"
+        )
     try:
         with _PILImage.open(io.BytesIO(blob)) as im:
             return (im.format or "unknown").lower(), im.width, im.height

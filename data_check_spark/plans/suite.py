@@ -73,6 +73,12 @@ class ReferentialCheck:
     dim: Callable[[SparkSession], DataFrame]
     dim_key: str
     max_violation_rows: int = 0
+    # True = always broadcast the dim-key set (explicit override),
+    # False = never, 'auto' (default) = only when Catalyst's size
+    # estimate is ≤ refint.AUTO_BROADCAST_CAP_BYTES, else leave the
+    # join unhinted for AQE's runtime decision (see
+    # operators/refint.maybe_broadcast)
+    broadcast: bool | str = "auto"
     # retained for API compatibility; the current engine aggregates the
     # fact side to (partition, ref_key) counts before the anti-join,
     # which is cheaper than riding the uniqueness exchange was (the
@@ -116,6 +122,52 @@ class KSDriftCheck:
     n_buckets: int = 50
     max_ks: float = 0.2
     reference: Callable[[SparkSession], DataFrame] | None = None
+
+
+@dataclass
+class CompareCheck:
+    """Two-table diff family — the reference's flagship workflow
+    (``/root/reference/data_check/data_processor.py:211-285``, driven
+    as one Streamlit session in ``streamlit_app.py:189-351``) — as a
+    declarative suite check: PK census + per-column match ratios as
+    verdict rows, exclusive-PK dumps (and optionally the row-level
+    diff) as violation frames. Global like drift (partition='*'):
+    the comparison is a whole-table property.
+
+    Verdict rows emitted (uniform schema):
+
+    * ``('*', pk, 'pk_missing_ratio_1', m, max_missing_ratio, …)`` and
+      ``…_2`` — the census missing-key ratios per side;
+    * ``('*', col, 'ratio_equal', r, min_ratio_equal, …)`` per
+      compared column.
+
+    Fail-closed NULL semantics: a NULL metric (zero joined rows — the
+    reference's client-side "query returned no rows" error,
+    ``streamlit_app.py:252-255`` — or an empty census) fails the
+    verdict rather than raising, so one broken comparison cannot kill
+    a multi-check suite run; the standalone operator path
+    (``operators/rowdiff.collect_ratios_checked``) keeps the
+    reference's raising behavior.
+
+    ``reference``: loader for "table 2"; None uses the suite-level
+    ``reference_df`` (sharing it with drift checks compares the same
+    two table versions across check kinds).
+
+    Scale: census is the union+groupBy plan (one hash aggregation, no
+    sort — ``operators/rowdiff.pk_census``), ratios are ONE inner join
+    + ONE fused aggregation for all columns; both reduce to bounded
+    results (1 row / |columns| rows) collected concurrently with the
+    suite's other phase-1 materializations. Violation dumps stay lazy.
+    """
+    name: str
+    pk: str
+    reference: Callable[[SparkSession], DataFrame] | None = None
+    columns: list[str] | None = None
+    max_missing_ratio: float = 0.0
+    min_ratio_equal: float = 1.0
+    exclusive_limit: int = 500  # ref bigquery.py:105
+    row_diff: bool = False  # row-level diff dump is opt-in (unbounded)
+    reference_mode: bool = True  # sentinel semantics (SURVEY §2.10)
 
 
 @dataclass
@@ -210,11 +262,20 @@ class CheckSuite:
         if dup_names:
             raise ValueError(
                 f"drift checks share histogram names {sorted(dup_names)}: "
-                "give PSI and KS checks distinct names"
+                "numeric drift checks (PSI or KS) must have unique names — "
+                "the histogram spec (lo, hi, n_buckets) is keyed by name"
             )
         nums = {c.name: (c.expr(), c.lo, c.hi, c.n_buckets) for c in fused_num}
         nums.update({c.name: (c.expr(), c.lo, c.hi, c.n_buckets) for c in fused_ks})
         cats = {c.column: F.col(c.column) for c in fused_cat}
+
+        cmp_names = [c.name for c in self.checks if isinstance(c, CompareCheck)]
+        if len(set(cmp_names)) != len(cmp_names):
+            dup = sorted({n for n in cmp_names if cmp_names.count(n) > 1})
+            raise ValueError(
+                f"compare checks must have unique names (violations are "
+                f"keyed by name): duplicates {dup}"
+            )
 
         # ---- Phase 1: submit every heavy materialization as a
         # CONCURRENT Spark action. The suite's expensive inputs are
@@ -231,6 +292,7 @@ class CheckSuite:
         futs: dict = {}
         uniq_dups: dict[int, DataFrame] = {}
         ref_perkey: dict[int, DataFrame] = {}
+        cmp_refs: dict[int, DataFrame] = {}
         try:
             if fused_stats is not None:
                 from data_check_spark.operators.stats import (
@@ -330,10 +392,13 @@ class CheckSuite:
                     uniq_dups[id(chk)] = dups
                     futs[f"uniq_{id(chk)}"] = pool.submit(dups.count)
                 elif isinstance(chk, ReferentialCheck):
+                    from data_check_spark.operators.refint import maybe_broadcast
+
                     fk = F.expr(chk.fact_key) if isinstance(chk.fact_key, str) else chk.fact_key()
                     dim = chk.dim(spark)
-                    dim_keys = F.broadcast(
-                        dim.select(F.col(chk.dim_key).alias("_dk")).dropDuplicates()
+                    dim_keys = maybe_broadcast(
+                        dim.select(F.col(chk.dim_key).alias("_dk")).dropDuplicates(),
+                        chk.broadcast,
                     )
                     # aggregate BEFORE the anti-join: the (partition,
                     # ref_key) groupBy collapses via map-side combine
@@ -352,6 +417,31 @@ class CheckSuite:
                     cached.append(per_key)
                     ref_perkey[id(chk)] = per_key
                     futs[f"ref_{id(chk)}"] = pool.submit(per_key.count)
+                elif isinstance(chk, CompareCheck):
+                    from data_check_spark.operators.rowdiff import (
+                        column_match_ratios,
+                        pk_census,
+                    )
+
+                    cref = chk.reference(spark) if chk.reference else reference_df
+                    if cref is None:
+                        raise ValueError(
+                            f"compare check {chk.name}: no reference table"
+                        )
+                    cmp_refs[id(chk)] = cref
+                    # both reduce to bounded results (1 row / one row
+                    # per compared column) — collected concurrently
+                    # with the stats/drift/uniqueness jobs
+                    futs[f"cmp_cen_{id(chk)}"] = pool.submit(
+                        pk_census(df, cref, chk.pk).collect
+                    )
+                    futs[f"cmp_rat_{id(chk)}"] = pool.submit(
+                        column_match_ratios(
+                            df, cref, chk.pk,
+                            columns=chk.columns,
+                            reference_mode=chk.reference_mode,
+                        ).collect
+                    )
 
             # ---- Phase 2: gather the bounded results and assemble
             # verdicts — driver-side math on collected profiles,
@@ -447,10 +537,12 @@ class CheckSuite:
                     )
                 )
 
-            # drain the uniqueness/refint materializations so any
-            # executor-side failure surfaces here, inside the pool scope
+            # drain the uniqueness/refint/compare materializations so
+            # any executor-side failure surfaces here, inside the pool
+            # scope (compare results are re-read below — .result() on a
+            # done future is free)
             for fkey, fut in futs.items():
-                if fkey.startswith("uniq_") or fkey.startswith("ref_"):
+                if fkey.startswith(("uniq_", "ref_", "cmp_")):
                     fut.result()
         finally:
             pool.shutdown(wait=True)
@@ -506,6 +598,50 @@ class CheckSuite:
                     (F.coalesce("metric", F.lit(0.0)) <= chk.max_violation_rows).alias("passed"),
                 )
                 verdict_frames.append(v)
+
+            elif isinstance(chk, CompareCheck):
+                from data_check_spark.operators.rowdiff import exclusive_rows, row_diff
+
+                cen = futs[f"cmp_cen_{id(chk)}"].result()
+                rat = futs[f"cmp_rat_{id(chk)}"].result()
+                c0 = cen[0] if cen else None
+                rows = []
+                for side in (1, 2):
+                    m = c0[f"missing_primary_keys_table{side}_ratio"] if c0 else None
+                    rows.append((
+                        "*", chk.pk, f"pk_missing_ratio_{side}",
+                        float(m) if m is not None else None,
+                        float(chk.max_missing_ratio),
+                        # fail-closed: NULL ratio = empty comparison
+                        m is not None and m <= chk.max_missing_ratio,
+                    ))
+                for r in rat:
+                    re_ = r["ratio_equal"]
+                    rows.append((
+                        "*", r["column"], "ratio_equal",
+                        float(re_) if re_ is not None else None,
+                        float(chk.min_ratio_equal),
+                        re_ is not None and re_ >= chk.min_ratio_equal,
+                    ))
+                verdict_frames.append(
+                    spark.createDataFrame(
+                        rows,
+                        "partition string, column string, check string, "
+                        "metric double, threshold double, passed boolean",
+                    )
+                )
+                cref = cmp_refs[id(chk)]
+                violations[f"compare:{chk.name}:exclusive_1"] = exclusive_rows(
+                    df, cref, chk.pk, side=1, limit=chk.exclusive_limit
+                )
+                violations[f"compare:{chk.name}:exclusive_2"] = exclusive_rows(
+                    df, cref, chk.pk, side=2, limit=chk.exclusive_limit
+                )
+                if chk.row_diff:
+                    violations[f"compare:{chk.name}:row_diff"] = row_diff(
+                        df, cref, chk.pk,
+                        columns=chk.columns, reference_mode=chk.reference_mode,
+                    )
 
             elif isinstance(chk, CategoricalDriftCheck):
                 ref = chk.reference(spark) if chk.reference else reference_df
@@ -584,18 +720,13 @@ class CheckSuite:
         if not pending:
             return None
         scoped = df.filter(part_s.isin(pending))
-        # drift checks are global (partition='*'): run them over the
-        # UNFILTERED table so a resumed run reports the same drift
+        # drift and compare checks are global (partition='*'): run them
+        # over the UNFILTERED table so a resumed run reports the same
         # verdict as an uninterrupted one — scoping them to pending
         # partitions would make the answer depend on crash state
-        drift_checks = [
-            c for c in self.checks
-            if isinstance(c, (CategoricalDriftCheck, NumericDriftCheck))
-        ]
-        scoped_checks = [
-            c for c in self.checks
-            if not isinstance(c, (CategoricalDriftCheck, NumericDriftCheck))
-        ]
+        _GLOBAL = (CategoricalDriftCheck, NumericDriftCheck, KSDriftCheck, CompareCheck)
+        drift_checks = [c for c in self.checks if isinstance(c, _GLOBAL)]
+        scoped_checks = [c for c in self.checks if not isinstance(c, _GLOBAL)]
         result = CheckSuite(scoped_checks or drift_checks).run(
             spark, scoped if scoped_checks else df, partition_col, reference_df, run_id
         )

@@ -148,7 +148,16 @@ def streaming_dedup(pages: DataFrame, buckets: int = 8192) -> DataFrame:
     Python worker never hashes strings. ``buckets`` defaults high
     (8192) so each bucket's state array (8 B/url) and per-batch set
     rebuild stay small even at web scale; state size per bucket is
-    ~distinct_urls × 8 / buckets bytes."""
+    ~distinct_urls × 8 / buckets bytes.
+
+    CHECKPOINT COMPATIBILITY: the state schema changed from a string
+    blob to array<long> (and the default bucket count 64→8192) — an
+    applyInPandasWithState checkpoint written by the old format cannot
+    be restarted on this version (state deserialization fails; with an
+    explicit old bucket count, state would be mis-assigned across
+    re-hashed buckets). Start a FRESH checkpointLocation after
+    upgrading — Spark cannot migrate arbitrary state schemas in place
+    (see SCALE.md §streaming)."""
     keyed = (
         pages.withColumn("_uh", F.xxhash64("url"))
         .withColumn("bucket", F.pmod(F.col("_uh"), F.lit(buckets)))

@@ -145,3 +145,42 @@ def test_avg_tokens_newline_separated(spark):
     ).collect()[0]
     (m,) = row["_m"]
     assert m["avg_tokens"] == 5.0
+
+
+def test_broadcast_auto_is_size_aware(spark, df):
+    """broadcast='auto' must force the hint only when Catalyst's size
+    estimate is under the cap; a large dim is left unhinted (AQE may
+    still convert at runtime) instead of being forced through a
+    driver-side broadcast build (VERDICT r3 'What's wrong' #2)."""
+    from data_check_spark.operators.refint import (
+        AUTO_BROADCAST_CAP_BYTES,
+        maybe_broadcast,
+        plan_size_estimate,
+    )
+
+    # local relations report Catalyst's unknown-size sentinel -> the
+    # bounded row-count probe decides, and a 2-row dim broadcasts
+    small = spark.createDataFrame([("a",), ("x",)], "dk string")
+    assert plan_size_estimate(small) is None
+    hinted = maybe_broadcast(small, "auto")
+    assert "ResolvedHint" in hinted._jdf.queryExecution().analyzed().toString()
+
+    # spark.range stats estimate is 8 B/row — 5M rows > 32 MB cap
+    big = spark.range(5_000_000).select(F.col("id").cast("string").alias("dk"))
+    big_est = plan_size_estimate(big)
+    assert big_est is not None and big_est > AUTO_BROADCAST_CAP_BYTES
+    unhinted = maybe_broadcast(big, "auto")
+    assert "ResolvedHint" not in unhinted._jdf.queryExecution().analyzed().toString()
+    # explicit override still broadcasts regardless of size
+    forced = maybe_broadcast(big, True)
+    assert "ResolvedHint" in forced._jdf.queryExecution().analyzed().toString()
+
+
+def test_referential_non_broadcast_path_correct(spark, df):
+    """The shuffled (non-broadcast) anti-join must produce the same
+    violations as the broadcast path."""
+    dim = spark.createDataFrame([("a",), ("c",), ("d",)], "dk string")
+    got_b = referential_violations(df, "k", dim, "dk", broadcast=True).collect()
+    got_s = referential_violations(df, "k", dim, "dk", broadcast=False).collect()
+    assert sorted(map(tuple, got_b)) == sorted(map(tuple, got_s))
+    assert [(r["ref_key"], r["n_rows"]) for r in got_s] == [("b", 2)]

@@ -277,3 +277,150 @@ def test_write_audit_iceberg_gated(spark, pages, tmp_path):
     back = spark.table("dcs_ice.audit.verdicts")
     assert back.count() == res.verdicts.count()
     assert {"run_id", "audit_kind", "audit_ts"} <= set(back.columns)
+
+
+def test_ks_drift_check_resume_matches_uninterrupted(spark, pages, tmp_path):
+    """VERDICT r3 'What's wrong' #1: a KSDriftCheck in a resumed run
+    must report the SAME global verdict as an uninterrupted run — it
+    must ride the unfiltered table, not the pending-partition frame."""
+    from data_check_spark.plans.suite import KSDriftCheck
+    from data_check_spark.sources.synth import synth_pages_v2
+
+    ref = synth_pages_v2(spark, N)
+    checks = [
+        StatsCheck(thresholds={"text": {"max_null_rate": 0.05}}),
+        KSDriftCheck(
+            name="text_len_ks",
+            expr=lambda: F.length("text"),
+            lo=0.0,
+            hi=5000.0,
+            n_buckets=50,
+            max_ks=0.5,
+        ),
+    ]
+    full = CheckSuite(checks).run(spark, pages, "warc_day", reference_df=ref)
+    expected = full.verdicts.filter("check = 'ks_numeric'").collect()[0]
+
+    man = Manifest(str(tmp_path / "m_ks"))
+    parts = sorted(str(r[0]) for r in pages.select("warc_day").distinct().collect())
+    for p in parts[: len(parts) // 2]:  # simulate a mid-run crash
+        man.mark_complete(p, run_id="prior", metrics={})
+    res = CheckSuite(checks).run_resumable(
+        spark, pages, "warc_day", man, reference_df=ref
+    )
+    got = res.verdicts.filter("check = 'ks_numeric'").collect()
+    assert len(got) == 1
+    assert got[0]["metric"] == pytest.approx(expected["metric"], abs=1e-9)
+    assert got[0]["passed"] == expected["passed"]
+    full.unpersist(); res.unpersist()
+
+
+def test_compare_check_in_suite(spark, pages):
+    """CompareCheck (VERDICT r3 top-next): the two-table diff family is
+    declarable inside CheckSuite — census + ratio verdicts in the
+    uniform schema, exclusive/row-diff dumps as violations, and the
+    verdict numbers equal the standalone operators'."""
+    from data_check_spark.operators.rowdiff import column_match_ratios, pk_census
+    from data_check_spark.plans.suite import CompareCheck
+    from data_check_spark.sources.synth import synth_pages_v2
+
+    v2 = synth_pages_v2(spark, N)
+    cols = ["text", "lang"]
+    suite = CheckSuite(
+        [
+            StatsCheck(thresholds={"text": {"max_null_rate": 0.05}}),
+            CompareCheck(
+                name="pages_v2",
+                pk="url",
+                columns=cols,
+                max_missing_ratio=0.001,
+                min_ratio_equal=0.99,
+                row_diff=True,
+            ),
+        ]
+    )
+    res = suite.run(spark, pages, "warc_day", reference_df=v2)
+    v = {(r["column"], r["check"]): r for r in res.verdicts.collect()}
+
+    cen = pk_census(pages, v2, "url").collect()[0]
+    assert v[("url", "pk_missing_ratio_1")]["metric"] == pytest.approx(
+        cen["missing_primary_keys_table1_ratio"]
+    )
+    assert v[("url", "pk_missing_ratio_2")]["metric"] == pytest.approx(
+        cen["missing_primary_keys_table2_ratio"]
+    )
+    # v2 drops ~1% and adds rows -> both missing ratios exceed 0.001
+    assert not v[("url", "pk_missing_ratio_1")]["passed"]
+    rat = {r["column"]: r for r in column_match_ratios(pages, v2, "url", columns=cols).collect()}
+    for c in cols:
+        assert v[(c, "ratio_equal")]["metric"] == pytest.approx(rat[c]["ratio_equal"])
+        assert v[(c, "ratio_equal")]["passed"] == (rat[c]["ratio_equal"] >= 0.99)
+    # violations: exclusive dumps populated (v2 drops + adds rows),
+    # row-diff dump present and suffix-projected
+    ex1 = res.violations["compare:pages_v2:exclusive_1"]
+    ex2 = res.violations["compare:pages_v2:exclusive_2"]
+    assert ex1.count() > 0 and ex2.count() > 0
+    assert any(c.endswith("__1") for c in ex1.columns)
+    rd = res.violations["compare:pages_v2:row_diff"]
+    assert {"url", "text__1", "text__2", "lang__1", "lang__2"} <= set(rd.columns)
+    assert rd.count() > 0
+    res.unpersist()
+
+
+def test_compare_check_empty_comparison_fails_closed(spark, pages):
+    """Disjoint PK sets (the reference's 'query returned no rows'
+    error, streamlit_app.py:252-255) must FAIL the ratio verdicts, not
+    raise or silently pass."""
+    from data_check_spark.plans.suite import CompareCheck
+
+    disjoint = pages.withColumn("url", F.concat(F.lit("x://"), F.col("url")))
+    suite = CheckSuite([CompareCheck(name="disjoint", pk="url", columns=["lang"])])
+    res = suite.run(spark, pages, "warc_day", reference_df=disjoint)
+    v = {(r["column"], r["check"]): r for r in res.verdicts.collect()}
+    assert v[("lang", "ratio_equal")]["metric"] is None
+    assert v[("lang", "ratio_equal")]["passed"] is False
+    assert not res.passed()
+
+
+def test_compare_check_duplicate_names_raise(spark, pages):
+    from data_check_spark.plans.suite import CompareCheck
+
+    suite = CheckSuite(
+        [CompareCheck(name="same", pk="url"), CompareCheck(name="same", pk="url")]
+    )
+    with pytest.raises(ValueError, match="unique names"):
+        suite.run(spark, pages, "warc_day", reference_df=pages)
+
+
+def test_compare_check_resume_matches_uninterrupted(spark, pages, tmp_path):
+    """CompareCheck is global: a resumed run must report the same
+    compare verdicts as an uninterrupted one, and they ride the audit
+    table with the partition-scoped checks."""
+    from data_check_spark.plans.suite import CompareCheck
+    from data_check_spark.sources.synth import synth_pages_v2
+
+    v2 = synth_pages_v2(spark, N)
+    checks = [
+        StatsCheck(thresholds={"text": {"max_null_rate": 0.05}}),
+        CompareCheck(name="pages_v2", pk="url", columns=["lang"], min_ratio_equal=0.99),
+    ]
+    full = CheckSuite(checks).run(spark, pages, "warc_day", reference_df=v2)
+    want = sorted(
+        map(tuple, full.verdicts.filter("check like 'pk_%' or check = 'ratio_equal'").collect())
+    )
+
+    man = Manifest(str(tmp_path / "m_cmp"))
+    parts = sorted(str(r[0]) for r in pages.select("warc_day").distinct().collect())
+    for p in parts[: len(parts) // 2]:
+        man.mark_complete(p, run_id="prior", metrics={})
+    res = CheckSuite(checks).run_resumable(
+        spark, pages, "warc_day", man,
+        audit_path=str(tmp_path / "audit_cmp"), reference_df=v2,
+    )
+    got = sorted(
+        map(tuple, res.verdicts.filter("check like 'pk_%' or check = 'ratio_equal'").collect())
+    )
+    assert got == want
+    audit = spark.read.parquet(str(tmp_path / "audit_cmp" / "verdicts"))
+    assert audit.filter("check = 'ratio_equal'").count() == 1
+    full.unpersist(); res.unpersist()
