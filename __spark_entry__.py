@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_check_spark.functions.textstats import (
+    add_text_metrics,
     bag_of_words_fingerprint,
     bpe_ish_token_count,
     digit_ratio,
@@ -383,6 +384,15 @@ def _q_quality(spark, sf_dir):
     return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
 
 
+def _q_text_metrics(spark, sf_dir):
+    """Fused single-pass twin of token_stats + quality_scores + langid
+    (functions/textstats.add_text_metrics): every regex counter
+    evaluated once per row, three stacked Projects that Catalyst keeps
+    uncollapsed, one parquet scan of (doc_id, text)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return add_text_metrics(d, "text")
+
+
 def _q_langid(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", lang_guess(F.col("text")).alias("lang_guess"))
@@ -685,6 +695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _q_token_stats,
         "quality_scores": _q_quality,
         "langid": _q_langid,
+        "text_metrics": _q_text_metrics,
         "fingerprint": _q_fingerprint,
         "events_hourly": _q_events_hourly,
         "tpch_q1": _q_tpch_q1,
@@ -711,6 +722,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_hamming": _q_simhash_hamming,
         "lsh_topk": _q_lsh_topk,
     }
+
+
+# DuckDB twins of the three text-metric entries — module constants so
+# the fused text_metrics oracle can recompose them as CTEs
+_TOKEN_STATS_ORACLE = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_bpe_tokens,
+       round(list_sum(list_transform(regexp_extract_all(text, '\S+'), w -> length(w))) * 1.0
+             / nullif(len(regexp_extract_all(text, '\S+')), 0), 4) AS mean_word_len,
+       round(length(regexp_replace(text, '[^.,;:!?''"()\[\]{}-]', '', 'g')) * 1.0
+             / nullif(length(regexp_replace(text, '\s', '', 'g')), 0), 6) AS punct_ratio,
+       round(length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+             / nullif(length(regexp_replace(text, '\s', '', 'g')), 0), 6) AS digit_ratio
+FROM documents"""
+
+_QUALITY_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\S+')) * 1.0 AS n_tok,
+         coalesce(length(regexp_replace(text, '[^.,;:!?''"()\[\]{}-]', '', 'g')) * 1.0
+                  / nullif(length(regexp_replace(text, '\s', '', 'g')), 0), 0.0) AS p,
+         coalesce(length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+                  / nullif(length(regexp_replace(text, '\s', '', 'g')), 0), 0.0) AS d,
+         coalesce(list_sum(list_transform(regexp_extract_all(text, '\S+'), w -> length(w))) * 1.0
+                  / nullif(len(regexp_extract_all(text, '\S+')), 0), 0.0) AS mwl,
+         coalesce(len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is|that|it|for)\b')) * 1.0
+                  / nullif(len(regexp_extract_all(text, '\S+')), 0), 0.0) AS sw
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN n_tok IS NULL THEN NULL ELSE
+       round(0.35 * least(n_tok / 100.0, 1.0)
+             + 0.3 * greatest(0.0, 1.0 - 2.0 * (p + d))
+             + 0.15 * (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.5 END)
+             + 0.2 * least(sw * 5.0, 1.0), 6) END AS quality
+FROM base"""
+
+_LANGID_ORACLE = r"""
+SELECT doc_id,
+  CASE
+    WHEN text IS NULL THEN NULL
+    WHEN len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is|that|it|for)\b')) >= len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein|zu|mit|auf)\b'))
+     AND len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is|that|it|for)\b')) >= len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une|des|du|que|pour)\b'))
+     AND len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is|that|it|for)\b')) >= len(regexp_extract_all(lower(text), '\b(el|la|los|las|y|es|una|del|que|por)\b'))
+     AND len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is|that|it|for)\b')) > 0 THEN 'en'
+    WHEN len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein|zu|mit|auf)\b')) >= len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une|des|du|que|pour)\b'))
+     AND len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein|zu|mit|auf)\b')) >= len(regexp_extract_all(lower(text), '\b(el|la|los|las|y|es|una|del|que|por)\b'))
+     AND len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein|zu|mit|auf)\b')) > 0 THEN 'de'
+    WHEN len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une|des|du|que|pour)\b')) >= len(regexp_extract_all(lower(text), '\b(el|la|los|las|y|es|una|del|que|por)\b'))
+     AND len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une|des|du|que|pour)\b')) > 0 THEN 'fr'
+    WHEN len(regexp_extract_all(lower(text), '\b(el|la|los|las|y|es|una|del|que|por)\b')) > 0 THEN 'es'
+    ELSE 'und'
+  END AS lang_guess
+FROM documents"""
+
 
 
 def oracle_sql() -> dict[str, str]:
@@ -817,55 +884,18 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
 FROM aug a JOIN aug b ON a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.99""",
-        "token_stats": r"""
-SELECT doc_id,
-       CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_tokens,
-       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_bpe_tokens,
-       round(list_sum(list_transform(regexp_extract_all(text, '\S+'), w -> length(w))) * 1.0
-             / nullif(len(regexp_extract_all(text, '\S+')), 0), 4) AS mean_word_len,
-       round(length(regexp_replace(text, '[^.,;:!?''"()\[\]{}-]', '', 'g')) * 1.0
-             / nullif(length(regexp_replace(text, '\s', '', 'g')), 0), 6) AS punct_ratio,
-       round(length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
-             / nullif(length(regexp_replace(text, '\s', '', 'g')), 0), 6) AS digit_ratio
-FROM documents""",
-        "quality_scores": r"""
-WITH base AS (
-  SELECT doc_id,
-         len(regexp_extract_all(text, '\S+')) * 1.0 AS n_tok,
-         coalesce(length(regexp_replace(text, '[^.,;:!?''"()\[\]{}-]', '', 'g')) * 1.0
-                  / nullif(length(regexp_replace(text, '\s', '', 'g')), 0), 0.0) AS p,
-         coalesce(length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
-                  / nullif(length(regexp_replace(text, '\s', '', 'g')), 0), 0.0) AS d,
-         coalesce(list_sum(list_transform(regexp_extract_all(text, '\S+'), w -> length(w))) * 1.0
-                  / nullif(len(regexp_extract_all(text, '\S+')), 0), 0.0) AS mwl,
-         coalesce(len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is|that|it|for)\b')) * 1.0
-                  / nullif(len(regexp_extract_all(text, '\S+')), 0), 0.0) AS sw
-  FROM documents
-)
-SELECT doc_id,
-       CASE WHEN n_tok IS NULL THEN NULL ELSE
-       round(0.35 * least(n_tok / 100.0, 1.0)
-             + 0.3 * greatest(0.0, 1.0 - 2.0 * (p + d))
-             + 0.15 * (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.5 END)
-             + 0.2 * least(sw * 5.0, 1.0), 6) END AS quality
-FROM base""",
-        "langid": r"""
-SELECT doc_id,
-  CASE
-    WHEN text IS NULL THEN NULL
-    WHEN len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is|that|it|for)\b')) >= len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein|zu|mit|auf)\b'))
-     AND len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is|that|it|for)\b')) >= len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une|des|du|que|pour)\b'))
-     AND len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is|that|it|for)\b')) >= len(regexp_extract_all(lower(text), '\b(el|la|los|las|y|es|una|del|que|por)\b'))
-     AND len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is|that|it|for)\b')) > 0 THEN 'en'
-    WHEN len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein|zu|mit|auf)\b')) >= len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une|des|du|que|pour)\b'))
-     AND len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein|zu|mit|auf)\b')) >= len(regexp_extract_all(lower(text), '\b(el|la|los|las|y|es|una|del|que|por)\b'))
-     AND len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein|zu|mit|auf)\b')) > 0 THEN 'de'
-    WHEN len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une|des|du|que|pour)\b')) >= len(regexp_extract_all(lower(text), '\b(el|la|los|las|y|es|una|del|que|por)\b'))
-     AND len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une|des|du|que|pour)\b')) > 0 THEN 'fr'
-    WHEN len(regexp_extract_all(lower(text), '\b(el|la|los|las|y|es|una|del|que|por)\b')) > 0 THEN 'es'
-    ELSE 'und'
-  END AS lang_guess
-FROM documents""",
+        "token_stats": _TOKEN_STATS_ORACLE,
+        "quality_scores": _QUALITY_ORACLE,
+        "langid": _LANGID_ORACLE,
+        # fused single-pass twin of the three entries above: same
+        # expressions, one scan (functions/textstats.add_text_metrics)
+        "text_metrics": f"""
+WITH tok AS ({_TOKEN_STATS_ORACLE}),
+q AS ({_QUALITY_ORACLE}),
+l AS ({_LANGID_ORACLE})
+SELECT tok.doc_id, tok.n_tokens, tok.n_bpe_tokens, tok.mean_word_len,
+       tok.punct_ratio, tok.digit_ratio, q.quality, l.lang_guess
+FROM tok JOIN q USING (doc_id) JOIN l USING (doc_id)""",
         "fingerprint": r"""
 SELECT doc_id,
        md5(array_to_string(list_sort(list_distinct(regexp_extract_all(lower(text), '\S+'))), ' ')) AS fp

@@ -123,6 +123,97 @@ def lang_guess(text: Column) -> Column:
     )
 
 
+def add_text_metrics(df, text_col: str = "text", keep: list[str] | None = None):
+    """ALL text metrics (token counts, ratios, quality, language) in
+    ONE scan with every raw regex counter evaluated exactly ONCE
+    (VERDICT r3 #5 / r2 #6 fusion).
+
+    Why the individual functions can't be cheaply combined in one
+    select: their shared subtrees (``regexp_count(text,'\\S+')``
+    appears 3x across quality+mean_word_length+token_count, the
+    non-space count 3x) sit under CaseWhen/try_divide branches, where
+    Spark's codegen subexpression elimination does NOT dedupe them.
+    Measured (scripts/profile_textfuse.py, 1M pages, local[16],
+    median-of-3): three separate scans 93.8 µs/row; all metrics in one
+    NAIVE select 132.8 µs/row (worse than separate — the duplicated
+    subtrees multiply); this two-stage form 33.6 µs/row (2.8x over
+    separate) vs a 20.9 µs/row raw-counter floor.
+
+    Mechanism: counters are materialized in a LOWER Project and the
+    metrics derived from their columns in an upper one. Catalyst's
+    CollapseProject keeps the two stages apart because each counter
+    alias is non-cheap and referenced more than once — collapsing
+    would re-duplicate the regexes — so the physical plan runs each
+    regex once per row. Output metric columns are bit-identical to the
+    standalone functions (oracle-checked: `text_metrics` entry).
+
+    ``keep``: passthrough columns (default: all non-text columns).
+    """
+    t = F.col(text_col)
+    keep = [c for c in df.columns if c != text_col] if keep is None else list(keep)
+    low = df.select(*keep, t.alias("_t"), F.lower(t).alias("_lt"))
+    counters = low.select(
+        *keep,
+        F.col("_t").alias("_t"),
+        F.regexp_count(F.col("_t"), F.lit(r"\S+")).alias("_ntok"),
+        F.regexp_count(
+            F.col("_t"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+        ).alias("_nbpe"),
+        (F.length(F.col("_t")) - F.regexp_count(F.col("_t"), F.lit(r"\s"))).alias("_nsp"),
+        F.regexp_count(F.col("_t"), F.lit(r"[.,;:!?'\"()\[\]{}-]")).alias("_npunct"),
+        F.regexp_count(F.col("_t"), F.lit(r"[0-9]")).alias("_ndigit"),
+        *[
+            F.regexp_count(F.col("_lt"), F.lit(pat)).alias(f"_sw_{lang}")
+            for lang, pat in LANG_MARKERS.items()
+        ],
+    )
+    _t = F.col("_t")
+    ntok, nsp = F.col("_ntok"), F.col("_nsp")
+    npunct, ndigit = F.col("_npunct"), F.col("_ndigit")
+    null_int = F.lit(None).cast("int")
+    pr = F.try_divide(npunct.cast("double"), nsp.cast("double"))
+    dr = F.try_divide(ndigit.cast("double"), nsp.cast("double"))
+    mwl = F.try_divide(nsp.cast("double"), ntok.cast("double"))
+    swr = F.try_divide(F.col("_sw_en").cast("double"), ntok.cast("double"))
+    # quality_score's formula verbatim, over the bound counters
+    n_tok_d = ntok.cast("double")
+    len_score = F.least(n_tok_d / F.lit(100.0), F.lit(1.0))
+    p = F.coalesce(pr, F.lit(0.0))
+    d_ = F.coalesce(dr, F.lit(0.0))
+    clean_score = F.greatest(F.lit(0.0), F.lit(1.0) - F.lit(2.0) * (p + d_))
+    mwl0 = F.coalesce(mwl, F.lit(0.0))
+    word_score = F.when((mwl0 >= 3.0) & (mwl0 <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    sw0 = F.coalesce(swr, F.lit(0.0))
+    sw_score = F.least(sw0 * F.lit(5.0), F.lit(1.0))
+    q = F.round(
+        F.lit(0.35) * len_score + F.lit(0.3) * clean_score
+        + F.lit(0.15) * word_score + F.lit(0.2) * sw_score,
+        6,
+    )
+    s = {lang: F.col(f"_sw_{lang}") for lang in LANG_MARKERS}
+    lang_col = (
+        F.when(_t.isNull(), F.lit(None).cast("string"))
+        .when(
+            (s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["es"]) & (s["en"] > 0),
+            F.lit("en"),
+        )
+        .when((s["de"] >= s["fr"]) & (s["de"] >= s["es"]) & (s["de"] > 0), F.lit("de"))
+        .when((s["fr"] >= s["es"]) & (s["fr"] > 0), F.lit("fr"))
+        .when(s["es"] > 0, F.lit("es"))
+        .otherwise(F.lit("und"))
+    )
+    return counters.select(
+        *keep,
+        F.when(_t.isNull(), null_int).otherwise(ntok.cast("int")).alias("n_tokens"),
+        F.when(_t.isNull(), null_int).otherwise(F.col("_nbpe").cast("int")).alias("n_bpe_tokens"),
+        F.round(mwl, 4).alias("mean_word_len"),
+        F.round(pr, 6).alias("punct_ratio"),
+        F.round(dr, 6).alias("digit_ratio"),
+        F.when(_t.isNull(), F.lit(None).cast("double")).otherwise(q).alias("quality"),
+        lang_col.alias("lang_guess"),
+    )
+
+
 def bag_of_words_fingerprint(text: Column) -> Column:
     """Order-insensitive document fingerprint: md5 of the sorted
     distinct lowercase tokens. Two documents with the same vocabulary

@@ -96,6 +96,11 @@ _DEDUP_OUT = StructType(
         StructField("text", StringType()),
         StructField("lang", StringType()),
         StructField("first_seen", BooleanType()),
+        # observability: the bucket's state size (distinct-hash count)
+        # after this batch chunk — lets an operator monitor state
+        # growth and alert before memory pressure, and verifies
+        # eviction is working when max_state_per_bucket/ttl is set
+        StructField("state_size", LongType()),
     ]
 )
 # Bounded state: 8 bytes per distinct url ever seen in the bucket —
@@ -108,7 +113,11 @@ _DEDUP_STATE = StructType([StructField("seen_hashes", ArrayType(LongType()))])
 
 
 def _dedup_fn(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    max_state: int | None = None,
+    ttl_ms: int | None = None,
 ) -> Iterator[pd.DataFrame]:
     """Keyed stateful dedup. State is an append-only array of int64
     url-hashes: per micro-batch cost is one set() build over the
@@ -118,7 +127,21 @@ def _dedup_fn(
     distinct url. (64-bit hash collisions mark a genuinely-new url as
     seen with probability ~n²/2⁶⁴ per bucket — negligible at any
     per-bucket n that fits in memory, and the usual trade for hashed
-    dedup state.)"""
+    dedup state.)
+
+    Eviction (both optional, both bound multi-year state growth):
+
+    * ``max_state`` — FIFO cap: when the bucket's array exceeds it,
+      the OLDEST hashes are dropped (they're in first-seen order, so
+      this is a truncation, not a sort). A url whose hash was evicted
+      and that reappears is reported first_seen again — the standard
+      bounded-dedup-state trade, preferable to unbounded memory.
+    * ``ttl_ms`` — processing-time timeout: a bucket with no traffic
+      for the TTL has its ENTIRE state dropped (Spark invokes this
+      function with hasTimedOut=true and no data)."""
+    if ttl_ms is not None and state.hasTimedOut:
+        state.remove()
+        return
     hashes: list[int] = []
     if state.exists:
         (arr,) = state.get
@@ -131,13 +154,25 @@ def _dedup_fn(
         new = pdf.loc[first.values, "_uh"].tolist()
         seen.update(new)
         hashes.extend(new)
+        if max_state is not None and len(hashes) > max_state:
+            evicted = hashes[: len(hashes) - max_state]
+            hashes = hashes[len(hashes) - max_state:]
+            seen.difference_update(evicted)
         out = pdf.loc[:, ["url", "warc_ts", "text", "lang"]].copy()
         out["first_seen"] = first.values
+        out["state_size"] = len(hashes)
         yield out
     state.update((hashes,))
+    if ttl_ms is not None:
+        state.setTimeoutDuration(ttl_ms)
 
 
-def streaming_dedup(pages: DataFrame, buckets: int = 8192) -> DataFrame:
+def streaming_dedup(
+    pages: DataFrame,
+    buckets: int = 8192,
+    max_state_per_bucket: int | None = None,
+    ttl_ms: int | None = None,
+) -> DataFrame:
     """First-seen URL filter as a custom stateful streaming operator
     (applyInPandasWithState). Keys are url-hash buckets, so state is
     spread evenly across tasks even with hot domains; output marks
@@ -157,18 +192,35 @@ def streaming_dedup(pages: DataFrame, buckets: int = 8192) -> DataFrame:
     explicit old bucket count, state would be mis-assigned across
     re-hashed buckets). Start a FRESH checkpointLocation after
     upgrading — Spark cannot migrate arbitrary state schemas in place
-    (see SCALE.md §streaming)."""
+    (see SCALE.md §streaming).
+
+    ``max_state_per_bucket`` / ``ttl_ms``: optional eviction so a
+    multi-year run's state stays bounded — FIFO hash-cap per bucket
+    and processing-time TTL for idle buckets respectively (see
+    ``_dedup_fn``); every output row carries ``state_size`` so state
+    growth is observable from the stream itself. Defaults (None) keep
+    exact-forever semantics."""
     keyed = (
         pages.withColumn("_uh", F.xxhash64("url"))
         .withColumn("bucket", F.pmod(F.col("_uh"), F.lit(buckets)))
         .groupBy("bucket")
     )
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        return _dedup_fn(
+            key, pdfs, state, max_state=max_state_per_bucket, ttl_ms=ttl_ms
+        )
+
     return keyed.applyInPandasWithState(
-        _dedup_fn,
+        fn,
         outputStructType=_DEDUP_OUT,
         stateStructType=_DEDUP_STATE,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

@@ -119,3 +119,46 @@ def test_decoder_pil_gated(spark):
     df = spark.createDataFrame([(1, bytearray(buf.getvalue()))], "doc_id long, blob binary")
     row = mm.extract_media_metadata(df, decoder="pil").collect()[0]
     assert (row["format"], row["width"], row["height"], row["ok"]) == ("png", 7, 3, True)
+
+
+def test_add_text_metrics_matches_individual_functions(spark, sf_dir):
+    """The fused two-stage pass must be bit-identical to the individual
+    functions AND its physical plan must keep the counter Project
+    uncollapsed (each regex counter aliased exactly once)."""
+    import pyspark.sql.functions as F
+
+    from data_check_spark.functions.textstats import (
+        add_text_metrics,
+        bpe_ish_token_count,
+        digit_ratio,
+        lang_guess,
+        mean_word_length,
+        punct_ratio,
+        quality_score,
+        token_count,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = F.col("text")
+    sep = d.select(
+        "doc_id",
+        token_count(t).alias("n_tokens"),
+        bpe_ish_token_count(t).alias("n_bpe_tokens"),
+        F.round(mean_word_length(t), 4).alias("mean_word_len"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(digit_ratio(t), 6).alias("digit_ratio"),
+        quality_score(t).alias("quality"),
+        lang_guess(t).alias("lang_guess"),
+    )
+    fused = add_text_metrics(d.select("doc_id", "text"), "text")
+    assert sorted(map(tuple, sep.collect())) == sorted(map(tuple, fused.collect()))
+    # NULL text row exercised explicitly
+    nd = spark.createDataFrame([(1, None), (2, "the cat and the dog")], "doc_id long, text string")
+    row = {r["doc_id"]: r for r in add_text_metrics(nd, "text").collect()}
+    assert row[1]["n_tokens"] is None and row[1]["quality"] is None and row[1]["lang_guess"] is None
+    assert row[2]["lang_guess"] == "en"
+    # plan shape: counters materialized once — the lower Project
+    # carries one regexp alias per counter and is NOT collapsed into
+    # the metric Project (which would re-duplicate the regexes)
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Project") >= 3
