@@ -12,10 +12,13 @@ timed sweeps; each query reports its MEDIAN across sweeps and `value`
 is the sum of medians. The whole timed block is sandwiched by the same
 concurrent pure-CPU sha256 ceiling probes the scaling bench uses
 (scripts/bench_scaling.py) and retried up to DCS_BENCH_ATTEMPTS
-(default 2) until a quiet window (both probes >= 0.8); the
-best-window attempt is kept and the probe readings are reported in
-the JSON ("ceiling_pre"/"ceiling_post") so a noisy number is visibly
-noisy.
+(default 2) until a quiet window — both probes in [0.8, 1.15] (a
+probe ABOVE ~1 means the low-parallelism probe itself was disturbed)
+AND the per-sweep total-time spread <= 1.2 (edge probes cannot see
+mid-run interference). Attempts are ranked by bench_scaling's
+att_score (spread first, probe distance from 1.0 second) — one
+protocol for the headline and scaling benches; probe readings and
+spread ship in the JSON so a noisy number is visibly noisy.
 
 Each query is forced with a noop-format write (full computation, no
 driver collect overhead — and no count(): Catalyst PRUNES aggregate
@@ -137,6 +140,25 @@ def main() -> None:
         warm: dict = {}
         one_sweep(spark, qs, sf_dir, pages, warm)
 
+        # attempt selection mirrors scripts/bench_scaling.bench_pair
+        # exactly (one protocol for headline and scaling benches):
+        # rank by the timed sweeps' own steadiness first — edge probes
+        # cannot see MID-RUN interference — then by probe distance
+        # from the ideal 1.0 (a reading ABOVE ~1 means the
+        # low-parallelism probe itself was disturbed; observed 1.25
+        # right before a 50%-slow run). Accept only a quiet window
+        # (both probes in [0.8, 1.15]) with steady sweeps (total-time
+        # spread <= 1.2), else retry.
+        def sweep_totals(timings: dict) -> list:
+            reps = len(next(iter(timings.values())))
+            return [sum(t[i] for t in timings.values()) for i in range(reps)]
+
+        def att_score(att: dict) -> float:
+            w = max(
+                abs(att["ceiling_pre"] - 1.0), abs(att["ceiling_post"] - 1.0)
+            )
+            return -(att["sweep_spread"] + 0.5 * w)
+
         best = None
         for attempt in range(ATTEMPTS):
             c_pre = cpu_ceiling(8, 32)
@@ -144,17 +166,18 @@ def main() -> None:
             for _ in range(REPS):
                 one_sweep(spark, qs, sf_dir, pages, timings)
             c_post = cpu_ceiling(8, 32)
+            totals = sweep_totals(timings)
             att = {
                 "timings": timings,
                 "ceiling_pre": round(c_pre, 3),
                 "ceiling_post": round(c_post, 3),
+                "sweep_spread": round(max(totals) / min(totals), 3),
                 "attempt": attempt,
             }
-            if best is None or min(c_pre, c_post) > min(
-                best["ceiling_pre"], best["ceiling_post"]
-            ):
+            if best is None or att_score(att) > att_score(best):
                 best = att
-            if c_pre >= 0.8 and c_post >= 0.8:
+            quiet_probes = 0.80 <= c_pre <= 1.15 and 0.80 <= c_post <= 1.15
+            if quiet_probes and att["sweep_spread"] <= 1.2:
                 break
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -182,6 +205,7 @@ def main() -> None:
                     "warmup": 1,
                     "ceiling_pre": best["ceiling_pre"],
                     "ceiling_post": best["ceiling_post"],
+                    "sweep_spread": best["sweep_spread"],
                     "attempt": best["attempt"],
                 },
             }
