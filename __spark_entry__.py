@@ -26,6 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_check_spark.functions.splits import split_summary
 from data_check_spark.functions.textstats import (
     add_text_metrics,
     bag_of_words_fingerprint,
@@ -35,6 +36,7 @@ from data_check_spark.functions.textstats import (
     mean_word_length,
     punct_ratio,
     quality_score,
+    repetition_metrics,
     token_count,
 )
 from data_check_spark.operators.dedup import (
@@ -668,6 +670,73 @@ def _q_suite_compare(spark, sf_dir):
     return suite.run(spark, t1, "o_orderstatus", reference_df=t2).verdicts
 
 
+def _q_repetition(spark, sf_dir):
+    """Gopher-style within-document repetition metrics (Rae et al.
+    2021 §A1.1): duplicate-line / duplicate-n-gram / top-n-gram
+    fractions — the standard crawled-text boilerplate filter. Pure
+    per-row JVM HOF work (functions/textstats.repetition_metrics)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return repetition_metrics(d, "text")
+
+
+def _q_train_split(spark, sf_dir):
+    """Deterministic md5-bucketed train/val/test assignment
+    (functions/splits.py): engine-portable (the DuckDB oracle
+    recomputes every label from the same md5 hex prefix), re-run
+    stable, shuffle-free. Emits the per-split audit summary."""
+    d = _t(spark, sf_dir, "documents")
+    return split_summary(d, "doc_id", weight_col="n_chars")
+
+
+def _q_tdigest(spark, sf_dir):
+    """Real t-digest quantiles (operators/sketch.py t-digest family,
+    k1 scale function, delta=300). Contract oracle (approx_stats
+    pattern): the estimates are partitioning-specific, so Spark emits
+    per q the EXACT interpolated quantile (re-derived by DuckDB's
+    quantile_cont) plus a rank-error check — |cdf(estimate) − q| ≤
+    0.02, the two-level k1 merge guarantee (≈ 2·q(1−q)/δ per level)
+    with margin. Raw estimates are pytest-covered (tests/test_sketch.py)."""
+    from data_check_spark.operators.sketch import quantiles_via_tdigest
+
+    d = _t(spark, sf_dir, "documents")
+    qs = [0.01, 0.25, 0.5, 0.75, 0.99]
+    est = quantiles_via_tdigest(d, "n_chars", qs, delta=300.0)
+    vals = d.select(F.col("n_chars").cast("double").alias("_v")).filter(
+        F.col("_v").isNotNull()
+    )
+    cdf = (
+        vals.crossJoin(F.broadcast(est))
+        .groupBy("q", "value")
+        .agg(
+            F.try_divide(
+                F.count_if(F.col("_v") <= F.col("value")).cast("double"),
+                F.count(F.lit(1)).cast("double"),
+            ).alias("_cdf")
+        )
+    )
+    exact = d.agg(
+        *[
+            F.round(F.percentile("n_chars", F.lit(q)), 4).alias(f"_e{i}")
+            for i, q in enumerate(qs)
+        ]
+    ).select(
+        F.expr(
+            "stack(5, "
+            + ", ".join(f"{q}D, _e{i}" for i, q in enumerate(qs))
+            + ") as (q, exact_value)"
+        )
+    )
+    return (
+        cdf.join(F.broadcast(exact), "q")
+        .select(
+            "q",
+            "exact_value",
+            (F.abs(F.col("_cdf") - F.col("q")) <= 0.02).alias("rank_err_ok"),
+        )
+        .orderBy("q")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full check-suite verdicts over sf0.001 documents."""
     return _q_suite_verdicts(spark, "/root/testdata/sf0.001")
@@ -711,6 +780,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": _q_minhash,
         "suite_verdicts": _q_suite_verdicts,
         "suite_compare_verdicts": _q_suite_compare,
+        "repetition_metrics": _q_repetition,
+        "train_split": _q_train_split,
+        "tdigest_quantiles": _q_tdigest,
         # xxhash64-simhash / seeded-LSH values have no DuckDB twin, so
         # these three emit their structural CONTRACTS instead
         # (planted-dup coverage, banded-vs-exact equality, recall ≥
@@ -1052,6 +1124,57 @@ SELECT count(*) AS n_docs,
        TRUE AS hll_text_within_5pct,
        TRUE AS p50_within_1pct
 FROM documents""",
+        "repetition_metrics": r"""
+WITH toks AS (
+  SELECT doc_id, text, regexp_extract_all(lower(text), '\S+') AS t
+  FROM documents
+), g AS (
+  SELECT doc_id, text,
+         CASE WHEN len(t) >= 2
+              THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+              ELSE [] END AS g2,
+         CASE WHEN len(t) >= 3
+              THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+              ELSE [] END AS g3,
+         list_filter(string_split(text, chr(10)), l -> len(trim(l)) > 0) AS lines
+  FROM toks
+), t2 AS (
+  SELECT doc_id, max(c) AS topc FROM (
+    SELECT doc_id, gg, count(*) AS c
+    FROM (SELECT doc_id, unnest(g2) AS gg FROM g) GROUP BY doc_id, gg
+  ) GROUP BY doc_id
+), t3 AS (
+  SELECT doc_id, max(c) AS topc FROM (
+    SELECT doc_id, gg, count(*) AS c
+    FROM (SELECT doc_id, unnest(g3) AS gg FROM g) GROUP BY doc_id, gg
+  ) GROUP BY doc_id
+)
+SELECT g.doc_id,
+       round(1.0 - len(list_distinct(lines)) * 1.0 / nullif(len(lines), 0), 6) AS dup_line_frac,
+       round(1.0 - len(list_distinct(g2)) * 1.0 / nullif(len(g2), 0), 6) AS dup_2gram_frac,
+       round(1.0 - len(list_distinct(g3)) * 1.0 / nullif(len(g3), 0), 6) AS dup_3gram_frac,
+       round(t2.topc * 1.0 / nullif(len(g2), 0), 6) AS top_2gram_frac,
+       round(t3.topc * 1.0 / nullif(len(g3), 0), 6) AS top_3gram_frac
+FROM g LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)""",
+        "train_split": """
+WITH s AS (
+  SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':dcs'), 1, 2) < 'cd' THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':dcs'), 1, 2) < 'e6' THEN 'val'
+              ELSE 'test' END AS split,
+         n_chars
+  FROM documents)
+SELECT split, count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS weight_sum
+FROM s GROUP BY split""",
+        "tdigest_quantiles": """
+SELECT CAST(0.01 AS DOUBLE) AS q, (SELECT round(quantile_cont(n_chars, 0.01), 4) FROM documents) AS exact_value, TRUE AS rank_err_ok
+UNION ALL
+SELECT CAST(0.25 AS DOUBLE), (SELECT round(quantile_cont(n_chars, 0.25), 4) FROM documents), TRUE
+UNION ALL
+SELECT CAST(0.5 AS DOUBLE), (SELECT round(quantile_cont(n_chars, 0.5), 4) FROM documents), TRUE
+UNION ALL
+SELECT CAST(0.75 AS DOUBLE), (SELECT round(quantile_cont(n_chars, 0.75), 4) FROM documents), TRUE
+UNION ALL
+SELECT CAST(0.99 AS DOUBLE), (SELECT round(quantile_cont(n_chars, 0.99), 4) FROM documents), TRUE""",
         "multimodal_meta": """
 SELECT doc_id,
        CASE WHEN text IS NULL THEN NULL ELSE CAST(octet_length(encode(text)) AS INT) END AS byte_len,

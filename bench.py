@@ -64,6 +64,11 @@ HEADLINE = [
     "events_hourly",
     "tpch_q1",
     "window_topk_orders",
+    # round-4 additions — new keys, so r<=3 medians stay comparable
+    # per-query; the TOTAL grows by construction when queries are added
+    "repetition_metrics",
+    "train_split",
+    "tdigest_quantiles",
 ]
 
 PAGES_N = int(os.environ.get("DCS_BENCH_PAGES_N", "500000"))

@@ -1,0 +1,81 @@
+"""Deterministic dataset splitting for training pipelines.
+
+A train/val/test split at 100 TB must be (a) a pure function of the
+row key — re-runs, backfills and late-arriving shards land in the
+same split with no coordination, (b) engine-portable — the labels a
+Spark job assigns must be reproducible by any other engine auditing
+the split, and (c) shuffle-free — assignment is a row-local
+expression, never a repartition.
+
+``hash_split`` therefore buckets md5(key || ':' || salt) by its first
+two hex characters (256 lexicographic buckets): md5 is bit-identical
+everywhere, and comparing hex substrings avoids any hex→int
+conversion quirk between engines. Fractions are quantized to 1/256
+(~0.4% granularity) — documented, deterministic, and exactly
+reproducible in ANSI SQL:
+
+    CASE WHEN substr(md5(key || ':' || salt), 1, 2) < '<hex(t1)>' ...
+
+Not random-per-run by design: ``randomSplit`` re-rolls on every
+execution and cannot be audited after the fact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def split_thresholds(fractions: dict[str, float]) -> list[tuple[str, str]]:
+    """[(label, upper-bound 2-hex-char string)] with cumulative
+    quantized bounds; last label absorbs the remainder."""
+    if not fractions or sum(fractions.values()) > 1.0 + 1e-9:
+        raise ValueError("fractions must be non-empty and sum to <= 1.0")
+    out: list[tuple[str, str]] = []
+    cum = 0.0
+    for label, frac in fractions.items():
+        cum += frac
+        bound = min(256, round(cum * 256))
+        # bound 256 must sort AFTER every hex pair; '100' does not
+        # ('ff' < '100' is lexicographically FALSE) — 'g' does.
+        out.append((label, "g" if bound >= 256 else format(bound, "02x")))
+    return out
+
+
+def split_label(key: Column, fractions: dict[str, float], salt: str = "dcs") -> Column:
+    """Split-label column from a row key: md5-bucketed, quantized to
+    1/256. Rows past the last cumulative bound get NULL (holdout) —
+    with fractions summing to 1.0 every row is labeled."""
+    bucket = F.substring(F.md5(F.concat(key.cast("string"), F.lit(":" + salt)).cast("binary")), 1, 2)
+    expr = F.lit(None).cast("string")
+    for label, bound in reversed(split_thresholds(fractions)):
+        expr = F.when(bucket < F.lit(bound), F.lit(label)).otherwise(expr)
+    return expr
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float] | None = None,
+    salt: str = "dcs",
+) -> DataFrame:
+    """Add a ``split`` column (default 80/10/10 train/val/test)."""
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    return df.withColumn("split", split_label(F.col(key_col), fractions, salt))
+
+
+def split_summary(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str | None = None,
+    fractions: dict[str, float] | None = None,
+    salt: str = "dcs",
+) -> DataFrame:
+    """Audit frame: one row per split with row count (and optional
+    weight sum) — the readout a pipeline gate checks against the
+    requested fractions."""
+    lab = hash_split(df, key_col, fractions, salt)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    if weight_col is not None:
+        aggs.append(F.sum(weight_col).alias("weight_sum"))
+    return lab.groupBy("split").agg(*aggs).orderBy("split")

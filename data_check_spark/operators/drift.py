@@ -188,6 +188,107 @@ def psi_from_profiles(p1: DataFrame, p2: DataFrame, round_to: int = 6) -> DataFr
     )
 
 
+def _digest_arrays(digest: DataFrame):
+    """Driver readout of a merged t-digest (≤ ~2δ rows, bounded):
+    (means, midpoint-cumulative-weights, total, vmin, vmax)."""
+    import numpy as np
+
+    pdf = digest.toPandas()
+    cent = pdf[~pdf["is_edge"]].sort_values("mean")
+    if len(cent) == 0:
+        return None
+    m = cent["mean"].to_numpy("float64")
+    w = cent["weight"].to_numpy("float64")
+    cum = np.cumsum(w) - w / 2.0
+    return m, cum, float(w.sum()), float(pdf["vmin"].min()), float(pdf["vmax"].max())
+
+
+def _digest_cdf(arrays, xs):
+    """Midpoint-rule CDF of a digest at points xs, anchored at the
+    exact (vmin, 0) and (vmax, total) extremes the digest carries."""
+    import numpy as np
+
+    m, cum, total, vmin, vmax = arrays
+    xp, fp = list(m), list(cum)
+    if vmin < xp[0]:
+        xp.insert(0, vmin)
+        fp.insert(0, 0.0)
+    if vmax > xp[-1]:
+        xp.append(vmax)
+        fp.append(total)
+    f = np.interp(xs, xp, fp, left=0.0, right=total)
+    return f / total
+
+
+def ks_from_tdigest(
+    df1: DataFrame,
+    df2: DataFrame,
+    col: Column | str,
+    delta: float = 300.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Two-sample KS from per-version t-digests (the north rule's
+    'KS over t-digest histograms'): each side is ONE scan emitting
+    ≤ ~2δ centroid rows; the statistic is evaluated at the union of
+    centroid means on the driver (a bounded sketch readout, like
+    every digest readout). vs the fixed-bin ks_statistic: no [lo, hi)
+    must be known up front and tail resolution adapts to the data —
+    the right default when the value range is unknown at 100 TB."""
+    import numpy as np
+
+    from data_check_spark.operators.sketch import merge_tdigest, partition_tdigest
+
+    digests = [
+        merge_tdigest(partition_tdigest(d.select((F.col(col) if isinstance(col, str) else col).alias("_v")), "_v", delta), delta)
+        for d in (df1, df2)
+    ]
+    a1, a2 = _digest_arrays(digests[0]), _digest_arrays(digests[1])
+    spark = df1.sparkSession
+    if a1 is None or a2 is None:
+        return spark.createDataFrame([(None,)], "ks double")
+    xs = np.union1d(a1[0], a2[0])
+    ks = float(np.max(np.abs(_digest_cdf(a1, xs) - _digest_cdf(a2, xs))))
+    return spark.createDataFrame([(round(ks, round_to),)], "ks double")
+
+
+def psi_from_tdigest(
+    df1: DataFrame,
+    df2: DataFrame,
+    col: Column | str,
+    n_buckets: int = 20,
+    delta: float = 300.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """PSI over t-digest-derived equiprobable buckets: edges are the
+    reference (df1) digest's quantiles, so every reference bucket has
+    mass ≈ 1/n_buckets and the PSI is not dominated by arbitrary
+    fixed-width binning. Same two-scan cost as ks_from_tdigest."""
+    import numpy as np
+
+    from data_check_spark.operators.sketch import merge_tdigest, partition_tdigest
+
+    digests = [
+        merge_tdigest(partition_tdigest(d.select((F.col(col) if isinstance(col, str) else col).alias("_v")), "_v", delta), delta)
+        for d in (df1, df2)
+    ]
+    a1, a2 = _digest_arrays(digests[0]), _digest_arrays(digests[1])
+    spark = df1.sparkSession
+    if a1 is None or a2 is None:
+        return spark.createDataFrame([(None, n_buckets)], "psi double, n_buckets int")
+    qs = np.linspace(0.0, 1.0, n_buckets + 1)[1:-1]
+    m, cum, total, vmin, vmax = a1
+    edges = np.interp(qs * total, cum, m)
+    edges = np.concatenate([[vmin], edges, [vmax]])
+    p = np.diff(_digest_cdf(a1, edges))
+    q = np.diff(_digest_cdf(a2, edges))
+    p = np.maximum(p, EPS)
+    q = np.maximum(q, EPS)
+    psi = float(np.sum((p - q) * np.log(p / q)))
+    return spark.createDataFrame(
+        [(round(psi, round_to), n_buckets)], "psi double, n_buckets int"
+    )
+
+
 def ks_statistic(
     df1: DataFrame,
     df2: DataFrame,

@@ -125,6 +125,45 @@ class KSDriftCheck:
 
 
 @dataclass
+class KSDigestDriftCheck:
+    """KS drift over per-version t-digests (the north rule's 'KS over
+    t-digest histograms', operators/drift.ks_from_tdigest): no
+    [lo, hi) range must be declared up front and tail resolution
+    adapts to the data — the right spec when the value range is
+    unknown. Global like KSDriftCheck (partition='*'). NOT fused with
+    the stats pass: the digest is a mapInPandas pass, so this check
+    costs one extra scan of the expression per side (each reducing to
+    ≤ ~2δ centroid rows)."""
+    name: str
+    expr: Callable[[], Column]
+    max_ks: float = 0.2
+    delta: float = 300.0
+    reference: Callable[[SparkSession], DataFrame] | None = None
+
+
+@dataclass
+class RepetitionCheck:
+    """Gopher-style within-document repetition gate
+    (functions/textstats.repetition_metrics): per-partition MEAN
+    duplicate-2-gram fraction and top-2-gram share must stay under
+    their thresholds. Partition-scoped (one verdict row per partition
+    per enabled threshold) so it resumes like stats/uniqueness.
+    Costs one scan of (partition, text) — per-row JVM HOF work, not
+    fused with the stats pass (the token array cannot ride the
+    fused agg's struct schema cheaply).
+
+    ``id_col`` enables a violations dump: documents whose
+    dup-2-gram fraction exceeds ``doc_dup_2gram_limit``, sorted
+    (partition, fraction desc, id) and capped at violation_limit."""
+    text_col: str = "text"
+    max_mean_dup_2gram: float | None = 0.2
+    max_mean_top_2gram: float | None = None
+    id_col: str | None = None
+    doc_dup_2gram_limit: float | None = None
+    violation_limit: int = 500
+
+
+@dataclass
 class CompareCheck:
     """Two-table diff family — the reference's flagship workflow
     (``/root/reference/data_check/data_processor.py:211-285``, driven
@@ -688,6 +727,66 @@ class CheckSuite:
                     (F.col("ks") <= chk.max_ks).alias("passed"),
                 )
                 verdict_frames.append(v)
+
+            elif isinstance(chk, KSDigestDriftCheck):
+                from data_check_spark.operators.drift import ks_from_tdigest
+
+                ref = chk.reference(spark) if chk.reference else reference_df
+                if ref is None:
+                    raise ValueError(f"drift check {chk.name}: no reference table")
+                ks = ks_from_tdigest(df, ref, chk.expr(), chk.delta)
+                v = ks.select(
+                    F.lit("*").alias("partition"),
+                    F.lit(chk.name).alias("column"),
+                    F.lit("ks_digest").alias("check"),
+                    F.col("ks").alias("metric"),
+                    F.lit(float(chk.max_ks)).alias("threshold"),
+                    # fail-closed: a NULL ks (both sides empty) fails
+                    F.coalesce(F.col("ks") <= chk.max_ks, F.lit(False)).alias("passed"),
+                )
+                verdict_frames.append(v)
+
+            elif isinstance(chk, RepetitionCheck):
+                from data_check_spark.functions.textstats import repetition_metrics
+
+                keep = [part_s.alias("partition")] + (
+                    [F.col(chk.id_col)] if chk.id_col else []
+                )
+                rep = repetition_metrics(
+                    df.select(*keep, F.col(chk.text_col).alias("_text")),
+                    "_text",
+                )
+                aggs, th = [], []
+                if chk.max_mean_dup_2gram is not None:
+                    aggs.append(F.avg("dup_2gram_frac").alias("mean_dup_2gram"))
+                    th.append(("mean_dup_2gram", chk.max_mean_dup_2gram))
+                if chk.max_mean_top_2gram is not None:
+                    aggs.append(F.avg("top_2gram_frac").alias("mean_top_2gram"))
+                    th.append(("mean_top_2gram", chk.max_mean_top_2gram))
+                if th:
+                    per_part = rep.groupBy("partition").agg(*aggs)
+                    for metric_name, bound in th:
+                        m = F.round(F.col(metric_name), 6)
+                        verdict_frames.append(
+                            per_part.select(
+                                "partition",
+                                F.lit(chk.text_col).alias("column"),
+                                F.lit(f"repetition_{metric_name}").alias("check"),
+                                m.alias("metric"),
+                                F.lit(float(bound)).alias("threshold"),
+                                # NULL mean (all-NULL/too-short texts in
+                                # the partition) fails closed
+                                F.coalesce(m <= bound, F.lit(False)).alias("passed"),
+                            )
+                        )
+                if chk.id_col and chk.doc_dup_2gram_limit is not None:
+                    violations[f"repetition:{chk.text_col}"] = (
+                        rep.filter(F.col("dup_2gram_frac") > chk.doc_dup_2gram_limit)
+                        .orderBy(
+                            "partition", F.desc("dup_2gram_frac"), F.col(chk.id_col)
+                        )
+                        .limit(chk.violation_limit)
+                    )
             else:
                 raise TypeError(f"unknown check type: {type(chk)}")
 
@@ -724,7 +823,13 @@ class CheckSuite:
         # over the UNFILTERED table so a resumed run reports the same
         # verdict as an uninterrupted one — scoping them to pending
         # partitions would make the answer depend on crash state
-        _GLOBAL = (CategoricalDriftCheck, NumericDriftCheck, KSDriftCheck, CompareCheck)
+        _GLOBAL = (
+            CategoricalDriftCheck,
+            NumericDriftCheck,
+            KSDriftCheck,
+            KSDigestDriftCheck,
+            CompareCheck,
+        )
         drift_checks = [c for c in self.checks if isinstance(c, _GLOBAL)]
         scoped_checks = [c for c in self.checks if not isinstance(c, _GLOBAL)]
         result = CheckSuite(scoped_checks or drift_checks).run(

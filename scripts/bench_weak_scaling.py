@@ -18,7 +18,9 @@ workers, tmpfs shuffle, pure-CPU ceiling probes around each attempt,
 att_score ranking (run-spread first, probe distance second), quiet
 window = probes in [0.8, 1.15] and per-run spread <= 1.2.
 
-Usage: python scripts/bench_weak_scaling.py [attempts]
+Usage: python scripts/bench_weak_scaling.py [attempts] [lo_cores]
+[hi_cores] [lo_n_pages] [hi_n_pages] (defaults 3 8 32 20M 80M; tables
+resolved as build/pages_{n}.parquet / build/pages_v2_{n}.parquet).
 Appends attempt records to BENCH/WEAK_SCALING_ATTEMPTS_r4.jsonl and
 prints the final JSON.
 """
@@ -34,11 +36,15 @@ sys.path.insert(0, os.path.join(REPO, "scripts"))
 
 from bench_scaling import cpu_ceiling, make_zip, run_worker  # noqa: E402
 
-LO_CORES, HI_CORES = 8, 32
-LO_PAGES = f"{REPO}/build/pages_20000000.parquet"
-LO_V2 = f"{REPO}/build/pages_v2_20000000.parquet"
-HI_PAGES = f"{REPO}/build/pages_80000000.parquet"
-HI_V2 = f"{REPO}/build/pages_v2_80000000.parquet"
+_argv = sys.argv + [None] * 6
+LO_CORES = int(_argv[2] or 8)
+HI_CORES = int(_argv[3] or 32)
+LO_N = int(_argv[4] or 20_000_000)
+HI_N = int(_argv[5] or 80_000_000)
+LO_PAGES = f"{REPO}/build/pages_{LO_N}.parquet"
+LO_V2 = f"{REPO}/build/pages_v2_{LO_N}.parquet"
+HI_PAGES = f"{REPO}/build/pages_{HI_N}.parquet"
+HI_V2 = f"{REPO}/build/pages_v2_{HI_N}.parquet"
 
 
 def spread(runs: list) -> float:
@@ -61,6 +67,8 @@ def main() -> None:
         r_lo = run_worker(LO_CORES, zpath, LO_PAGES, LO_V2)
         r_hi = run_worker(HI_CORES, zpath, HI_PAGES, HI_V2)
         c_post = cpu_ceiling(LO_CORES, HI_CORES)
+        # weak scaling: per-core throughput parity — the core ratio,
+        # not the doc ratio, is the ideal-speedup denominator
         eff = r_hi["docs_per_sec"] / ((HI_CORES / LO_CORES) * r_lo["docs_per_sec"])
         att = {
             "mode": "weak", "attempt": i,

@@ -1,0 +1,194 @@
+"""Tests for the round-4 additions: hash_split (deterministic
+train/val/test), repetition_metrics (Gopher-style boilerplate
+filters), and the real t-digest sketch."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_check_spark.functions.splits import hash_split, split_summary, split_thresholds
+from data_check_spark.functions.textstats import repetition_metrics
+from data_check_spark.operators.sketch import (
+    _merge_centroids,
+    merge_tdigest,
+    partition_tdigest,
+    quantiles_via_tdigest,
+)
+
+
+# ---------------------------------------------------------------- splits
+def test_split_thresholds_quantization():
+    assert split_thresholds({"train": 0.8, "val": 0.1, "test": 0.1}) == [
+        ("train", "cd"),
+        ("val", "e6"),
+        ("test", "g"),
+    ]
+    with pytest.raises(ValueError):
+        split_thresholds({"a": 0.9, "b": 0.2})
+
+
+def test_hash_split_deterministic_and_partition_invariant(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    a = {r["k"]: r["split"] for r in hash_split(df, "k").collect()}
+    b = {
+        r["k"]: r["split"]
+        for r in hash_split(df.repartition(7), "k").collect()
+    }
+    assert a == b  # pure function of the key — no partitioning dependence
+    fracs = {s: sum(1 for v in a.values() if v == s) / 2000 for s in ("train", "val", "test")}
+    assert abs(fracs["train"] - 205 / 256) < 0.03
+    assert abs(fracs["val"] - 25 / 256) < 0.02
+    assert abs(fracs["test"] - 26 / 256) < 0.02
+    assert None not in a.values()  # fractions sum to 1 → every row labeled
+
+
+def test_hash_split_salt_changes_assignment(spark):
+    df = spark.range(0, 500).withColumnRenamed("id", "k")
+    a = {r["k"]: r["split"] for r in hash_split(df, "k", salt="s1").collect()}
+    b = {r["k"]: r["split"] for r in hash_split(df, "k", salt="s2").collect()}
+    assert a != b
+
+
+def test_split_summary_covers_all_rows(spark):
+    df = spark.range(0, 1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+    s = split_summary(df, "k", weight_col="w").collect()
+    assert sum(r["n_rows"] for r in s) == 1000
+    assert sum(r["weight_sum"] for r in s) == sum(2 * i for i in range(1000))
+
+
+# ---------------------------------------------------------- repetition
+def _rep_one(spark, text):
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    return repetition_metrics(df, "text").collect()[0]
+
+
+def test_repetition_all_unique(spark):
+    r = _rep_one(spark, "a b c d e f")
+    assert r["dup_2gram_frac"] == 0.0
+    assert r["dup_3gram_frac"] == 0.0
+    assert r["top_2gram_frac"] == pytest.approx(1 / 5, abs=1e-6)
+    assert r["dup_line_frac"] == 0.0
+
+
+def test_repetition_fully_repeated(spark):
+    # "x y x y x y": 2-grams = [x y, y x, x y, y x, x y] → 2 distinct of 5
+    r = _rep_one(spark, "x y x y x y")
+    assert r["dup_2gram_frac"] == pytest.approx(1 - 2 / 5, abs=1e-6)
+    assert r["top_2gram_frac"] == pytest.approx(3 / 5, abs=1e-6)
+
+
+def test_repetition_duplicate_lines(spark):
+    r = _rep_one(spark, "hello world\nhello world\nunique line")
+    assert r["dup_line_frac"] == pytest.approx(1 - 2 / 3, abs=1e-6)
+
+
+def test_repetition_edge_cases(spark):
+    # fewer tokens than n → empty gram array → NULL fraction (0/0)
+    r = _rep_one(spark, "single")
+    assert r["dup_2gram_frac"] is None
+    assert r["top_3gram_frac"] is None
+    r = _rep_one(spark, "")
+    assert r["dup_line_frac"] is None
+    r = _rep_one(spark, None)
+    assert all(
+        r[c] is None
+        for c in ("dup_line_frac", "dup_2gram_frac", "top_2gram_frac")
+    )
+
+
+# ------------------------------------------------------------- t-digest
+def test_merge_centroids_invariants():
+    rng = np.random.RandomState(7)
+    v = rng.lognormal(3.0, 1.0, 200_000)
+    m, w = _merge_centroids(v, np.ones_like(v), delta=300.0)
+    assert len(m) < 400  # ~2·delta bound
+    assert w.sum() == pytest.approx(len(v))
+    assert np.all(np.diff(m) >= 0)  # means sorted
+    # weighted mean preserved exactly (merge is mean-preserving)
+    assert float((m * w).sum()) == pytest.approx(float(v.sum()), rel=1e-9)
+
+
+def test_tdigest_rank_error_bound(spark):
+    rng = np.random.RandomState(11)
+    v = rng.lognormal(3.0, 1.0, 50_000)
+    df = spark.createDataFrame([(float(x),) for x in v], "x double").repartition(8)
+    qs = [0.01, 0.1, 0.5, 0.9, 0.99]
+    est = {r["q"]: r["value"] for r in quantiles_via_tdigest(df, "x", qs).collect()}
+    sv = np.sort(v)
+    for q in qs:
+        cdf = np.searchsorted(sv, est[q], side="right") / len(sv)
+        assert abs(cdf - q) <= 0.01, (q, est[q], cdf)
+
+
+def test_tdigest_merge_partition_count_insensitive(spark):
+    """Estimates from 2 vs 16 partitions agree to the rank bound —
+    the merge invariant, not bit-equality."""
+    rng = np.random.RandomState(3)
+    v = rng.normal(100.0, 15.0, 30_000)
+    sv = np.sort(v)
+    for parts in (2, 16):
+        df = spark.createDataFrame([(float(x),) for x in v], "x double").repartition(parts)
+        est = {r["q"]: r["value"] for r in quantiles_via_tdigest(df, "x", [0.5, 0.99]).collect()}
+        for q in (0.5, 0.99):
+            cdf = np.searchsorted(sv, est[q], side="right") / len(sv)
+            assert abs(cdf - q) <= 0.01
+
+
+def test_tdigest_extremes_and_empty(spark):
+    df = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], "x double")
+    est = {r["q"]: r["value"] for r in quantiles_via_tdigest(df, "x", [0.0, 1.0]).collect()}
+    assert est[0.0] == 1.0  # clamped to exact min
+    assert est[1.0] == 3.0  # clamped to exact max
+    empty = df.filter("x > 10")
+    rows = quantiles_via_tdigest(empty, "x", [0.5]).collect()
+    assert rows[0]["value"] is None
+
+
+def test_ks_psi_from_tdigest(spark):
+    """Digest-based KS tracks the exact empirical KS; PSI near zero
+    on same-distribution, clearly positive on a shifted one."""
+    from data_check_spark.operators.drift import ks_from_tdigest, psi_from_tdigest
+
+    rng = np.random.RandomState(17)
+    a = rng.normal(100.0, 15.0, 20_000)
+    b = rng.normal(110.0, 15.0, 20_000)  # +10 shift
+    same = rng.normal(100.0, 15.0, 20_000)
+    mk = lambda v: spark.createDataFrame([(float(x),) for x in v], "x double").repartition(4)  # noqa: E731
+
+    # exact two-sample KS for the shifted pair
+    sa, sb = np.sort(a), np.sort(b)
+    xs = np.union1d(sa, sb)
+    exact_ks = float(
+        np.max(
+            np.abs(
+                np.searchsorted(sa, xs, side="right") / len(sa)
+                - np.searchsorted(sb, xs, side="right") / len(sb)
+            )
+        )
+    )
+    got = ks_from_tdigest(mk(a), mk(b), "x").collect()[0]["ks"]
+    assert abs(got - exact_ks) < 0.02, (got, exact_ks)
+
+    near = ks_from_tdigest(mk(a), mk(same), "x").collect()[0]["ks"]
+    assert near < 0.03
+
+    psi_shift = psi_from_tdigest(mk(a), mk(b), "x").collect()[0]["psi"]
+    psi_same = psi_from_tdigest(mk(a), mk(same), "x").collect()[0]["psi"]
+    assert psi_shift > 5 * max(psi_same, 0.001)
+
+
+def test_tdigest_tree_merge_matches_flat(spark):
+    rng = np.random.RandomState(5)
+    v = rng.uniform(0, 1000, 20_000)
+    df = spark.createDataFrame([(float(x),) for x in v], "x double").repartition(8)
+    parts = partition_tdigest(df, "x")
+    flat = merge_tdigest(parts)
+    tree = merge_tdigest(parts, fan_in=4)
+    sv = np.sort(v)
+    from data_check_spark.operators.sketch import tdigest_quantiles
+
+    for digest in (flat, tree):
+        est = {r["q"]: r["value"] for r in tdigest_quantiles(digest, [0.25, 0.75]).collect()}
+        for q in (0.25, 0.75):
+            cdf = np.searchsorted(sv, est[q], side="right") / len(sv)
+            assert abs(cdf - q) <= 0.015

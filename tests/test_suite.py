@@ -424,3 +424,79 @@ def test_compare_check_resume_matches_uninterrupted(spark, pages, tmp_path):
     audit = spark.read.parquet(str(tmp_path / "audit_cmp" / "verdicts"))
     assert audit.filter("check = 'ratio_equal'").count() == 1
     full.unpersist(); res.unpersist()
+
+
+def test_ks_digest_drift_check(spark, pages):
+    """KSDigestDriftCheck: digest-based KS verdict rides the suite —
+    near-zero KS vs an identical table, clearly positive vs v2's
+    shifted text lengths; global on resume like KSDriftCheck."""
+    from data_check_spark.plans.suite import KSDigestDriftCheck
+    from data_check_spark.sources.synth import synth_pages_v2
+
+    v2 = synth_pages_v2(spark, N)
+    chk = KSDigestDriftCheck(name="text_len", expr=lambda: F.length("text"), max_ks=0.05)
+    res = CheckSuite([chk]).run(spark, pages, "warc_day", reference_df=v2)
+    row = res.verdicts.filter("check = 'ks_digest'").collect()[0]
+    assert row["partition"] == "*" and row["column"] == "text_len"
+    assert row["metric"] is not None and row["metric"] >= 0.0
+    same = CheckSuite([chk]).run(spark, pages, "warc_day", reference_df=pages)
+    srow = same.verdicts.filter("check = 'ks_digest'").collect()[0]
+    assert srow["metric"] <= 0.01 and srow["passed"]
+    res.unpersist(); same.unpersist()
+
+
+def test_ks_digest_resume_matches_uninterrupted(spark, pages, tmp_path):
+    from data_check_spark.plans.suite import KSDigestDriftCheck
+    from data_check_spark.sources.synth import synth_pages_v2
+
+    v2 = synth_pages_v2(spark, N)
+    checks = [
+        StatsCheck(thresholds={"text": {"max_null_rate": 0.05}}),
+        KSDigestDriftCheck(name="text_len", expr=lambda: F.length("text"), max_ks=0.5),
+    ]
+    full = CheckSuite(checks).run(spark, pages, "warc_day", reference_df=v2)
+    want = [tuple(r) for r in full.verdicts.filter("check = 'ks_digest'").collect()]
+
+    man = Manifest(str(tmp_path / "m_ksd"))
+    parts = sorted(str(r[0]) for r in pages.select("warc_day").distinct().collect())
+    man.mark_complete(parts[0], run_id="prior", metrics={})
+    res = CheckSuite(checks).run_resumable(
+        spark, pages, "warc_day", man, reference_df=v2
+    )
+    got = [tuple(r) for r in res.verdicts.filter("check = 'ks_digest'").collect()]
+    assert got == want  # global: unaffected by the pending-partition filter
+    full.unpersist(); res.unpersist()
+
+
+def test_repetition_check(spark):
+    """RepetitionCheck: partition means + per-doc violation dump."""
+    from data_check_spark.plans.suite import RepetitionCheck
+
+    rows = [
+        ("p1", 1, "a b c d e f g h"),          # no repetition
+        ("p1", 2, "x y x y x y x y"),          # dup_2gram = 1 - 2/7
+        ("p2", 3, "spam spam spam spam spam"),  # dup_2gram = 1 - 1/4
+        ("p2", 4, None),
+    ]
+    df = spark.createDataFrame(rows, "part string, doc_id long, text string")
+    chk = RepetitionCheck(
+        text_col="text",
+        max_mean_dup_2gram=0.10,
+        max_mean_top_2gram=0.95,
+        id_col="doc_id",
+        doc_dup_2gram_limit=0.5,
+    )
+    res = CheckSuite([chk]).run(spark, df, "part")
+    v = {
+        (r["partition"], r["check"]): r
+        for r in res.verdicts.collect()
+    }
+    p1 = v[("p1", "repetition_mean_dup_2gram")]
+    # p1 mean = (0 + (1 - 2/7)) / 2
+    assert p1["metric"] == pytest.approx((1 - 2 / 7) / 2, abs=1e-5)
+    assert not p1["passed"]
+    p2 = v[("p2", "repetition_mean_dup_2gram")]  # NULL text skipped by avg
+    assert p2["metric"] == pytest.approx(1 - 1 / 4, abs=1e-5)
+    viol = res.violations["repetition:text"].collect()
+    assert [r["doc_id"] for r in viol] == [2, 3]
+    res.unpersist()
