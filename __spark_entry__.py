@@ -406,18 +406,40 @@ def _q_fingerprint(spark, sf_dir):
 
 
 def _q_events_hourly(spark, sf_dir):
+    """Hourly rollup with FIXED-POINT value aggregation: each value is
+    quantized to 1e-6 and summed as decimal (exact, associative), so
+    the aggregate is independent of accumulation order. Plain
+    avg(double) differs between engines (and between partitionings) by
+    a few ulps of summation-reorder error — at sf0.1 that straddled
+    the 4-dp rounding boundary on ~0.1% of groups (caught by the r4
+    sf0.1 oracle sweep). Decimal sum, not int64: at 10^12 rows an
+    int64 of 1e-6-scaled values overflows."""
     e = _t(spark, sf_dir, "events")
-    return (
-        e.groupBy(
-            F.date_trunc("hour", "ts").alias("hour"), F.col("event_type")
-        )
+    g = (
+        e.groupBy(F.date_trunc("hour", "ts").alias("hour"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.sum(F.round(F.col("value") * 1e6).cast("decimal(25,0)")).alias("_s"),
+            F.count("value").alias("_c"),
         )
-        .orderBy("hour", "event_type")
     )
+    # integer HALF_UP: round(x/d, k) = (2*x*10^k + d) div (2*d) — both
+    # engines do identical exact integer arithmetic, then one identical
+    # IEEE division; round(double, k) cannot be used cross-engine at
+    # exact .5 boundaries (Spark rounds the shortest-repr decimal
+    # HALF_UP, DuckDB rounds the true binary value)
+    return g.select(
+        "hour",
+        "event_type",
+        "n",
+        (
+            F.expr(
+                "cast((2 * _s * 10000 + _c * 1000000) div (2 * _c * 1000000) as double)"
+            )
+            / 10000
+        ).alias("avg_value"),
+        (F.expr("cast((2 * _s + 10000) div 20000 as double)") / 100).alias("sum_value"),
+    ).orderBy("hour", "event_type")
 
 
 def _q_tpch_q1(spark, sf_dir):
@@ -996,9 +1018,16 @@ SELECT round(quantile_cont(n_chars, 0.25), 4) AS p25,
        round(quantile_cont(n_chars, 0.9), 4) AS p90
 FROM documents""",
         "events_hourly": """
-SELECT date_trunc('hour', ts) AS hour, event_type,
-       count(*) AS n, round(avg(value), 4) AS avg_value, round(sum(value), 2) AS sum_value
-FROM events GROUP BY 1, 2""",
+WITH g AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type,
+         count(*) AS n,
+         sum(CAST(round(value * 1000000) AS BIGINT)) AS s,
+         count(value) AS c
+  FROM events GROUP BY 1, 2)
+SELECT hour, event_type, n,
+       CAST((2 * s * 10000 + c * 1000000) // (2 * c * 1000000) AS DOUBLE) / 10000 AS avg_value,
+       CAST((2 * s + 10000) // 20000 AS DOUBLE) / 100 AS sum_value
+FROM g""",
         "tpch_q1": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
@@ -1100,10 +1129,19 @@ g AS (SELECT doc_id,
              list_distinct(list_transform(range(1, len(ws) - 1),
                                           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
       FROM w WHERE len(ws) >= 3),
-j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             round(len(list_intersect(a.sh, b.sh)) * 1.0
-                   / nullif(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 0), 6) AS jaccard
-      FROM g a JOIN g b ON a.doc_id < b.doc_id)
+-- inverted-index formulation of the exact all-pairs Jaccard: unnest
+-- shingles, equi-join on shingle, count shared shingles per pair —
+-- identical answers to the naive quadratic join with per-pair
+-- list_intersect, but hash-join/agg work only (the quadratic form ran
+-- ~45 min single-threaded at sf0.1; this runs in seconds)
+n AS (SELECT doc_id, len(sh) AS n FROM g),
+t AS (SELECT doc_id, unnest(sh) AS tok FROM g),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+j AS (SELECT id_a, id_b,
+             round(inter * 1.0 / nullif(na.n + nb.n - inter, 0), 6) AS jaccard
+      FROM p JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b)
 SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.8""",
         # exact twin of the banded hyperplane-LSH near-dup: the planted
         # pairs are exact vector copies (cosine 1.0 -> identical sign

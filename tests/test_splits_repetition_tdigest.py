@@ -177,6 +177,28 @@ def test_ks_psi_from_tdigest(spark):
     assert psi_shift > 5 * max(psi_same, 0.001)
 
 
+def test_tdigest_persist_and_merge_across_runs(spark, tmp_path):
+    """The audit-table workflow: run 1 digests half the data and
+    persists the centroid rows; run 2 digests the rest, merges with
+    the stored digest, and reads quantiles over the UNION without
+    rescanning run 1's data."""
+    rng = np.random.RandomState(23)
+    v = rng.gamma(4.0, 25.0, 40_000)
+    df = spark.createDataFrame([(float(x),) for x in v], "x double")
+    half1 = df.filter("x < 100"); half2 = df.filter("x >= 100")
+    p = str(tmp_path / "digest_run1")
+    merge_tdigest(partition_tdigest(half1, "x")).write.parquet(p)
+    stored = spark.read.parquet(p)
+    combined = merge_tdigest(stored.unionByName(partition_tdigest(half2, "x")))
+    from data_check_spark.operators.sketch import tdigest_quantiles
+
+    est = {r["q"]: r["value"] for r in tdigest_quantiles(combined, [0.1, 0.5, 0.9]).collect()}
+    sv = np.sort(v)
+    for q in (0.1, 0.5, 0.9):
+        cdf = np.searchsorted(sv, est[q], side="right") / len(sv)
+        assert abs(cdf - q) <= 0.015, (q, est[q], cdf)
+
+
 def test_tdigest_tree_merge_matches_flat(spark):
     rng = np.random.RandomState(5)
     v = rng.uniform(0, 1000, 20_000)
