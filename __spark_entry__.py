@@ -606,6 +606,44 @@ def _q_lsh_topk(spark, sf_dir):
     )
 
 
+def _q_ivf_topk(spark, sf_dir):
+    """IVF (inverted-file) ANN — the second scale path next to
+    hyperplane LSH (operators/similarity.ivf_topk: spherical-k-means
+    coarse quantizer, n_probe nearest cells per query, exact cosine
+    re-scoring). Same recall contract as lsh_topk: plant one exact
+    copy of each query vector (offset derived from max(vec_id)),
+    compute IVF top-k AND brute-force top-k in one plan, and measure
+    in-plan recall over the strong pairs (cosine ≥ 0.9 — exactly the
+    planted copies). Structural: a copy's cell IS its original's
+    nearest-centroid cell, so strong_recall is exactly 1.0 and DuckDB
+    re-derives the full row. Noise-neighbor recall behavior is
+    pytest-covered (tests/test_splits_repetition_tdigest.py)."""
+    from data_check_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    mx = e.agg(F.max("vec_id").alias("mx")).collect()[0]["mx"] or 0
+    aug = e.unionByName(q.withColumn("vec_id", F.col("vec_id") + F.lit(int(mx) + 1)))
+    ivf = ivf_topk(aug, q, dim=64, k=5, n_centroids=16, n_probe=4).select(
+        "query_id", "neighbor_id"
+    )
+    bf = brute_force_topk(aug, q, k=5)
+    strong = bf.filter(F.col("cosine") >= 0.9).select("query_id", "neighbor_id")
+    counts = strong.agg(F.count(F.lit(1)).alias("_ns")).crossJoin(
+        ivf.join(strong, ["query_id", "neighbor_id"], "left_semi").agg(
+            F.count(F.lit(1)).alias("_nh")
+        )
+    ).crossJoin(q.agg(F.count_distinct("vec_id").alias("n_queries")))
+    recall = F.try_divide(F.col("_nh").cast("double"), F.col("_ns").cast("double"))
+    return counts.select(
+        "n_queries",
+        F.lit(5).alias("k"),
+        F.col("_ns").alias("n_strong"),
+        F.round(recall, 6).alias("strong_recall"),
+        (recall >= 0.9).alias("strong_recall_ge_0_9"),
+    )
+
+
 def _q_cosine_neardup_lsh(spark, sf_dir):
     """Scale path for embedding near-dup: candidates restricted to a
     shared random-hyperplane LSH bucket (vs the brute-force oracle
@@ -815,6 +853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": _q_simhash,
         "simhash_hamming": _q_simhash_hamming,
         "lsh_topk": _q_lsh_topk,
+        "ivf_topk": _q_ivf_topk,
     }
 
 
@@ -1244,6 +1283,11 @@ SELECT (SELECT count(*) FROM documents)
        (SELECT count(*) FROM documents WHERE doc_id % 20 = 0 AND text IS NOT NULL) AS n_planted,
        TRUE AS banded_equals_exact""",
         "lsh_topk": """
+SELECT count(DISTINCT vec_id) AS n_queries, 5 AS k,
+       count(DISTINCT vec_id) AS n_strong,
+       1.0 AS strong_recall, TRUE AS strong_recall_ge_0_9
+FROM embeddings WHERE vec_id < 5""",
+        "ivf_topk": """
 SELECT count(DISTINCT vec_id) AS n_queries, 5 AS k,
        count(DISTINCT vec_id) AS n_strong,
        1.0 AS strong_recall, TRUE AS strong_recall_ge_0_9

@@ -293,7 +293,9 @@ def repetition_metrics(df, text_col: str = "text", id_cols: list[str] | None = N
     duplicate 2-/3-gram fractions, top 2-/3-gram share. The token
     array is bound once in a lower Project (referenced 4x — Catalyst
     keeps the stage uncollapsed, same mechanism as add_text_metrics)
-    so the split+lower runs once per row."""
+    so the split+lower runs once per row. Measured 24.5 µs/row for all
+    five metrics (bench.py, sf0.1 documents ~30-token rows, local[32])
+    — cheaper than one separate regex-metric scan (93.8/3 ≈ 31)."""
     id_cols = [c for c in df.columns if c != text_col] if id_cols is None else list(id_cols)
     t = F.col(text_col)
     toks = df.select(*id_cols, t.alias("_t"), word_tokens(t).alias("_w"))

@@ -224,6 +224,134 @@ def lsh_topk(
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the second scale path the pipeline spec
+# names ("an IVF or LSH-bucketed variant"). A coarse quantizer
+# (spherical k-means) partitions vectors into cells; a query scores
+# only the vectors in its n_probe nearest cells. vs hyperplane LSH:
+# cells adapt to the data distribution (clustered corpora get
+# proportionate cells, where fixed random hyperplanes split clusters
+# blindly), at the cost of a training step.
+#
+# Scale shape: training reads a BOUNDED deterministic sample to the
+# driver (max_sample rows — the same bounded-readout class as sketch
+# collects); assignment is one Arrow-batched matmul per batch with the
+# centroid matrix shipped in the UDF closure (a few n_centroids×dim
+# floats); the probe join shuffles only vectors in probed cells.
+# ---------------------------------------------------------------------------
+
+
+def kmeans_centroids(
+    embeddings: DataFrame,
+    dim: int,
+    n_centroids: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_sample: int = 20_000,
+    n_iters: int = 5,
+) -> np.ndarray:
+    """Deterministic spherical k-means coarse quantizer trained on the
+    ``max_sample`` lowest-id vectors (TakeOrdered — bounded driver
+    readout, deterministic at any parallelism). Init = the first
+    n_centroids sample vectors; ``n_iters`` Lloyd steps with max-dot
+    assignment on L2-normalized vectors; empty cells keep their
+    previous centroid. Returns an (n_centroids × dim) float64 matrix
+    of unit rows."""
+    rows = (
+        embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .filter(F.col("_v").isNotNull())
+        .orderBy("_id")
+        .limit(max_sample)
+        .collect()
+    )
+    x = np.asarray([r["_v"] for r in rows], dtype=np.float64)
+    if len(x) < n_centroids:
+        raise ValueError(f"need >= {n_centroids} sample vectors, got {len(x)}")
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    c = x[:n_centroids].copy()
+    for _ in range(n_iters):
+        assign = np.argmax(x @ c.T, axis=1)
+        for j in range(n_centroids):
+            members = x[assign == j]
+            if len(members):
+                c[j] = members.sum(axis=0)
+        c /= np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+    return c
+
+
+def _cell_udfs(centroids: np.ndarray, n_probe: int):
+    """(assign_udf, probe_udf): nearest cell per vector / n_probe
+    nearest cells per query — one matmul per Arrow batch each."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    ct = centroids.T.copy()  # dim × n_centroids
+
+    @pandas_udf(IntegerType())
+    def assign_cell(v: pd.Series) -> pd.Series:
+        m = np.asarray(v.tolist(), dtype=np.float64)
+        return pd.Series(np.argmax(m @ ct, axis=1).astype(np.int32))
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def probe_cells(v: pd.Series) -> pd.Series:
+        m = np.asarray(v.tolist(), dtype=np.float64)
+        scores = m @ ct
+        # argsort desc, deterministic tie-break by cell id (stable sort
+        # on negated scores)
+        order = np.argsort(-scores, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series([row.astype(np.int32).tolist() for row in order])
+
+    return assign_cell, probe_cells
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_centroids: int = 64,
+    n_probe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+    max_sample: int = 20_000,
+) -> DataFrame:
+    """IVF approximate top-k → (query_id, neighbor_id, cosine, rank).
+    Candidates = vectors whose cell is among the query's n_probe
+    nearest centroids; exact cosine re-scores candidates. Expected
+    scan fraction ≈ n_probe/n_centroids of the corpus per query. A
+    vector's own cell is always its nearest centroid's, so an exact
+    copy of a query is always a candidate (recall 1.0 on planted
+    copies — the driver contract)."""
+    cents = kmeans_centroids(
+        embeddings, dim, n_centroids, id_col, vec_col, max_sample
+    )
+    assign_cell, probe_cells = _cell_udfs(cents, n_probe)
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        assign_cell(F.col(vec_col)).alias("_cell"),
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            F.explode(probe_cells(F.col(vec_col))).alias("_cell"),
+        )
+    )
+    cand = q.join(c, "_cell").filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(_cosine_pandas(F.col("_qv"), F.col("_cv")), round_to).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 def cosine_near_duplicates(
     embeddings: DataFrame,
     dim: int,

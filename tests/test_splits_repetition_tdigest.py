@@ -96,6 +96,72 @@ def test_repetition_edge_cases(spark):
     )
 
 
+# ------------------------------------------------------------------ IVF
+def _clustered_vectors(rng, n, dim, n_clusters):
+    centers = rng.standard_normal((n_clusters, dim)) * 3.0
+    assign = rng.randint(0, n_clusters, n)
+    return centers[assign] + rng.standard_normal((n, dim)) * 0.3
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark):
+    from data_check_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    rng = np.random.RandomState(9)
+    x = _clustered_vectors(rng, 1200, 16, 8)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(len(x))],
+        "vec_id long, embedding array<float>",
+    ).repartition(6)
+    q = df.filter("vec_id < 10")
+    bf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(df, q, k=5).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(df, q, dim=16, k=5, n_centroids=16, n_probe=6).collect()
+    }
+    recall = len(ivf & bf) / len(bf)
+    assert recall >= 0.8, recall  # clustered data: probed cells cover the cluster
+
+
+def test_ivf_topk_partition_invariant(spark):
+    """Centroids train on a TakeOrdered sample and assignment is a pure
+    function of the vector, so results are identical at any
+    parallelism."""
+    from data_check_spark.operators.similarity import ivf_topk
+
+    rng = np.random.RandomState(4)
+    x = _clustered_vectors(rng, 400, 8, 4)
+    rows = [(i, [float(v) for v in x[i]]) for i in range(len(x))]
+    outs = []
+    for parts in (2, 8):
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        ).repartition(parts)
+        q = df.filter("vec_id < 5")
+        outs.append(
+            [tuple(r) for r in ivf_topk(df, q, dim=8, k=3, n_centroids=8, n_probe=3).collect()]
+        )
+    assert outs[0] == outs[1]
+
+
+def test_ivf_planted_copy_always_found(spark):
+    from data_check_spark.operators.similarity import ivf_topk
+
+    rng = np.random.RandomState(2)
+    x = rng.standard_normal((300, 8))
+    rows = [(i, [float(v) for v in x[i]]) for i in range(len(x))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter("vec_id < 5")
+    aug = df.unionByName(q.selectExpr("vec_id + 1000 AS vec_id", "embedding"))
+    top = ivf_topk(aug, q, dim=8, k=1, n_centroids=8, n_probe=1).collect()
+    # the exact copy lands in the query's own top-1 probe cell
+    assert {(r["query_id"], r["neighbor_id"]) for r in top} == {
+        (i, i + 1000) for i in range(5)
+    }
+
+
 # ------------------------------------------------------------- t-digest
 def test_merge_centroids_invariants():
     rng = np.random.RandomState(7)
