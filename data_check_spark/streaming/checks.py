@@ -89,6 +89,60 @@ def streaming_stat_verdicts(
     )
 
 
+def streaming_psi_verdicts(
+    pages: DataFrame,
+    reference_freqs: dict[str, float],
+    col: str = "lang",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    max_psi: float = 0.2,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Per-event-time-window PSI drift against a STATIC reference
+    distribution (e.g. last month's lang frequencies) — streaming
+    drift without chained stateful operators: because the reference
+    categories are known at plan time, per-window per-category counts
+    are |categories| count_ifs inside the ONE watermarked windowed
+    aggregation (same bounded-state shape as streaming_stat_verdicts),
+    and the PSI is a closed-form JVM expression over those counts.
+
+    Categories outside the reference (and NULL) fold into a single
+    OTHER bucket with reference mass ``eps`` — the same epsilon floor
+    batch psi_categorical applies to empty buckets, so novel
+    categories surface as drift rather than being dropped.
+
+    Emits (window_start, window_end, n_rows, psi, threshold, passed)
+    in append mode once the watermark closes each window."""
+    cats = sorted(reference_freqs)
+    c = F.col(col)
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, _k in enumerate(cats):
+        aggs.append(F.count_if(c == F.lit(_k)).alias(f"_c{i}"))
+    aggs.append(F.count_if(c.isNull() | ~c.isin(list(cats))).alias("_other"))
+    agg = (
+        pages.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"))
+        .agg(*aggs)
+    )
+    n = F.col("_n").cast("double")
+    psi = F.lit(0.0)
+    for i, k in enumerate(cats):
+        p = F.greatest(F.col(f"_c{i}").cast("double") / n, F.lit(eps))
+        q = F.lit(max(float(reference_freqs[k]), eps))
+        psi = psi + (p - q) * F.log(p / q)
+    p_o = F.greatest(F.col("_other").cast("double") / n, F.lit(eps))
+    psi = psi + (p_o - F.lit(eps)) * F.log(p_o / F.lit(eps))
+    psi = F.round(psi, 6)
+    return agg.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        F.col("_n").alias("n_rows"),
+        psi.alias("psi"),
+        F.lit(float(max_psi)).alias("threshold"),
+        (psi <= max_psi).alias("passed"),
+    )
+
+
 _DEDUP_OUT = StructType(
     [
         StructField("url", StringType()),

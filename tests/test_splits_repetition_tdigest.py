@@ -96,6 +96,18 @@ def test_repetition_edge_cases(spark):
     )
 
 
+def test_map_only_plans(spark):
+    """repetition_metrics and hash_split are row-local: their physical
+    plans must contain NO Exchange (shuffle) — the property that makes
+    them free at 100 TB."""
+    df = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"), F.lit("a b c a b").alias("text")
+    )
+    for out in (repetition_metrics(df, "text"), hash_split(df, "doc_id")):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+
+
 # ------------------------------------------------------------------ IVF
 def _clustered_vectors(rng, n, dim, n_clusters):
     centers = rng.standard_normal((n_clusters, dim)) * 3.0

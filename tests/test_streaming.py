@@ -262,3 +262,68 @@ def test_streaming_dedup_state_size_and_cap(spark, pages_dir):
     assert out.count() == N
     assert out.agg(F.max("state_size")).collect()[0][0] <= 20
     assert out.agg(F.min("state_size")).collect()[0][0] >= 1
+
+
+def test_streaming_psi_matches_closed_form(spark, pages_dir):
+    """Windowed streaming PSI equals the same closed-form PSI computed
+    from batch per-window counts (same eps flooring, same OTHER
+    bucket); drifted reference flips the verdict."""
+    import math
+
+    from data_check_spark.streaming.checks import streaming_psi_verdicts
+
+    batch = spark.read.parquet(pages_dir)
+    ref = {
+        r["lang"]: r["n"] / N
+        for r in batch.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+        if r["lang"] is not None
+    }
+    stream = stream_pages(spark, pages_dir)
+    q = run_to_memory(
+        streaming_psi_verdicts(stream, ref, window="1 day", max_psi=0.05),
+        "psi_verdicts",
+        "complete",
+    )
+    q.awaitTermination(120)
+    got = {r["window_start"]: r for r in spark.table("psi_verdicts").collect()}
+    assert len(got) > 0
+
+    eps = 1e-6
+    cats = sorted(ref)
+    wins = (
+        batch.groupBy(F.window("warc_ts", "1 day").alias("w"), "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    per_win: dict = {}
+    for r in wins:
+        d = per_win.setdefault(r["w"]["start"], {})
+        d[r["lang"]] = d.get(r["lang"], 0) + r["n"]
+    for start, counts in per_win.items():
+        n = sum(counts.values())
+        psi = 0.0
+        for k in cats:
+            p = max(counts.get(k, 0) / n, eps)
+            qq = max(ref[k], eps)
+            psi += (p - qq) * math.log(p / qq)
+        other = sum(v for k, v in counts.items() if k is None or k not in cats)
+        p_o = max(other / n, eps)
+        psi += (p_o - eps) * math.log(p_o / eps)
+        assert got[start]["psi"] == pytest.approx(round(psi, 6), abs=2e-6)
+        assert got[start]["n_rows"] == n
+
+    # drifted reference: verdicts must fail
+    drifted = {k: v for k, v in ref.items()}
+    top = max(drifted, key=drifted.get)
+    drifted[top] = drifted[top] * 0.2
+    rest = 1 - drifted[top]
+    scale = rest / sum(v for k, v in drifted.items() if k != top)
+    drifted = {k: (v * scale if k != top else v) for k, v in drifted.items()}
+    q2 = run_to_memory(
+        streaming_psi_verdicts(stream, drifted, window="1 day", max_psi=0.05),
+        "psi_verdicts_drift",
+        "complete",
+    )
+    q2.awaitTermination(120)
+    rows = spark.table("psi_verdicts_drift").collect()
+    assert rows and all(not r["passed"] for r in rows)
