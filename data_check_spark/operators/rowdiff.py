@@ -127,6 +127,13 @@ def exclusive_rows(
     column (pk included — ``columns_names`` carries it, see
     ``models/table.py:48-50``) suffixed ``__1``/``__2`` per side."""
     a, b = (df1, df2) if side == 1 else (df2, df1)
+    # build-side dropDuplicates A/B'd at 20M urls (~2% dups;
+    # scripts/ab_exclusive_dedup.py, BENCH/AB_EXCLUSIVE_DEDUP.jsonl):
+    # 13.4 s with vs 12.9 s without — a wash within run spread on the
+    # common near-unique pk. Kept: the anti-join is indifferent to
+    # duplicate build keys, but on a heavily duplicated build side the
+    # pre-aggregation collapses the exchange/broadcast, which is the
+    # case that breaks at scale.
     keys = b.select(pk).dropDuplicates()
     anti = a.join(keys, on=pk, how="left_anti")
     suffix = f"__{side}"
