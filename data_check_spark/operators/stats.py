@@ -69,6 +69,22 @@ def _metric_struct(
     else:
         mean, stddev = null_lit("double"), null_lit("double")
     want_minmax = "min_max" in metrics and not is_binary
+    if "quantiles" in metrics and isinstance(dtype, _NUMERIC):
+        # approx_percentile (KLL-ish sketch, accuracy 1e4) — the north
+        # star's per-column quantile stat. One sketch per (partition,
+        # column); the three element_at reads dedupe to a single
+        # aggregate in the Aggregate node (semantically-equal agg
+        # functions are planned once). Opt-in via a min_/max_ p50/p90/
+        # p99 threshold, like avg_tokens — a verdict pass that doesn't
+        # threshold quantiles shouldn't pay the sketch buffer.
+        qarr = F.percentile_approx(
+            c, F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), F.lit(10000)
+        )
+        p50 = F.element_at(qarr, 1).cast("double")
+        p90 = F.element_at(qarr, 2).cast("double")
+        p99 = F.element_at(qarr, 3).cast("double")
+    else:
+        p50 = p90 = p99 = null_lit("double")
     if "avg_tokens" in metrics and isinstance(dtype, T.StringType):
         # Two-tier token counting. Measured per-row costs on ~800-char
         # pages at local[32] (scripts/profile_tokens.py + the 20M A/B
@@ -107,6 +123,9 @@ def _metric_struct(
         mean.alias("mean"),
         stddev.alias("stddev"),
         avg_tokens.cast("double").alias("avg_tokens"),
+        p50.alias("p50"),
+        p90.alias("p90"),
+        p99.alias("p99"),
     )
 
 
@@ -121,12 +140,19 @@ def column_stats(
     return wide.select(F.explode("m").alias("m")).select("m.*")
 
 
+_QUANTILE_KEYS = tuple(
+    f"{bound}_{q}" for q in ("p50", "p90", "p99") for bound in ("min", "max")
+)
+
+
 def _needed_metrics(th: dict[str, float]) -> frozenset:
     m = set()
     if "min_distinct" in th:
         m.add("n_distinct")
     if "min_avg_tokens" in th or "max_avg_tokens" in th:
         m.add("avg_tokens")
+    if any(k in th for k in _QUANTILE_KEYS):
+        m.add("quantiles")
     return frozenset(m)
 
 
@@ -324,6 +350,44 @@ def _verdicts_from_per_part(
                     (F.col("avg_tokens") >= th["min_avg_tokens"]).alias("passed"),
                 )
             )
+        if "max_avg_tokens" in th:
+            # was accepted by _needed_metrics but silently unchecked
+            checks.append(
+                base.select(
+                    "partition",
+                    "column",
+                    F.lit("max_avg_tokens").alias("check"),
+                    F.col("avg_tokens").alias("metric"),
+                    F.lit(float(th["max_avg_tokens"])).alias("threshold"),
+                    (F.col("avg_tokens") <= th["max_avg_tokens"]).alias("passed"),
+                )
+            )
+        for q in ("p50", "p90", "p99"):
+            if f"min_{q}" in th:
+                bound = float(th[f"min_{q}"])
+                checks.append(
+                    base.select(
+                        "partition",
+                        "column",
+                        F.lit(f"min_{q}").alias("check"),
+                        F.col(q).alias("metric"),
+                        F.lit(bound).alias("threshold"),
+                        # NULL sketch (all-NULL / non-numeric) fails closed
+                        F.coalesce(F.col(q) >= bound, F.lit(False)).alias("passed"),
+                    )
+                )
+            if f"max_{q}" in th:
+                bound = float(th[f"max_{q}"])
+                checks.append(
+                    base.select(
+                        "partition",
+                        "column",
+                        F.lit(f"max_{q}").alias("check"),
+                        F.col(q).alias("metric"),
+                        F.lit(bound).alias("threshold"),
+                        F.coalesce(F.col(q) <= bound, F.lit(False)).alias("passed"),
+                    )
+                )
         if "min_rows" in th:
             checks.append(
                 base.select(

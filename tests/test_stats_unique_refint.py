@@ -184,3 +184,41 @@ def test_referential_non_broadcast_path_correct(spark, df):
     got_s = referential_violations(df, "k", dim, "dk", broadcast=False).collect()
     assert sorted(map(tuple, got_b)) == sorted(map(tuple, got_s))
     assert [(r["ref_key"], r["n_rows"]) for r in got_s] == [("b", 2)]
+
+
+def test_quantile_thresholds(spark):
+    """min_/max_ p50/p90/p99 thresholds ride the fused pass via
+    approx_percentile; NULL sketches (all-NULL partition) fail closed."""
+    from data_check_spark.operators.stats import partition_stats_verdicts
+
+    rows = [("p1", float(v)) for v in range(1, 101)]
+    rows += [("p2", float(v)) for v in range(1, 11)]
+    rows += [("p3", None)]
+    df = spark.createDataFrame(rows, "part string, v double")
+    v = partition_stats_verdicts(
+        df, "part", {"v": {"min_p50": 40.0, "max_p99": 150.0}}
+    )
+    got = {(r["partition"], r["check"]): r for r in v.filter("column = 'v'").collect()}
+    assert got[("p1", "min_p50")]["metric"] == 50.0
+    assert got[("p1", "min_p50")]["passed"]
+    assert got[("p1", "max_p99")]["metric"] == 99.0
+    assert got[("p1", "max_p99")]["passed"]
+    assert got[("p2", "min_p50")]["metric"] == 5.0
+    assert not got[("p2", "min_p50")]["passed"]
+    assert got[("p3", "min_p50")]["metric"] is None
+    assert not got[("p3", "min_p50")]["passed"]  # fail-closed
+
+
+def test_max_avg_tokens_threshold(spark):
+    from data_check_spark.operators.stats import partition_stats_verdicts
+
+    df = spark.createDataFrame(
+        [("p1", "a b c d e f g h"), ("p1", "x y"), ("p2", "one two")],
+        "part string, text string",
+    )
+    v = partition_stats_verdicts(df, "part", {"text": {"max_avg_tokens": 3.0}})
+    got = {r["partition"]: r for r in v.filter("check = 'max_avg_tokens'").collect()}
+    assert got["p1"]["metric"] == pytest.approx(5.0)
+    assert not got["p1"]["passed"]
+    assert got["p2"]["metric"] == pytest.approx(2.0)
+    assert got["p2"]["passed"]
