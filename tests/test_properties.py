@@ -47,3 +47,49 @@ def test_census_and_exclusives_algebra(spark, d1, d2):
             assert r["count_common"] == len(k1 & k2)
             for f in ("ratio_not_null", "ratio_equal", "percentage_diff_values"):
                 assert r[f] is None or 0.0 <= r[f] <= 1.0
+
+
+# ---- round-4 additions: splits and repetition metrics ----
+
+keys = st.lists(st.integers(0, 10_000), min_size=1, max_size=30, unique=True)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(ks=keys)
+def test_hash_split_matches_python_md5(spark, ks):
+    """Spark's split labels equal a pure-python md5 recomputation —
+    the engine-portability property the splitter exists for."""
+    import hashlib
+
+    from data_check_spark.functions.splits import hash_split, split_thresholds
+
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    df = spark.createDataFrame([(k,) for k in ks], "k bigint")
+    got = {r["k"]: r["split"] for r in hash_split(df, "k", fr).collect()}
+    bounds = split_thresholds(fr)
+    for k in ks:
+        bucket = hashlib.md5(f"{k}:dcs".encode()).hexdigest()[:2]
+        want = next(label for label, b in bounds if bucket < b)
+        assert got[k] == want
+
+
+tokens = st.lists(st.sampled_from(["a", "b", "c", "dd"]), min_size=0, max_size=20)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(ts=tokens)
+def test_repetition_matches_counter(spark, ts):
+    from collections import Counter
+
+    from data_check_spark.functions.textstats import repetition_metrics
+
+    text = " ".join(ts)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = repetition_metrics(df, "text").collect()[0]
+    grams = [" ".join(ts[i : i + 2]) for i in range(len(ts) - 1)]
+    if not grams:
+        assert r["dup_2gram_frac"] is None and r["top_2gram_frac"] is None
+    else:
+        cnt = Counter(grams)
+        assert r["dup_2gram_frac"] == round(1 - len(cnt) / len(grams), 6)
+        assert r["top_2gram_frac"] == round(max(cnt.values()) / len(grams), 6)
