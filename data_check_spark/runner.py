@@ -33,7 +33,17 @@ from data_check_spark.plans.suite import (
 from data_check_spark.sources.synth import domain_of, synth_domains, synth_pages, synth_pages_v2
 
 
-def default_pages_suite(with_drift: bool) -> CheckSuite:
+def default_pages_suite(
+    with_drift: bool,
+    with_repetition: bool = False,
+) -> CheckSuite:
+    """The standard web-pages validation suite. ``with_repetition``
+    adds the Gopher boilerplate gate (one extra scan of (partition,
+    text) — see RepetitionCheck); default OFF so the headline bench's
+    pages_suite numbers stay comparable across rounds. (Quantile
+    thresholds — min_/max_ p50/p90/p99 — are available in StatsCheck
+    for numeric columns; the pages schema has none, so they're
+    exercised on the documents table instead.)"""
     checks: list = [
         StatsCheck(
             thresholds={
@@ -69,6 +79,17 @@ def default_pages_suite(with_drift: bool) -> CheckSuite:
                 lo=0.0,
                 hi=5000.0,
                 max_psi=0.2,
+            )
+        )
+    if with_repetition:
+        from data_check_spark.plans.suite import RepetitionCheck
+
+        checks.append(
+            RepetitionCheck(
+                text_col="text",
+                max_mean_dup_2gram=0.5,
+                id_col="url",
+                doc_dup_2gram_limit=0.9,
             )
         )
     return CheckSuite(checks)
