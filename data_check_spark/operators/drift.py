@@ -220,6 +220,48 @@ def _digest_cdf(arrays, xs):
     return f / total
 
 
+def build_digest_arrays(
+    df1: DataFrame, df2: DataFrame, col: Column | str, delta: float = 300.0
+):
+    """Per-version merged t-digests as driver arrays (each side is ONE
+    scan emitting ≤ ~2δ centroid rows; None for an empty side)."""
+    from data_check_spark.operators.sketch import merge_tdigest, partition_tdigest
+
+    c = F.col(col) if isinstance(col, str) else col
+    return tuple(
+        _digest_arrays(merge_tdigest(partition_tdigest(d.select(c.alias("_v")), "_v", delta), delta))
+        for d in (df1, df2)
+    )
+
+
+def ks_from_digest_arrays(a1, a2, round_to: int = 6) -> float | None:
+    """Two-sample KS from two digest readouts: max |CDF1 − CDF2| at the
+    union of centroid means."""
+    import numpy as np
+
+    if a1 is None or a2 is None:
+        return None
+    xs = np.union1d(a1[0], a2[0])
+    return round(float(np.max(np.abs(_digest_cdf(a1, xs) - _digest_cdf(a2, xs)))), round_to)
+
+
+def psi_from_digest_arrays(a1, a2, n_buckets: int = 20, round_to: int = 6) -> float | None:
+    """PSI over reference(a1)-equiprobable buckets from two digest
+    readouts: every reference bucket has mass ≈ 1/n_buckets, so the
+    PSI is not dominated by arbitrary fixed-width binning."""
+    import numpy as np
+
+    if a1 is None or a2 is None:
+        return None
+    qs = np.linspace(0.0, 1.0, n_buckets + 1)[1:-1]
+    m, cum, total, vmin, vmax = a1
+    edges = np.interp(qs * total, cum, m)
+    edges = np.concatenate([[vmin], edges, [vmax]])
+    p = np.maximum(np.diff(_digest_cdf(a1, edges)), EPS)
+    q = np.maximum(np.diff(_digest_cdf(a2, edges)), EPS)
+    return round(float(np.sum((p - q) * np.log(p / q))), round_to)
+
+
 def ks_from_tdigest(
     df1: DataFrame,
     df2: DataFrame,
@@ -234,21 +276,9 @@ def ks_from_tdigest(
     every digest readout). vs the fixed-bin ks_statistic: no [lo, hi)
     must be known up front and tail resolution adapts to the data —
     the right default when the value range is unknown at 100 TB."""
-    import numpy as np
-
-    from data_check_spark.operators.sketch import merge_tdigest, partition_tdigest
-
-    digests = [
-        merge_tdigest(partition_tdigest(d.select((F.col(col) if isinstance(col, str) else col).alias("_v")), "_v", delta), delta)
-        for d in (df1, df2)
-    ]
-    a1, a2 = _digest_arrays(digests[0]), _digest_arrays(digests[1])
-    spark = df1.sparkSession
-    if a1 is None or a2 is None:
-        return spark.createDataFrame([(None,)], "ks double")
-    xs = np.union1d(a1[0], a2[0])
-    ks = float(np.max(np.abs(_digest_cdf(a1, xs) - _digest_cdf(a2, xs))))
-    return spark.createDataFrame([(round(ks, round_to),)], "ks double")
+    a1, a2 = build_digest_arrays(df1, df2, col, delta)
+    ks = ks_from_digest_arrays(a1, a2, round_to)
+    return df1.sparkSession.createDataFrame([(ks,)], "ks double")
 
 
 def psi_from_tdigest(
@@ -259,33 +289,14 @@ def psi_from_tdigest(
     delta: float = 300.0,
     round_to: int = 6,
 ) -> DataFrame:
-    """PSI over t-digest-derived equiprobable buckets: edges are the
-    reference (df1) digest's quantiles, so every reference bucket has
-    mass ≈ 1/n_buckets and the PSI is not dominated by arbitrary
-    fixed-width binning. Same two-scan cost as ks_from_tdigest."""
-    import numpy as np
-
-    from data_check_spark.operators.sketch import merge_tdigest, partition_tdigest
-
-    digests = [
-        merge_tdigest(partition_tdigest(d.select((F.col(col) if isinstance(col, str) else col).alias("_v")), "_v", delta), delta)
-        for d in (df1, df2)
-    ]
-    a1, a2 = _digest_arrays(digests[0]), _digest_arrays(digests[1])
-    spark = df1.sparkSession
-    if a1 is None or a2 is None:
-        return spark.createDataFrame([(None, n_buckets)], "psi double, n_buckets int")
-    qs = np.linspace(0.0, 1.0, n_buckets + 1)[1:-1]
-    m, cum, total, vmin, vmax = a1
-    edges = np.interp(qs * total, cum, m)
-    edges = np.concatenate([[vmin], edges, [vmax]])
-    p = np.diff(_digest_cdf(a1, edges))
-    q = np.diff(_digest_cdf(a2, edges))
-    p = np.maximum(p, EPS)
-    q = np.maximum(q, EPS)
-    psi = float(np.sum((p - q) * np.log(p / q)))
-    return spark.createDataFrame(
-        [(round(psi, round_to), n_buckets)], "psi double, n_buckets int"
+    """PSI over t-digest-derived equiprobable buckets (see
+    psi_from_digest_arrays). Same two-scan cost as ks_from_tdigest;
+    compute both stats from ONE digest pair via build_digest_arrays
+    when you need both."""
+    a1, a2 = build_digest_arrays(df1, df2, col, delta)
+    psi = psi_from_digest_arrays(a1, a2, n_buckets, round_to)
+    return df1.sparkSession.createDataFrame(
+        [(psi, n_buckets)], "psi double, n_buckets int"
     )
 
 

@@ -133,11 +133,17 @@ class KSDigestDriftCheck:
     unknown. Global like KSDriftCheck (partition='*'). NOT fused with
     the stats pass: the digest is a mapInPandas pass, so this check
     costs one extra scan of the expression per side (each reducing to
-    ≤ ~2δ centroid rows)."""
+    ≤ ~2δ centroid rows).
+
+    ``max_psi`` (optional) additionally emits a ``psi_digest`` verdict
+    over reference-equiprobable buckets, computed from the SAME two
+    digests — zero extra scans."""
     name: str
     expr: Callable[[], Column]
     max_ks: float = 0.2
     delta: float = 300.0
+    max_psi: float | None = None
+    n_psi_buckets: int = 20
     reference: Callable[[SparkSession], DataFrame] | None = None
 
 
@@ -729,22 +735,37 @@ class CheckSuite:
                 verdict_frames.append(v)
 
             elif isinstance(chk, KSDigestDriftCheck):
-                from data_check_spark.operators.drift import ks_from_tdigest
+                from data_check_spark.operators.drift import (
+                    build_digest_arrays,
+                    ks_from_digest_arrays,
+                    psi_from_digest_arrays,
+                )
 
                 ref = chk.reference(spark) if chk.reference else reference_df
                 if ref is None:
                     raise ValueError(f"drift check {chk.name}: no reference table")
-                ks = ks_from_tdigest(df, ref, chk.expr(), chk.delta)
-                v = ks.select(
-                    F.lit("*").alias("partition"),
-                    F.lit(chk.name).alias("column"),
-                    F.lit("ks_digest").alias("check"),
-                    F.col("ks").alias("metric"),
-                    F.lit(float(chk.max_ks)).alias("threshold"),
-                    # fail-closed: a NULL ks (both sides empty) fails
-                    F.coalesce(F.col("ks") <= chk.max_ks, F.lit(False)).alias("passed"),
+                # ONE digest pair feeds both statistics (ref side first:
+                # PSI buckets are reference-equiprobable)
+                a_ref, a_df = build_digest_arrays(ref, df, chk.expr(), chk.delta)
+                ks = ks_from_digest_arrays(a_ref, a_df)
+                # fail-closed: a NULL stat (an empty side) fails
+                rows = [
+                    ("*", chk.name, "ks_digest",
+                     ks, float(chk.max_ks), ks is not None and ks <= chk.max_ks)
+                ]
+                if chk.max_psi is not None:
+                    psi = psi_from_digest_arrays(a_ref, a_df, chk.n_psi_buckets)
+                    rows.append(
+                        ("*", chk.name, "psi_digest",
+                         psi, float(chk.max_psi), psi is not None and psi <= chk.max_psi)
+                    )
+                verdict_frames.append(
+                    spark.createDataFrame(
+                        rows,
+                        "partition string, column string, check string, "
+                        "metric double, threshold double, passed boolean",
+                    )
                 )
-                verdict_frames.append(v)
 
             elif isinstance(chk, RepetitionCheck):
                 from data_check_spark.functions.textstats import repetition_metrics

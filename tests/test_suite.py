@@ -434,14 +434,21 @@ def test_ks_digest_drift_check(spark, pages):
     from data_check_spark.sources.synth import synth_pages_v2
 
     v2 = synth_pages_v2(spark, N)
-    chk = KSDigestDriftCheck(name="text_len", expr=lambda: F.length("text"), max_ks=0.05)
+    chk = KSDigestDriftCheck(
+        name="text_len", expr=lambda: F.length("text"), max_ks=0.05, max_psi=0.05
+    )
     res = CheckSuite([chk]).run(spark, pages, "warc_day", reference_df=v2)
     row = res.verdicts.filter("check = 'ks_digest'").collect()[0]
     assert row["partition"] == "*" and row["column"] == "text_len"
     assert row["metric"] is not None and row["metric"] >= 0.0
+    # psi_digest rides the SAME digest pair
+    prow = res.verdicts.filter("check = 'psi_digest'").collect()[0]
+    assert prow["metric"] is not None and prow["metric"] >= 0.0
     same = CheckSuite([chk]).run(spark, pages, "warc_day", reference_df=pages)
     srow = same.verdicts.filter("check = 'ks_digest'").collect()[0]
     assert srow["metric"] <= 0.01 and srow["passed"]
+    spsi = same.verdicts.filter("check = 'psi_digest'").collect()[0]
+    assert spsi["metric"] <= 0.01 and spsi["passed"]
     res.unpersist(); same.unpersist()
 
 
