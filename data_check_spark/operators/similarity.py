@@ -226,9 +226,11 @@ def lsh_topk(
 
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — the second scale path the pipeline spec
-# names ("an IVF or LSH-bucketed variant"). A coarse quantizer
-# (spherical k-means) partitions vectors into cells; a query scores
-# only the vectors in its n_probe nearest cells. vs hyperplane LSH:
+# names ("an IVF or LSH-bucketed variant"); the IVF-flat scheme of
+# Jégou, Douze & Schmid, "Product Quantization for Nearest Neighbor
+# Search" (TPAMI 2011) §V without the PQ compression of residuals.
+# A coarse quantizer (spherical k-means) partitions vectors into
+# cells; a query scores only the vectors in its n_probe nearest cells. vs hyperplane LSH:
 # cells adapt to the data distribution (clustered corpora get
 # proportionate cells, where fixed random hyperplanes split clusters
 # blindly), at the cost of a training step.
