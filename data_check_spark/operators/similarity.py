@@ -251,21 +251,34 @@ def kmeans_centroids(
     vec_col: str = "embedding",
     max_sample: int = 20_000,
     n_iters: int = 5,
+    sample_mod: int | None = None,
 ) -> np.ndarray:
-    """Deterministic spherical k-means coarse quantizer trained on the
-    ``max_sample`` lowest-id vectors (TakeOrdered — bounded driver
-    readout, deterministic at any parallelism). Init = the first
-    n_centroids sample vectors; ``n_iters`` Lloyd steps with max-dot
-    assignment on L2-normalized vectors; empty cells keep their
-    previous centroid. Returns an (n_centroids × dim) float64 matrix
-    of unit rows."""
-    rows = (
-        embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-        .filter(F.col("_v").isNotNull())
-        .orderBy("_id")
-        .limit(max_sample)
-        .collect()
+    """Deterministic spherical k-means coarse quantizer. Init = the
+    first n_centroids sample vectors; ``n_iters`` Lloyd steps with
+    max-dot assignment on L2-normalized vectors; empty cells keep
+    their previous centroid. Returns an (n_centroids × dim) float64
+    matrix of unit rows.
+
+    Sampling: default = the ``max_sample`` lowest-id vectors
+    (TakeOrdered). That is deterministic at any parallelism but ships
+    up to max_sample rows PER PARTITION to the driver merge — fine to
+    ~10^4 partitions, wrong at 10^5+. For the huge regime pass
+    ``sample_mod`` = ~N/max_sample: rows with xxhash64(id) % mod == 0
+    are collected instead — one filtered scan, ~max_sample driver
+    rows, partition-invariant, and id-distribution-independent (hash,
+    not id range)."""
+    sel = embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")).filter(
+        F.col("_v").isNotNull()
     )
+    if sample_mod is not None:
+        rows = (
+            sel.filter(F.pmod(F.xxhash64("_id"), F.lit(sample_mod)) == 0)
+            .orderBy("_id")
+            .limit(max_sample)
+            .collect()
+        )
+    else:
+        rows = sel.orderBy("_id").limit(max_sample).collect()
     x = np.asarray([r["_v"] for r in rows], dtype=np.float64)
     if len(x) < n_centroids:
         raise ValueError(f"need >= {n_centroids} sample vectors, got {len(x)}")
@@ -316,6 +329,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     round_to: int = 6,
     max_sample: int = 20_000,
+    sample_mod: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k → (query_id, neighbor_id, cosine, rank).
     Candidates = vectors whose cell is among the query's n_probe
@@ -325,7 +339,8 @@ def ivf_topk(
     copy of a query is always a candidate (recall 1.0 on planted
     copies — the driver contract)."""
     cents = kmeans_centroids(
-        embeddings, dim, n_centroids, id_col, vec_col, max_sample
+        embeddings, dim, n_centroids, id_col, vec_col, max_sample,
+        sample_mod=sample_mod,
     )
     assign_cell, probe_cells = _cell_udfs(cents, n_probe)
     c = embeddings.select(

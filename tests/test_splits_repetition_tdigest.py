@@ -292,3 +292,22 @@ def test_tdigest_tree_merge_matches_flat(spark):
         for q in (0.25, 0.75):
             cdf = np.searchsorted(sv, est[q], side="right") / len(sv)
             assert abs(cdf - q) <= 0.015
+
+
+def test_ivf_hash_sampled_training(spark):
+    """sample_mod training path (the 10^5-partition regime) still
+    produces a working quantizer: planted copies always found."""
+    from data_check_spark.operators.similarity import ivf_topk
+
+    rng = np.random.RandomState(6)
+    x = rng.standard_normal((600, 8))
+    rows = [(i, [float(v) for v in x[i]]) for i in range(len(x))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter("vec_id < 4")
+    aug = df.unionByName(q.selectExpr("vec_id + 5000 AS vec_id", "embedding"))
+    top = ivf_topk(
+        aug, q, dim=8, k=1, n_centroids=8, n_probe=1, sample_mod=2
+    ).collect()
+    assert {(r["query_id"], r["neighbor_id"]) for r in top} == {
+        (i, i + 5000) for i in range(4)
+    }
