@@ -130,12 +130,19 @@ def _metric_struct(
 
 
 def column_stats(
-    df: DataFrame, columns: list[str] | None = None, approx: bool = True
+    df: DataFrame,
+    columns: list[str] | None = None,
+    approx: bool = True,
+    include_quantiles: bool = False,
 ) -> DataFrame:
-    """Long-format per-column stats: one row per column, one data pass."""
+    """Long-format per-column stats: one row per column, one data pass.
+    ``include_quantiles`` adds p50/p90/p99 per numeric column (one
+    approx_percentile sketch each, same pass) — opt-in because the
+    sketch buffer isn't free on columns nobody thresholds."""
     types = {f.name: f.dataType for f in df.schema.fields}
     cols = columns or list(types)
-    structs = [_metric_struct(c, types[c], approx) for c in cols]
+    metrics = ALL_METRICS | {"quantiles"} if include_quantiles else ALL_METRICS
+    structs = [_metric_struct(c, types[c], approx, metrics) for c in cols]
     wide = df.agg(F.array(*structs).alias("m"))
     return wide.select(F.explode("m").alias("m")).select("m.*")
 

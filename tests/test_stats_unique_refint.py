@@ -222,3 +222,13 @@ def test_max_avg_tokens_threshold(spark):
     assert not got["p1"]["passed"]
     assert got["p2"]["metric"] == pytest.approx(2.0)
     assert got["p2"]["passed"]
+
+
+def test_column_stats_include_quantiles(spark):
+    from data_check_spark.operators.stats import column_stats
+
+    df = spark.createDataFrame([(float(v),) for v in range(1, 101)], "v double")
+    row = column_stats(df, ["v"], include_quantiles=True).collect()[0]
+    assert row["p50"] == 50.0 and row["p90"] == 90.0 and row["p99"] == 99.0
+    row = column_stats(df, ["v"]).collect()[0]
+    assert row["p50"] is None  # opt-in: no sketch unless asked
