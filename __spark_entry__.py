@@ -730,6 +730,17 @@ def _q_suite_compare(spark, sf_dir):
     return suite.run(spark, t1, "o_orderstatus", reference_df=t2).verdicts
 
 
+def _q_crossdoc_ngram(spark, sf_dir):
+    """Cross-document duplicated-n-gram counts (operators/dedup.
+    cross_doc_ngram_duplicates, Lee et al. dedup signal): per doc, how
+    many of its distinct 8-grams appear in at least one other doc.
+    md5 gram keys → DuckDB re-derives every value exactly."""
+    from data_check_spark.operators.dedup import cross_doc_ngram_duplicates
+
+    d = _t(spark, sf_dir, "documents")
+    return cross_doc_ngram_duplicates(d, "doc_id", "text", n=8)
+
+
 def _q_repetition(spark, sf_dir):
     """Gopher-style within-document repetition metrics (Rae et al.
     2021 §A1.1): duplicate-line / duplicate-n-gram / top-n-gram
@@ -836,6 +847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suite_verdicts": _q_suite_verdicts,
         "suite_compare_verdicts": _q_suite_compare,
         "repetition_metrics": _q_repetition,
+        "crossdoc_ngram": _q_crossdoc_ngram,
         "train_split": _q_train_split,
         "tdigest_quantiles": _q_tdigest,
         # xxhash64-simhash / seeded-LSH values have no DuckDB twin, so
@@ -1228,6 +1240,23 @@ SELECT g.doc_id,
        round(t2.topc * 1.0 / nullif(len(g2), 0), 6) AS top_2gram_frac,
        round(t3.topc * 1.0 / nullif(len(g3), 0), 6) AS top_3gram_frac
 FROM g LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)""",
+        "crossdoc_ngram": r"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws FROM documents
+), g AS (
+  SELECT doc_id, md5(gram) AS h FROM (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(range(1, len(ws) - 6),
+             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+                  || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7]))) AS gram
+    FROM w WHERE len(ws) >= 8)
+), pg AS (
+  SELECT h, count(DISTINCT doc_id) AS docs FROM g GROUP BY h
+)
+SELECT doc_id,
+       count(*) FILTER (WHERE docs > 1) AS n_shared_ngrams,
+       count(*) AS n_ngrams
+FROM g JOIN pg USING (h) GROUP BY doc_id""",
         "train_split": """
 WITH s AS (
   SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':dcs'), 1, 2) < 'cd' THEN 'train'

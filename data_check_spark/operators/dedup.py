@@ -392,3 +392,50 @@ def simhash_hamming_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     return cand.filter(F.col("hamming") <= max_hamming).orderBy("id_a", "id_b")
+
+
+def cross_doc_ngram_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Cross-DOCUMENT duplicated n-gram detection (the training-data
+    signal of Lee et al., "Deduplicating Training Data Makes Language
+    Models Better": long spans repeated across documents are
+    memorization fuel even when no document pair is a near-dup as a
+    whole). Distinct from functions/textstats.repetition_metrics,
+    which is within-document.
+
+    Per document: the count of its distinct word n-grams that also
+    appear in at least one OTHER document, plus its total distinct
+    n-gram count → (id, n_shared_ngrams, n_ngrams). Documents with
+    zero qualifying n-grams (shorter than n tokens, NULL text) are
+    omitted — there is nothing to share.
+
+    Scale shape: ONE shingle pass per row (materialized words array —
+    see word_shingles_from's codegen note), explode to distinct
+    (gram, id) pairs keyed by md5 (16-byte hex; md5 rather than
+    xxhash64 so an external engine can re-derive every value), one
+    groupBy(gram) counting distinct docs — map-side combine collapses
+    each task's repeats — then one groupBy(id). Shuffle carries
+    (hash, id), never gram text. Hot grams (boilerplate shared by
+    millions of docs) cost one counter row each, not a pair explosion:
+    nothing here is quadratic in document count."""
+    words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0)
+    grams = df.select(
+        F.col(id_col).alias("_id"), words.alias("_w")
+    ).select(
+        "_id", F.explode(word_shingles_from(F.col("_w"), n)).alias("_g")
+    ).select("_id", F.md5(F.col("_g").cast("binary")).alias("_h"))
+    per_gram = grams.groupBy("_h").agg(
+        F.count_distinct("_id").alias("_docs")
+    )
+    return (
+        grams.join(per_gram, "_h")
+        .groupBy(F.col("_id").alias(id_col))
+        .agg(
+            F.count_if(F.col("_docs") > 1).alias("n_shared_ngrams"),
+            F.count(F.lit(1)).alias("n_ngrams"),
+        )
+    )

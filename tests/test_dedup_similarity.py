@@ -228,3 +228,24 @@ def test_cosine_neardup_lsh_recall(vectors):
     recall = len(truth & got) / len(truth)
     assert recall >= 0.9, f"recall {recall} < 0.9 ({truth - got} missed)"
     assert got <= truth or all(p in truth for p in got)  # verified exact, no false accepts
+
+
+def test_cross_doc_ngram_duplicates(spark):
+    """Docs sharing an 8-gram span are flagged; unique docs are not;
+    short/NULL docs are omitted."""
+    from data_check_spark.operators.dedup import cross_doc_ngram_duplicates
+
+    span = "one two three four five six seven eight"
+    rows = [
+        (1, span + " tail a b c"),            # shares the span with 2
+        (2, "prefix x y " + span),            # shares the span with 1
+        (3, "q w e r t y u i o p"),           # all unique 8-grams
+        (4, "too short"),                     # < 8 tokens -> omitted
+        (5, None),                            # NULL -> omitted
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in cross_doc_ngram_duplicates(df).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["n_shared_ngrams"] == 1 and got[2]["n_shared_ngrams"] == 1
+    assert got[3]["n_shared_ngrams"] == 0
+    assert got[3]["n_ngrams"] == 3  # 10 tokens -> 3 distinct 8-grams
