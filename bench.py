@@ -67,6 +67,7 @@ HEADLINE = [
     # round-4 additions — new keys, so r<=3 medians stay comparable
     # per-query; the TOTAL grows by construction when queries are added
     "repetition_metrics",
+    "crossdoc_ngram",
     "train_split",
     "tdigest_quantiles",
 ]
