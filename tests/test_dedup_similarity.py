@@ -249,3 +249,17 @@ def test_cross_doc_ngram_duplicates(spark):
     assert got[1]["n_shared_ngrams"] == 1 and got[2]["n_shared_ngrams"] == 1
     assert got[3]["n_shared_ngrams"] == 0
     assert got[3]["n_ngrams"] == 3  # 10 tokens -> 3 distinct 8-grams
+
+
+def test_cross_doc_ngram_xxhash_matches_md5(spark):
+    from data_check_spark.operators.dedup import cross_doc_ngram_duplicates
+
+    span = "one two three four five six seven eight"
+    rows = [(1, span + " a b"), (2, "x " + span), (3, "q w e r t y u i")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(tuple(r) for r in cross_doc_ngram_duplicates(df, hash_fn="md5").collect())
+    b = sorted(tuple(r) for r in cross_doc_ngram_duplicates(df, hash_fn="xxhash64").collect())
+    assert a == b
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        cross_doc_ngram_duplicates(df, hash_fn="sha1")
