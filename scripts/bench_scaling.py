@@ -296,7 +296,12 @@ probes and the retry-until-quiet-window protocol are printed as JSON
 `attempt_result` lines).
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # Do NOT overwrite BASELINE.md — it carries hand-written sections
+    # (weak scaling, round accounting) a regeneration would clobber
+    # (this happened once: the r4 strong-pair rerun silently dropped
+    # the weak-scaling evidence). Write the generated candidate next
+    # to it; merge by hand.
+    with open(os.path.join(REPO, "BENCH", "BASELINE.generated.md"), "w") as f:
         f.write(md)
     print(json.dumps({"n": n, "pairs": results}))
 
