@@ -160,7 +160,18 @@ class RepetitionCheck:
 
     ``id_col`` enables a violations dump: documents whose
     dup-2-gram fraction exceeds ``doc_dup_2gram_limit``, sorted
-    (partition, fraction desc, id) and capped at violation_limit."""
+    (partition, fraction desc, id) and capped at violation_limit.
+    (The dump re-derives the per-doc frame lazily — a second text scan
+    IF the violations are actually consumed.)
+
+    Determinism caveat vs the suite's bit-identical guarantee: the
+    per-doc fractions are exact, but their partition MEAN is a float
+    sum whose accumulation order follows task layout — round(…, 6)
+    masks the ulp-level difference except exactly at a rounding
+    boundary. KSDigestDriftCheck is likewise partitioning-dependent
+    within its rank-error bound (digests merge in partition order).
+    The reference-parity checks (stats/uniqueness/refint/compare) keep
+    the strict guarantee."""
     text_col: str = "text"
     max_mean_dup_2gram: float | None = 0.2
     max_mean_top_2gram: float | None = None
