@@ -730,6 +730,31 @@ def _q_suite_compare(spark, sf_dir):
     return suite.run(spark, t1, "o_orderstatus", reference_df=t2).verdicts
 
 
+def _q_suite_expr(spark, sf_dir):
+    """Declarative row-predicate checks (plans/suite.ExprCheck, the
+    deequ-style escape hatch — VERDICT r4 #3) fused WITH a StatsCheck:
+    each predicate is one more count_if on the single
+    groupBy(partition) stats pass, so three arbitrary row constraints
+    cost zero extra scans. Fail-closed: FALSE-or-NULL rows violate."""
+    from data_check_spark.plans.suite import CheckSuite, ExprCheck, StatsCheck
+
+    d = _t(spark, sf_dir, "documents")
+    suite = CheckSuite(
+        [
+            StatsCheck(thresholds={"text": {"max_null_rate": 0.05}}, approx=False),
+            ExprCheck(name="nchars_nonneg", predicate_sql="n_chars >= 0",
+                      max_violation_ratio=0.0),
+            ExprCheck(name="text_len_matches",
+                      predicate_sql="length(text) = n_chars",
+                      max_violation_ratio=0.5),
+            ExprCheck(name="lang_known",
+                      predicate_sql="lang IN ('en','de','fr','es')",
+                      max_violation_ratio=0.9),
+        ]
+    )
+    return suite.run(spark, d, "source").verdicts
+
+
 def _q_crossdoc_ngram(spark, sf_dir):
     """Cross-document duplicated-n-gram counts (operators/dedup.
     cross_doc_ngram_duplicates, Lee et al. dedup signal): per doc, how
@@ -846,6 +871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": _q_minhash,
         "suite_verdicts": _q_suite_verdicts,
         "suite_compare_verdicts": _q_suite_compare,
+        "suite_expr_verdicts": _q_suite_expr,
         "repetition_metrics": _q_repetition,
         "crossdoc_ngram": _q_crossdoc_ngram,
         "train_split": _q_train_split,
@@ -1144,6 +1170,41 @@ uniq AS (
 )
 SELECT part AS "partition", col AS "column", chk AS "check", metric, threshold, passed
 FROM (SELECT * FROM v UNION ALL SELECT * FROM summary UNION ALL SELECT * FROM uniq)""",
+        "suite_expr_verdicts": """
+WITH base AS (
+  SELECT CAST(source AS VARCHAR) AS part,
+         count(*) AS n_rows,
+         count(*) FILTER (WHERE text IS NULL) * 1.0 / count(*) AS nr_text,
+         count(*) FILTER (WHERE NOT coalesce(n_chars >= 0, FALSE)) AS x_nonneg,
+         count(*) FILTER (WHERE NOT coalesce(length(text) = n_chars, FALSE)) AS x_len,
+         count(*) FILTER (WHERE NOT coalesce(lang IN ('en','de','fr','es'), FALSE)) AS x_lang
+  FROM documents GROUP BY 1
+),
+v AS (
+  SELECT part, 'text' AS col, 'max_null_rate' AS chk,
+         nr_text AS metric, 0.05 AS threshold, nr_text <= 0.05 AS passed
+  FROM base
+),
+summary AS (
+  SELECT part, '*' AS col, 'all' AS chk,
+         CAST(count(*) FILTER (WHERE NOT passed) AS DOUBLE) AS metric,
+         0.0 AS threshold,
+         count(*) FILTER (WHERE NOT passed) = 0 AS passed
+  FROM v GROUP BY part
+),
+x AS (
+  SELECT part, 'nchars_nonneg' AS col, 'expr' AS chk,
+         x_nonneg * 1.0 / n_rows AS metric, 0.0 AS threshold,
+         x_nonneg * 1.0 / n_rows <= 0.0 AS passed FROM base
+  UNION ALL
+  SELECT part, 'text_len_matches', 'expr',
+         x_len * 1.0 / n_rows, 0.5, x_len * 1.0 / n_rows <= 0.5 FROM base
+  UNION ALL
+  SELECT part, 'lang_known', 'expr',
+         x_lang * 1.0 / n_rows, 0.9, x_lang * 1.0 / n_rows <= 0.9 FROM base
+)
+SELECT part AS "partition", col AS "column", chk AS "check", metric, threshold, passed
+FROM (SELECT * FROM v UNION ALL SELECT * FROM summary UNION ALL SELECT * FROM x)""",
         "suite_compare_verdicts": _VERSIONS_CTE + f""",
 cen AS (
   SELECT round(count(*) FILTER (WHERE a.o_orderkey IS NULL) * 1.0 / count(*), 6) AS m1,

@@ -170,6 +170,7 @@ def partition_stats_pass(
     approx: bool = True,
     numeric_hists: dict[str, tuple[Column | str, float, float, int]] | None = None,
     exact_distinct: tuple = (),
+    expr_counts: dict[str, Column] | None = None,
 ) -> DataFrame:
     """THE fused scan: one ``groupBy(partition)`` computing every
     thresholded column's metrics AND (optionally) a fixed-width
@@ -177,8 +178,15 @@ def partition_stats_pass(
     thresholds on ``text`` and a text-length drift check decodes the
     (large) text column exactly ONCE instead of once per pass.
 
+    ``expr_counts`` (suite ExprCheck support): {name: boolean Column}
+    — each adds ONE more ``count_if`` aggregate (emitted as
+    ``_x_<name>``, plus one shared ``_xn`` row count) to the same
+    pass; arbitrary row-predicate checks therefore cost zero extra
+    scans when stats are already being computed.
+
     Returns a SMALL frame (one row per partition): (partition,
-    _m array<struct metrics>, _h_<kind> array<bigint> per hist).
+    _m array<struct metrics>, _h_<kind> array<bigint> per hist,
+    _xn/_x_<name> per expr predicate).
     Callers persist it and derive verdicts (verdicts_from_pass),
     drift profiles (numeric_profiles_from_pass) and the partition
     list from it without touching the table again.
@@ -216,8 +224,12 @@ def partition_stats_pass(
         hist_aggs.append(
             F.array(*[F.count_if(bc == i) for i in range(nb)]).alias(f"_h_{name}")
         )
+    expr_aggs = []
+    if expr_counts:
+        expr_aggs.append(F.count(F.lit(1)).alias("_xn"))
+        expr_aggs += [F.count_if(c).alias(f"_x_{n}") for n, c in expr_counts.items()]
     return base.groupBy(part.alias("partition")).agg(
-        F.array(*structs).alias("_m"), *hist_aggs
+        F.array(*structs).alias("_m"), *hist_aggs, *expr_aggs
     )
 
 

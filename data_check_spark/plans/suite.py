@@ -181,6 +181,35 @@ class RepetitionCheck:
 
 
 @dataclass
+class ExprCheck:
+    """Deequ-style declarative row-predicate gate (VERDICT r4 #3):
+    assert an arbitrary boolean SQL expression holds for (almost)
+    every row of each partition — the escape hatch for constraints
+    the built-in check kinds don't model (``url LIKE 'http%'``,
+    ``length(text) <= 2*n_chars`` …).
+
+    Verdict metric = the partition's violation RATIO over its row
+    count; a row violates when the predicate is FALSE **or NULL**
+    (fail-closed — a predicate that cannot be evaluated on a row
+    counts against it). Passes while ratio ≤ max_violation_ratio.
+
+    Scale: costs ZERO extra scans when a StatsCheck is present — each
+    predicate is one more ``count_if`` riding the fused
+    groupBy(partition) stats pass (operators/stats.
+    partition_stats_pass ``expr_counts``); without a StatsCheck all
+    ExprChecks share ONE dedicated fused pass. ``id_col`` opts into a
+    violations dump (key ``expr:{name}``): offending rows'
+    (partition, id), sorted, capped at violation_limit — derived
+    lazily (a second scan only if the dump is consumed).
+    Partition-scoped, so it resumes like stats/uniqueness."""
+    name: str
+    predicate_sql: str
+    max_violation_ratio: float = 0.0
+    id_col: str | None = None
+    violation_limit: int = 500
+
+
+@dataclass
 class CompareCheck:
     """Two-table diff family — the reference's flagship workflow
     (``/root/reference/data_check/data_processor.py:211-285``, driven
@@ -332,6 +361,29 @@ class CheckSuite:
                 f"compare checks must have unique names (violations are "
                 f"keyed by name): duplicates {dup}"
             )
+        rep_cols = [c.text_col for c in self.checks if isinstance(c, RepetitionCheck)]
+        if len(set(rep_cols)) != len(rep_cols):
+            dup = sorted({c for c in rep_cols if rep_cols.count(c) > 1})
+            raise ValueError(
+                f"repetition checks must target distinct columns (verdicts "
+                f"and violations are keyed by text_col): duplicates {dup} — "
+                "combine the thresholds into one RepetitionCheck"
+            )
+
+        expr_checks = [c for c in self.checks if isinstance(c, ExprCheck)]
+        expr_names = [c.name for c in expr_checks]
+        if len(set(expr_names)) != len(expr_names):
+            dup = sorted({n for n in expr_names if expr_names.count(n) > 1})
+            raise ValueError(
+                f"expr checks must have unique names (pass aggregates and "
+                f"violations are keyed by name): duplicates {dup}"
+            )
+        # violation predicate per check: FALSE-or-NULL rows count
+        # (fail-closed) — shared by the fused count_if and the dump
+        expr_viol = {
+            c.name: ~F.coalesce(F.expr(c.predicate_sql), F.lit(False))
+            for c in expr_checks
+        }
 
         # ---- Phase 1: submit every heavy materialization as a
         # CONCURRENT Spark action. The suite's expensive inputs are
@@ -373,6 +425,7 @@ class CheckSuite:
                 pass_src = partition_stats_pass(
                     df, part_s, fused_stats.thresholds, fused_stats.approx, nums,
                     exact_distinct=fused_stats.exact_distinct,
+                    expr_counts=expr_viol,
                 )
                 futs["pass"] = pool.submit(
                     lambda: [r.asDict(recursive=True) for r in pass_src.collect()]
@@ -381,6 +434,17 @@ class CheckSuite:
                     futs["exact"] = pool.submit(
                         exact_distinct_counts, df, part_s, fused_stats.exact_distinct
                     )
+
+            if expr_checks and fused_stats is None:
+                # no stats pass to ride — all ExprChecks share ONE
+                # dedicated fused pass (same shape: groupBy(partition),
+                # one count_if per predicate, bounded output)
+                xaggs = [F.count(F.lit(1)).alias("_xn")] + [
+                    F.count_if(expr_viol[n]).alias(f"_x_{n}") for n in expr_names
+                ]
+                futs["expr"] = pool.submit(
+                    df.groupBy(part_s.alias("partition")).agg(*xaggs).collect
+                )
 
             if fused_cat or fused_num or fused_ks:
                 from data_check_spark.operators.drift import drift_profile
@@ -593,6 +657,34 @@ class CheckSuite:
                     )
                 )
 
+            if expr_checks:
+                # verdict rows from the collected fused pass — bounded
+                # by |partitions| x |expr checks|, pure driver math
+                xrows = (
+                    pass_rows
+                    if fused_stats is not None
+                    else [r.asDict() for r in futs["expr"].result()]
+                )
+                erows = []
+                for row in xrows:
+                    n = row["_xn"]
+                    for chk in expr_checks:
+                        ratio = row[f"_x_{chk.name}"] / n if n else None
+                        erows.append((
+                            row["partition"], chk.name, "expr",
+                            ratio, float(chk.max_violation_ratio),
+                            # n=0 cannot happen (groupBy only emits
+                            # non-empty partitions) but fail closed
+                            ratio is not None and ratio <= chk.max_violation_ratio,
+                        ))
+                verdict_frames.append(
+                    spark.createDataFrame(
+                        erows,
+                        "partition string, column string, check string, "
+                        "metric double, threshold double, passed boolean",
+                    )
+                )
+
             # drain the uniqueness/refint/compare materializations so
             # any executor-side failure surfaces here, inside the pool
             # scope (compare results are re-read below — .result() on a
@@ -697,6 +789,17 @@ class CheckSuite:
                     violations[f"compare:{chk.name}:row_diff"] = row_diff(
                         df, cref, chk.pk,
                         columns=chk.columns, reference_mode=chk.reference_mode,
+                    )
+
+            elif isinstance(chk, ExprCheck):
+                # verdicts were assembled from the fused pass above;
+                # only the (lazy, opt-in) violations dump remains
+                if chk.id_col:
+                    violations[f"expr:{chk.name}"] = (
+                        df.filter(expr_viol[chk.name])
+                        .select(part_s.alias("partition"), F.col(chk.id_col))
+                        .orderBy("partition", chk.id_col)
+                        .limit(chk.violation_limit)
                     )
 
             elif isinstance(chk, CategoricalDriftCheck):

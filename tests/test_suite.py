@@ -507,3 +507,104 @@ def test_repetition_check(spark):
     viol = res.violations["repetition:text"].collect()
     assert [r["doc_id"] for r in viol] == [2, 3]
     res.unpersist()
+
+
+def test_expr_check(spark):
+    """ExprCheck: arbitrary row predicates → per-partition violation
+    ratios, fail-closed on NULL predicates, violations dump by id."""
+    from data_check_spark.plans.suite import ExprCheck
+
+    rows = [
+        ("p1", 1, 10, "http://a"),
+        ("p1", 2, -5, "http://b"),      # violates nonneg
+        ("p1", 3, None, "ftp://c"),     # NULL nonneg (fail-closed) + bad scheme
+        ("p2", 4, 7, "https://d"),
+        ("p2", 5, 0, None),             # NULL url → scheme check fail-closed
+    ]
+    df = spark.createDataFrame(rows, "part string, id long, n long, url string")
+    checks = [
+        ExprCheck(name="nonneg", predicate_sql="n >= 0",
+                  max_violation_ratio=0.0, id_col="id"),
+        ExprCheck(name="http_scheme", predicate_sql="url LIKE 'http%'",
+                  max_violation_ratio=0.4),
+    ]
+    res = CheckSuite(checks).run(spark, df, "part")
+    v = {(r["partition"], r["column"]): r for r in res.verdicts.collect()}
+    # p1: nonneg violated by id 2 (-5) and id 3 (NULL → fail-closed) = 2/3
+    assert v[("p1", "nonneg")]["metric"] == pytest.approx(2 / 3)
+    assert not v[("p1", "nonneg")]["passed"]
+    assert v[("p2", "nonneg")]["metric"] == 0.0
+    assert v[("p2", "nonneg")]["passed"]
+    # p1 scheme: id 3 (ftp) = 1/3 ≤ 0.4 passes; p2: NULL url = 1/2 fails
+    assert v[("p1", "http_scheme")]["passed"]
+    assert not v[("p2", "http_scheme")]["passed"]
+    viol = res.violations["expr:nonneg"].collect()
+    assert [(r["partition"], r["id"]) for r in viol] == [("p1", 2), ("p1", 3)]
+    res.unpersist()
+
+
+def test_expr_check_rides_stats_pass(spark, pages):
+    """With a StatsCheck present, ExprCheck verdicts come from the SAME
+    fused pass — results must match the standalone dedicated pass, and
+    the combined suite must not add a scan (asserted via plan count on
+    the pass frame in stats.py unit tests; here: value equivalence)."""
+    from data_check_spark.plans.suite import ExprCheck
+
+    checks = [ExprCheck(name="url_http", predicate_sql="url LIKE 'http%'",
+                        max_violation_ratio=0.01)]
+    alone = CheckSuite(checks).run(spark, pages, "warc_day")
+    fused = CheckSuite(
+        [StatsCheck(thresholds={"text": {"max_null_rate": 0.05}})] + checks
+    ).run(spark, pages, "warc_day")
+    a = {(r["partition"], r["column"]): (r["metric"], r["passed"])
+         for r in alone.verdicts.filter("check = 'expr'").collect()}
+    f = {(r["partition"], r["column"]): (r["metric"], r["passed"])
+         for r in fused.verdicts.filter("check = 'expr'").collect()}
+    assert a == f and len(a) > 0
+    alone.unpersist(); fused.unpersist()
+
+
+def test_expr_check_duplicate_names_raise(spark, pages):
+    from data_check_spark.plans.suite import ExprCheck
+
+    suite = CheckSuite([
+        ExprCheck(name="x", predicate_sql="1=1"),
+        ExprCheck(name="x", predicate_sql="2=2"),
+    ])
+    with pytest.raises(ValueError, match="unique names"):
+        suite.run(spark, pages, "warc_day")
+
+
+def test_repetition_duplicate_columns_raise(spark, pages):
+    from data_check_spark.plans.suite import RepetitionCheck
+
+    suite = CheckSuite([
+        RepetitionCheck(text_col="text", max_mean_dup_2gram=0.1),
+        RepetitionCheck(text_col="text", max_mean_dup_2gram=0.5),
+    ])
+    with pytest.raises(ValueError, match="distinct columns"):
+        suite.run(spark, pages, "warc_day")
+
+
+def test_expr_check_resume_matches_uninterrupted(spark, pages, tmp_path):
+    """ExprCheck is partition-scoped: a killed-and-resumed run's
+    verdicts equal an uninterrupted run's."""
+    from data_check_spark.plans.suite import ExprCheck
+
+    suite = CheckSuite([
+        ExprCheck(name="text_nonempty",
+                  predicate_sql="length(text) > 0", max_violation_ratio=0.2),
+    ])
+    full = suite.run(spark, pages, "warc_day")
+    want = {(r["partition"], r["column"]): (r["metric"], r["passed"])
+            for r in full.verdicts.filter("check = 'expr'").collect()}
+    full.unpersist()
+
+    man = Manifest(str(tmp_path / "m"))
+    parts = sorted(str(r[0]) for r in pages.select("warc_day").distinct().collect())
+    man.mark_complete(parts[0], run_id="prior", metrics={})
+    res = suite.run_resumable(spark, pages, "warc_day", man)
+    got = {(r["partition"], r["column"]): (r["metric"], r["passed"])
+           for r in res.verdicts.filter("check = 'expr'").collect()}
+    assert got == {k: v for k, v in want.items() if k[0] != parts[0]}
+    res.unpersist()
