@@ -416,12 +416,17 @@ def cross_doc_ngram_duplicates(
 
     Scale shape: ONE shingle pass per row (materialized words array —
     see word_shingles_from's codegen note), explode to distinct
-    (gram, id) pairs keyed by a gram hash, one groupBy(gram) counting
-    distinct docs — map-side combine collapses each task's repeats —
-    then one groupBy(id). Shuffle carries (hash, id), never gram text.
-    Hot grams (boilerplate shared by millions of docs) cost one
-    counter row each, not a pair explosion: nothing here is quadratic
-    in document count.
+    (gram, id) pairs keyed by a gram hash, ONE shuffle of those pairs
+    by hash. The per-gram doc counts are derived from the
+    already-partitioned frame (shingles are array_distinct per doc, so
+    plain count(*) == count_distinct(id)), which lets Catalyst reuse
+    the exchange for the co-partitioned join back — `.explain` shows
+    a single scan and a single big Exchange (ReusedExchange on the
+    probe side), then one partial-agg groupBy(id). Shuffle carries
+    (hash, id), never gram text. Hot grams (boilerplate shared by
+    millions of docs) are one counter row on the build side and an
+    AQE-splittable join partition on the probe side: nothing here is
+    quadratic in document count.
 
     ``hash_fn``: 'md5' (default) keys grams by the 32-char hex digest
     so an external engine (the DuckDB oracle) re-derives every value;
@@ -441,11 +446,21 @@ def cross_doc_ngram_duplicates(
     ).select(
         "_id", F.explode(word_shingles_from(F.col("_w"), n)).alias("_g")
     ).select("_id", gram_hash(F.col("_g")).alias("_h"))
-    per_gram = grams.groupBy("_h").agg(
-        F.count_distinct("_id").alias("_docs")
+    # one explicit shuffle by gram hash; the groupBy below needs no new
+    # exchange (HashPartitioning(_h) satisfies its distribution) and the
+    # join probe reuses the SAME exchange — shingle+explode runs once
+    shuffled = grams.repartition("_h")
+    per_gram = shuffled.groupBy("_h").agg(
+        # (_h, _id) is distinct by construction (array_distinct per doc),
+        # so count(_id) == count_distinct(_id) without the extra full
+        # (_h, _id) shuffle Spark plans for distinct aggregates.
+        # count(_id) — not count(*) — so column pruning cannot strip _id
+        # from this branch: both exchange subtrees stay canonically
+        # identical and ReuseExchange collapses them to one shuffle
+        F.count("_id").alias("_docs")
     )
     return (
-        grams.join(per_gram, "_h")
+        shuffled.join(per_gram, "_h")
         .groupBy(F.col("_id").alias(id_col))
         .agg(
             F.count_if(F.col("_docs") > 1).alias("n_shared_ngrams"),

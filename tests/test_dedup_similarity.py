@@ -263,3 +263,23 @@ def test_cross_doc_ngram_xxhash_matches_md5(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         cross_doc_ngram_duplicates(df, hash_fn="sha1")
+
+
+def test_cross_doc_ngram_single_shingle_pass(spark, tmp_path):
+    """The heavy scan+shingle+explode subtree must execute ONCE: the
+    per-gram aggregation reads the SAME shuffle as the join probe
+    (AQE stage reuse — the executed plan carries a ReusedExchange).
+    Guards against regressing to the double-pass shape where the two
+    grams references each re-ran the explode."""
+    from data_check_spark.operators.dedup import cross_doc_ngram_duplicates
+
+    span = "one two three four five six seven eight"
+    rows = [(i, f"doc {i} " + span) for i in range(40)]
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(p)
+    res = cross_doc_ngram_duplicates(spark.read.parquet(p))
+    res.collect()  # AQE reuse is a runtime decision: inspect post-run
+    final = res._jdf.queryExecution().executedPlan().toString()
+    final = final.split("== Initial Plan ==")[0]
+    assert final.count("ReusedExchange") == 1, final
+    assert final.count("FileScan parquet") == 1, final
