@@ -49,3 +49,21 @@ def test_parity_sf0001(spark, name, sf_dir):
     odf = normalize(con.execute(entry.oracle_sql()[name]).df())
     assert list(sdf.columns) == list(odf.columns)
     pd.testing.assert_frame_equal(sdf, odf, check_dtype=False, check_exact=True)
+
+
+def test_events_hourly_dual_mode(spark):
+    """The deterministic=False double-sum fast path must agree with
+    the oracle-parity fixed-point form on keys/counts exactly and on
+    values to aggregation-noise tolerance (its whole point is to skip
+    the ~2x decimal determinism tax — BENCH/AB_EVENTS_HOURLY.jsonl —
+    while staying correct to float ulps)."""
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    det = {(r["hour"], r["event_type"]): r
+           for r in entry.events_hourly_frame(e, deterministic=True).collect()}
+    fast = {(r["hour"], r["event_type"]): r
+            for r in entry.events_hourly_frame(e, deterministic=False).collect()}
+    assert set(det) == set(fast) and len(det) > 0
+    for k in det:
+        assert det[k]["n"] == fast[k]["n"]
+        assert abs(det[k]["avg_value"] - fast[k]["avg_value"]) <= 2e-4
+        assert abs(det[k]["sum_value"] - fast[k]["sum_value"]) <= 0.02
