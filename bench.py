@@ -12,13 +12,15 @@ timed sweeps; each query reports its MEDIAN across sweeps and `value`
 is the sum of medians. The whole timed block is sandwiched by the same
 concurrent pure-CPU sha256 ceiling probes the scaling bench uses
 (scripts/bench_scaling.py) and retried up to DCS_BENCH_ATTEMPTS
-(default 2) until a quiet window — both probes in [0.8, 1.15] (a
+(default 4) until a quiet window — both probes in [0.8, 1.15] (a
 probe ABOVE ~1 means the low-parallelism probe itself was disturbed)
 AND the per-sweep total-time spread <= 1.2 (edge probes cannot see
-mid-run interference). Attempts are ranked by bench_scaling's
-att_score (spread first, probe distance from 1.0 second) — one
-protocol for the headline and scaling benches; probe readings and
-spread ship in the JSON so a noisy number is visibly noisy.
+mid-run interference). An ACCEPTED attempt (the stop criterion above)
+strictly outranks any non-accepted one; within a class attempts rank
+by bench_scaling's att_score (spread first, probe distance from 1.0
+second) — one protocol for the headline and scaling benches; probe
+readings, spread, and the accepted flag ship in the JSON so a noisy
+number is visibly noisy.
 
 Each query is forced with a noop-format write (full computation, no
 driver collect overhead — and no count(): Catalyst PRUNES aggregate
@@ -74,7 +76,7 @@ HEADLINE = [
 
 PAGES_N = int(os.environ.get("DCS_BENCH_PAGES_N", "500000"))
 REPS = int(os.environ.get("DCS_BENCH_REPS", "3"))
-ATTEMPTS = int(os.environ.get("DCS_BENCH_ATTEMPTS", "2"))
+ATTEMPTS = int(os.environ.get("DCS_BENCH_ATTEMPTS", "4"))
 
 
 def _force(df) -> None:
@@ -159,11 +161,15 @@ def main() -> None:
             reps = len(next(iter(timings.values())))
             return [sum(t[i] for t in timings.values()) for i in range(reps)]
 
-        def att_score(att: dict) -> float:
+        def att_score(att: dict) -> tuple:
             w = max(
                 abs(att["ceiling_pre"] - 1.0), abs(att["ceiling_post"] - 1.0)
             )
-            return -(att["sweep_spread"] + 0.5 * w)
+            # acceptance dominates: an accepted (quiet-probes + steady-
+            # sweeps) attempt always outranks a non-accepted one, so the
+            # shipped number comes from an accepted window whenever one
+            # exists — a lower spread in a noisy window cannot shadow it
+            return (att["accepted"], -(att["sweep_spread"] + 0.5 * w))
 
         best = None
         for attempt in range(ATTEMPTS):
@@ -173,17 +179,19 @@ def main() -> None:
                 one_sweep(spark, qs, sf_dir, pages, timings)
             c_post = cpu_ceiling(8, 32)
             totals = sweep_totals(timings)
+            quiet_probes = 0.80 <= c_pre <= 1.15 and 0.80 <= c_post <= 1.15
+            spread = round(max(totals) / min(totals), 3)
             att = {
                 "timings": timings,
                 "ceiling_pre": round(c_pre, 3),
                 "ceiling_post": round(c_post, 3),
-                "sweep_spread": round(max(totals) / min(totals), 3),
+                "sweep_spread": spread,
                 "attempt": attempt,
+                "accepted": bool(quiet_probes and spread <= 1.2),
             }
             if best is None or att_score(att) > att_score(best):
                 best = att
-            quiet_probes = 0.80 <= c_pre <= 1.15 and 0.80 <= c_post <= 1.15
-            if quiet_probes and att["sweep_spread"] <= 1.2:
+            if att["accepted"]:
                 break
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -213,6 +221,7 @@ def main() -> None:
                     "ceiling_post": best["ceiling_post"],
                     "sweep_spread": best["sweep_spread"],
                     "attempt": best["attempt"],
+                    "accepted": best["accepted"],
                 },
             }
         )

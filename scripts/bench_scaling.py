@@ -160,19 +160,23 @@ def bench_pair(lo: int, hi: int, attempts: int, zpath: str, p1: str, p2: str) ->
     def spread(runs: list) -> float:
         return max(runs) / min(runs)
 
-    def att_score(att: dict) -> float:
-        # Rank attempts: first by how steady the timed runs themselves
-        # were (the edge probes cannot see MID-RUN interference — an
-        # attempt with probe readings 1.02/0.95 still showed a 39%
-        # internal spread when the host got busy between runs), then
-        # by probe distance from the ideal 1.0 (a probe ABOVE ~1 is as
-        # suspect as one below 0.8: sha scaling can't genuinely exceed
-        # 1.0, so a high reading means the low-parallelism probe
-        # itself was disturbed — observed 1.25 right before a 2-core
-        # run that came out 50% slow).
+    def att_score(att: dict) -> tuple:
+        # Rank attempts: an ACCEPTED attempt (quiet probes + steady
+        # runs — the loop's own stop criterion) always outranks a
+        # non-accepted one, so the shipped number comes from an
+        # accepted window whenever one exists. Within a class, rank
+        # by how steady the timed runs themselves were (the edge
+        # probes cannot see MID-RUN interference — an attempt with
+        # probe readings 1.02/0.95 still showed a 39% internal spread
+        # when the host got busy between runs), then by probe distance
+        # from the ideal 1.0 (a probe ABOVE ~1 is as suspect as one
+        # below 0.8: sha scaling can't genuinely exceed 1.0, so a high
+        # reading means the low-parallelism probe itself was disturbed
+        # — observed 1.25 right before a 2-core run that came out 50%
+        # slow).
         s = max(spread(att["r_lo"]["all_runs_sec"]), spread(att["r_hi"]["all_runs_sec"]))
         w = max(abs(att["ceiling_pre"] - 1.0), abs(att["ceiling_post"] - 1.0))
-        return -(s + 0.5 * w)
+        return (att["accepted"], -(s + 0.5 * w))
 
     best = None
     for i in range(attempts):
@@ -190,12 +194,13 @@ def bench_pair(lo: int, hi: int, attempts: int, zpath: str, p1: str, p2: str) ->
             "r_lo": r_lo, "r_hi": r_hi,
             "efficiency": round(eff_i, 3),
         }
+        quiet_probes = 0.80 <= c_pre <= 1.15 and 0.80 <= c_post <= 1.15
+        steady_runs = att["spread_lo"] <= 1.2 and att["spread_hi"] <= 1.2
+        att["accepted"] = bool(quiet_probes and steady_runs)
         print(json.dumps({"attempt_result": att}), flush=True)
         if best is None or att_score(att) > att_score(best):
             best = att
-        quiet_probes = 0.80 <= c_pre <= 1.15 and 0.80 <= c_post <= 1.15
-        steady_runs = att["spread_lo"] <= 1.2 and att["spread_hi"] <= 1.2
-        if quiet_probes and steady_runs:
+        if att["accepted"]:
             break
     return best
 

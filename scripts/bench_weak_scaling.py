@@ -51,10 +51,13 @@ def spread(runs: list) -> float:
     return max(runs) / min(runs)
 
 
-def att_score(att: dict) -> float:
+def att_score(att: dict) -> tuple:
+    # accepted attempts (quiet probes + steady runs) strictly outrank
+    # non-accepted ones — the shipped number must come from an accepted
+    # window whenever one exists (same rule as bench.py/bench_scaling)
     s = max(spread(att["r_lo"]["all_runs_sec"]), spread(att["r_hi"]["all_runs_sec"]))
     w = max(abs(att["ceiling_pre"] - 1.0), abs(att["ceiling_post"] - 1.0))
-    return -(s + 0.5 * w)
+    return (att["accepted"], -(s + 0.5 * w))
 
 
 def main() -> None:
@@ -80,14 +83,15 @@ def main() -> None:
             "r_lo": r_lo, "r_hi": r_hi,
             "weak_efficiency": round(eff, 3),
         }
+        quiet = 0.80 <= c_pre <= 1.15 and 0.80 <= c_post <= 1.15
+        steady = att["spread_lo"] <= 1.2 and att["spread_hi"] <= 1.2
+        att["accepted"] = bool(quiet and steady)
         log.write(json.dumps(att) + "\n")
         log.flush()
         print(json.dumps({"attempt_result": att}), flush=True)
         if best is None or att_score(att) > att_score(best):
             best = att
-        quiet = 0.80 <= c_pre <= 1.15 and 0.80 <= c_post <= 1.15
-        steady = att["spread_lo"] <= 1.2 and att["spread_hi"] <= 1.2
-        if quiet and steady:
+        if att["accepted"]:
             break
     print(json.dumps({"weak_scaling_best": best}))
 
