@@ -89,9 +89,27 @@ def streaming_stat_verdicts(
     )
 
 
+def reference_freqs_from(ref_df: DataFrame, col: str = "lang") -> dict:
+    """Derive the static reference distribution streaming_psi_verdicts
+    consumes from a batch reference snapshot — the SAME frequencies
+    the batch CategoricalDriftCheck computes (operators/drift.
+    categorical_frequencies), so a suite can hand its batch reference
+    to the streaming check and the two emit interchangeable verdicts.
+    NULL is kept as its own bucket (key ``None``), matching the batch
+    'drift in null-rate is drift' semantics. One tiny collect of the
+    |categories|-row frequency table — the reference is a snapshot,
+    computed once per deploy, not per micro-batch."""
+    from data_check_spark.operators.drift import categorical_frequencies
+
+    return {
+        r["category"]: r["freq"]
+        for r in categorical_frequencies(ref_df, col).collect()
+    }
+
+
 def streaming_psi_verdicts(
     pages: DataFrame,
-    reference_freqs: dict[str, float],
+    reference_freqs: dict,
     col: str = "lang",
     window: str = "1 hour",
     watermark: str = "2 hours",
@@ -106,32 +124,53 @@ def streaming_psi_verdicts(
     aggregation (same bounded-state shape as streaming_stat_verdicts),
     and the PSI is a closed-form JVM expression over those counts.
 
-    Categories outside the reference (and NULL) fold into a single
-    OTHER bucket with reference mass ``eps`` — the same epsilon floor
-    batch psi_categorical applies to empty buckets, so novel
-    categories surface as drift rather than being dropped.
+    BATCH INTERCHANGEABILITY: with ``reference_freqs =
+    reference_freqs_from(ref_df, col)`` and every streamed category ∈
+    reference categories, each window's (psi, threshold, passed)
+    equals the batch CategoricalDriftCheck verdict over that window's
+    rows vs the same reference (identical p/q arithmetic, identical
+    eps floor and 6-dp rounding; pytest-asserted in
+    tests/test_streaming.py). A ``None`` key carries the reference's
+    NULL bucket (drift in null-rate is drift). The one divergence
+    envelope: categories ABSENT from the reference fold into a single
+    OTHER bucket with reference mass ``eps``, where the batch gives
+    each novel category its own (p, eps) term — streaming OTHER is a
+    lower bound on the batch novel-category contribution (log is
+    concave; mass concentrated in one bucket drifts less than spread
+    over several), and both fail closed as the novel mass grows.
 
     Emits (window_start, window_end, n_rows, psi, threshold, passed)
     in append mode once the watermark closes each window."""
-    cats = sorted(reference_freqs)
+    cats = sorted(k for k in reference_freqs if k is not None)
+    null_q = reference_freqs.get(None)
     c = F.col(col)
     aggs = [F.count(F.lit(1)).alias("_n")]
     for i, _k in enumerate(cats):
         aggs.append(F.count_if(c == F.lit(_k)).alias(f"_c{i}"))
-    aggs.append(F.count_if(c.isNull() | ~c.isin(list(cats))).alias("_other"))
+    if null_q is not None:
+        aggs.append(F.count_if(c.isNull()).alias("_null"))
+        other_pred = c.isNotNull() & ~c.isin(list(cats))
+    else:
+        other_pred = c.isNull() | ~c.isin(list(cats))
+    aggs.append(F.count_if(other_pred).alias("_other"))
     agg = (
         pages.withWatermark("warc_ts", watermark)
         .groupBy(F.window("warc_ts", window).alias("w"))
         .agg(*aggs)
     )
     n = F.col("_n").cast("double")
+
+    def term(count_col: str, q_val: float):
+        p = F.greatest(F.col(count_col).cast("double") / n, F.lit(eps))
+        q = F.lit(max(float(q_val), eps))
+        return (p - q) * F.log(p / q)
+
     psi = F.lit(0.0)
     for i, k in enumerate(cats):
-        p = F.greatest(F.col(f"_c{i}").cast("double") / n, F.lit(eps))
-        q = F.lit(max(float(reference_freqs[k]), eps))
-        psi = psi + (p - q) * F.log(p / q)
-    p_o = F.greatest(F.col("_other").cast("double") / n, F.lit(eps))
-    psi = psi + (p_o - F.lit(eps)) * F.log(p_o / F.lit(eps))
+        psi = psi + term(f"_c{i}", reference_freqs[k])
+    if null_q is not None:
+        psi = psi + term("_null", null_q)
+    psi = psi + term("_other", eps)
     psi = F.round(psi, 6)
     return agg.select(
         F.col("w.start").alias("window_start"),

@@ -327,3 +327,54 @@ def test_streaming_psi_matches_closed_form(spark, pages_dir):
     q2.awaitTermination(120)
     rows = spark.table("psi_verdicts_drift").collect()
     assert rows and all(not r["passed"] for r in rows)
+
+
+def test_streaming_psi_verdict_interchangeable_with_batch(spark, pages_dir, tmp_path):
+    """The north-rule interchangeability contract: a window's streaming
+    (psi, threshold, passed) equals the batch CategoricalDriftCheck
+    verdict over the SAME rows vs the SAME reference snapshot, with the
+    reference handed to the stream via reference_freqs_from (NULL
+    bucket included). Thresholds chosen so one direction passes and a
+    tighter one fails — agreement must hold for both verdicts."""
+    from data_check_spark.plans.suite import CategoricalDriftCheck, CheckSuite
+    from data_check_spark.sources.synth import synth_pages_v2
+    from data_check_spark.streaming.checks import (
+        reference_freqs_from,
+        streaming_psi_verdicts,
+    )
+
+    current = spark.read.parquet(pages_dir)
+    # one event-time day per window; restrict to a single window so the
+    # batch '*' verdict and the streaming per-window verdict cover the
+    # same rows
+    day0 = current.agg(F.min(F.date_trunc("day", "warc_ts"))).collect()[0][0]
+    current = current.filter(F.date_trunc("day", "warc_ts") == F.lit(day0))
+    ref_df = synth_pages_v2(spark, N)
+
+    freqs = reference_freqs_from(ref_df, "lang")
+    assert None in freqs  # NULL bucket rides along (drift in null-rate)
+
+    current.withColumn("html", F.col("html").cast("string")).write.parquet(
+        str(tmp_path / "cur")
+    )
+    stream = stream_pages(spark, str(tmp_path / "cur"))
+
+    for max_psi, expect_key in ((0.2, "loose"), (1e-6, "tight")):
+        batch_v = (
+            CheckSuite([CategoricalDriftCheck(column="lang", max_psi=max_psi)])
+            .run(spark, current, "lang", reference_df=ref_df)
+            .verdicts.filter("check = 'psi_categorical'")
+            .collect()
+        )
+        assert len(batch_v) == 1
+        q = run_to_memory(
+            streaming_psi_verdicts(stream, freqs, window="1 day", max_psi=max_psi),
+            f"psi_interch_{expect_key}",
+            "complete",
+        )
+        q.awaitTermination(120)
+        stream_v = spark.table(f"psi_interch_{expect_key}").collect()
+        assert len(stream_v) == 1
+        assert stream_v[0]["psi"] == pytest.approx(batch_v[0]["metric"], abs=2e-6)
+        assert stream_v[0]["threshold"] == batch_v[0]["threshold"]
+        assert stream_v[0]["passed"] == batch_v[0]["passed"]
