@@ -19,6 +19,8 @@ Scale design:
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -42,7 +44,12 @@ def plan_size_estimate(df: DataFrame) -> int | None:
         jstats = df._jdf.queryExecution().optimizedPlan().stats()
         est = int(str(jstats.sizeInBytes()))
         return None if est >= _UNKNOWN_SIZE else est
-    except Exception:  # noqa: BLE001 — estimate is advisory only
+    except Exception as exc:  # noqa: BLE001 — estimate is advisory only
+        # visible trail: a None here sends maybe_broadcast down the
+        # bounded limit(cap+1).count() probe — one extra tiny job
+        logging.getLogger(__name__).debug(
+            "plan size estimate unavailable (%s); falling back to row probe", exc
+        )
         return None
 
 
