@@ -468,6 +468,27 @@ def _q_events_hourly(spark, sf_dir):
     return events_hourly_frame(_t(spark, sf_dir, "events"), deterministic=True)
 
 
+def _q_asof_join(spark, sf_dir):
+    """Event attribution: for each 'click' event, the same user's most
+    recent 'view' at-or-before the click (ties: largest event_id).
+    Distributed as-of join — one shuffle on user_id + running
+    last(ignorenulls) window (operators/asofjoin.py); the DuckDB twin
+    is the exact correlated-subquery definition of the semantics."""
+    from data_check_spark.operators.asofjoin import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    return asof_join(
+        clicks, views, "user_id", "ts", ["value", "event_id"],
+        tiebreak_col="event_id",
+    )
+
+
 def _q_tpch_q1(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return (
@@ -884,6 +905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_metrics": _q_text_metrics,
         "fingerprint": _q_fingerprint,
         "events_hourly": _q_events_hourly,
+        "asof_join_events": _q_asof_join,
         "tpch_q1": _q_tpch_q1,
         "window_topk_orders": _q_window_topk,
         "multimodal_meta": _q_multimodal,
@@ -1126,6 +1148,17 @@ SELECT hour, event_type, n,
        CAST((2 * s * 10000 + c * 1000000) // (2 * c * 1000000) AS DOUBLE) / 10000 AS avg_value,
        CAST((2 * s + 10000) // 20000 AS DOUBLE) / 100 AS sum_value
 FROM g""",
+        "asof_join_events": """
+WITH l AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
+     r AS (SELECT user_id, ts, value, event_id FROM events WHERE event_type = 'view')
+SELECT l.event_id, l.user_id, l.ts, l.value,
+       (SELECT r.ts FROM r WHERE r.user_id = l.user_id AND r.ts <= l.ts
+        ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) AS ts_asof,
+       (SELECT r.value FROM r WHERE r.user_id = l.user_id AND r.ts <= l.ts
+        ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) AS value_asof,
+       (SELECT r.event_id FROM r WHERE r.user_id = l.user_id AND r.ts <= l.ts
+        ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) AS event_id_asof
+FROM l""",
         "tpch_q1": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
