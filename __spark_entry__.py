@@ -489,6 +489,27 @@ def _q_asof_join(spark, sf_dir):
     )
 
 
+def _q_range_join(spark, sf_dir):
+    """Incident attribution: every click that happened inside the
+    2-minute window after any error event (keyless global intervals).
+    Bucketed range join (operators/rangejoin.py) — the DuckDB twin is
+    the raw inequality join the bucketed plan must reproduce exactly."""
+    from data_check_spark.operators.rangejoin import interval_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "ts"
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 120 SECONDS")).alias("end_ts"),
+    )
+    return interval_join(
+        clicks, errors, "ts", "start_ts", "end_ts", bucket_width=120
+    ).select("click_id", "error_id", "ts", "start_ts")
+
+
 def _q_tpch_q1(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return (
@@ -906,6 +927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "events_hourly": _q_events_hourly,
         "asof_join_events": _q_asof_join,
+        "range_join_events": _q_range_join,
         "tpch_q1": _q_tpch_q1,
         "window_topk_orders": _q_window_topk,
         "multimodal_meta": _q_multimodal,
@@ -1159,6 +1181,13 @@ SELECT l.event_id, l.user_id, l.ts, l.value,
        (SELECT r.event_id FROM r WHERE r.user_id = l.user_id AND r.ts <= l.ts
         ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) AS event_id_asof
 FROM l""",
+        "range_join_events": """
+WITH p AS (SELECT event_id AS click_id, ts FROM events WHERE event_type = 'click'),
+     iv AS (SELECT event_id AS error_id, ts AS start_ts,
+                   ts + INTERVAL 120 SECOND AS end_ts
+            FROM events WHERE event_type = 'error')
+SELECT p.click_id, iv.error_id, p.ts, iv.start_ts
+FROM p JOIN iv ON p.ts >= iv.start_ts AND p.ts <= iv.end_ts""",
         "tpch_q1": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,

@@ -46,8 +46,19 @@ joins).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def epoch_seconds(df: DataFrame, col: str) -> Column:
+    """The column as a double suitable for time arithmetic/bucketing:
+    fractional epoch seconds for timestamp columns (TIMESTAMP_NTZ
+    cannot cast straight to double — read as session-tz instants,
+    which shifts both join sides by the same constant), the plain
+    double cast for numeric columns."""
+    if dict(df.dtypes)[col].startswith("timestamp"):
+        return F.unix_micros(F.col(col).cast("timestamp")) / F.lit(1e6)
+    return F.col(col).cast("double")
 
 
 def asof_join(
@@ -122,9 +133,15 @@ def asof_join(
 
     m = F.col("_m")
     if tolerance is not None:
-        gap = F.abs(
-            F.col("_ts").cast("double") - m.getField("_match_ts").cast("double")
-        )
+        if dict(u.dtypes)["_ts"].startswith("timestamp"):
+            gap = F.abs(
+                F.unix_micros(F.col("_ts").cast("timestamp"))
+                - F.unix_micros(m.getField("_match_ts").cast("timestamp"))
+            ) / F.lit(1e6)
+        else:
+            gap = F.abs(
+                F.col("_ts").cast("double") - m.getField("_match_ts").cast("double")
+            )
         m = F.when(gap <= F.lit(float(tolerance)), F.col("_m"))
 
     out = carried.select(
