@@ -72,6 +72,9 @@ HEADLINE = [
     "crossdoc_ngram",
     "train_split",
     "tdigest_quantiles",
+    # round-5 additions (same comparability note)
+    "asof_join_events",
+    "range_join_events",
 ]
 
 PAGES_N = int(os.environ.get("DCS_BENCH_PAGES_N", "500000"))
