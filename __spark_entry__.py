@@ -489,6 +489,25 @@ def _q_asof_join(spark, sf_dir):
     )
 
 
+def _q_sessionize(spark, sf_dir):
+    """Per-user gap sessions (2 h) over the events stream, summarized
+    per session. One shuffle + one Window operator assigns labels
+    (operators/sessionize.py); the session sum is quantized to the
+    generator's 2-dp value grid so both engines sum exact integers."""
+    from data_check_spark.operators.sessionize import sessionize
+
+    e = _t(spark, sf_dir, "events")
+    s = sessionize(e, "user_id", "ts", 7200.0, tiebreak_col="event_id")
+    return s.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum(F.round(F.col("value") * 100).cast("long")) / F.lit(100.0)).alias(
+            "sum_value"
+        ),
+    )
+
+
 def _q_range_join(spark, sf_dir):
     """Incident attribution: every click that happened inside the
     2-minute window after any error event (keyless global intervals).
@@ -928,6 +947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _q_events_hourly,
         "asof_join_events": _q_asof_join,
         "range_join_events": _q_range_join,
+        "sessionize_events": _q_sessionize,
         "tpch_q1": _q_tpch_q1,
         "window_topk_orders": _q_window_topk,
         "multimodal_meta": _q_multimodal,
@@ -1188,6 +1208,22 @@ WITH p AS (SELECT event_id AS click_id, ts FROM events WHERE event_type = 'click
             FROM events WHERE event_type = 'error')
 SELECT p.click_id, iv.error_id, p.ts, iv.start_ts
 FROM p JOIN iv ON p.ts >= iv.start_ts AND p.ts <= iv.end_ts""",
+        "sessionize_events": """
+WITH o AS (
+  SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM events),
+     s AS (
+  SELECT user_id, ts, value,
+         CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us > 7200000000 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_seq
+  FROM o)
+SELECT user_id, session_seq,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+FROM s GROUP BY user_id, session_seq""",
         "tpch_q1": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,

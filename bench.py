@@ -75,6 +75,7 @@ HEADLINE = [
     # round-5 additions (same comparability note)
     "asof_join_events",
     "range_join_events",
+    "sessionize_events",
 ]
 
 PAGES_N = int(os.environ.get("DCS_BENCH_PAGES_N", "500000"))
