@@ -489,6 +489,42 @@ def _q_asof_join(spark, sf_dir):
     )
 
 
+def _q_pii_scan(spark, sf_dir):
+    """PII counts + redacted length per document. The synth corpus is
+    clean word soup, so PII is PLANTED deterministically from doc_id
+    (doc_id%7 rows gain an email, doc_id%11 rows a URL + an IPv4) with
+    the identical string construction in the DuckDB twin — the regexes
+    then have real content to find, and zero-counts are meaningful."""
+    from data_check_spark.functions.pii import pii_counts, redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    dirty = (
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" contact user"), sid, F.lit("@example.com now")),
+        )
+        .when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" visit https://example.org/p/"), sid,
+                F.lit(" from 10."), (F.col("doc_id") % 256).cast("string"), F.lit(".0.7"),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    t = d.select("doc_id", dirty.alias("t"))
+    c = pii_counts(F.col("t"))
+    return t.select(
+        "doc_id",
+        c["email"].cast("int").alias("n_emails"),
+        c["url"].cast("int").alias("n_urls"),
+        c["ipv4"].cast("int").alias("n_ipv4"),
+        F.length(redact_pii(F.col("t"))).cast("int").alias("n_chars_clean"),
+    )
+
+
 def _q_sessionize(spark, sf_dir):
     """Per-user gap sessions (2 h) over the events stream, summarized
     per session. One shuffle + one Window operator assigns labels
@@ -948,6 +984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events": _q_asof_join,
         "range_join_events": _q_range_join,
         "sessionize_events": _q_sessionize,
+        "pii_scan": _q_pii_scan,
         "tpch_q1": _q_tpch_q1,
         "window_topk_orders": _q_window_topk,
         "multimodal_meta": _q_multimodal,
@@ -1224,6 +1261,26 @@ SELECT user_id, session_seq,
        count(*) AS n_events,
        sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
 FROM s GROUP BY user_id, session_seq""",
+        "pii_scan": """
+WITH dirty AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+                THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+              WHEN doc_id % 11 = 0
+                THEN text || ' visit https://example.org/p/' || CAST(doc_id AS VARCHAR)
+                     || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.7'
+              ELSE text END AS t
+  FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(t, 'https?://[A-Za-z0-9./_%-]+')) AS INT) AS n_urls,
+       CAST(len(regexp_extract_all(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INT) AS n_ipv4,
+       CAST(length(
+         regexp_replace(regexp_replace(regexp_replace(t,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           'https?://[A-Za-z0-9./_%-]+', '<URL>', 'g'),
+           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IPV4>', 'g')) AS INT) AS n_chars_clean
+FROM dirty""",
         "tpch_q1": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,

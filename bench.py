@@ -76,6 +76,7 @@ HEADLINE = [
     "asof_join_events",
     "range_join_events",
     "sessionize_events",
+    "pii_scan",
 ]
 
 PAGES_N = int(os.environ.get("DCS_BENCH_PAGES_N", "500000"))
