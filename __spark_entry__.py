@@ -489,6 +489,21 @@ def _q_asof_join(spark, sf_dir):
     )
 
 
+def _q_stratified_sample(spark, sf_dir):
+    """Deterministic training-mix sampling: keep 50% of en, 25% of fr,
+    12.5% of zh, 6.25% of everything else — md5-bucketed per row
+    (functions/splits.py:stratified_sample), shuffle-free, and exactly
+    re-derivable by the DuckDB twin."""
+    from data_check_spark.functions.splits import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        d, "doc_id", "lang",
+        {"en": 0.5, "fr": 0.25, "zh": 0.125},
+        default_rate=0.0625,
+    ).select("doc_id", "lang")
+
+
 def _q_pii_scan(spark, sf_dir):
     """PII counts + redacted length per document. The synth corpus is
     clean word soup, so PII is PLANTED deterministically from doc_id
@@ -985,6 +1000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_events": _q_range_join,
         "sessionize_events": _q_sessionize,
         "pii_scan": _q_pii_scan,
+        "stratified_sample": _q_stratified_sample,
         "tpch_q1": _q_tpch_q1,
         "window_topk_orders": _q_window_topk,
         "multimodal_meta": _q_multimodal,
@@ -1281,6 +1297,11 @@ SELECT doc_id,
            'https?://[A-Za-z0-9./_%-]+', '<URL>', 'g'),
            '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IPV4>', 'g')) AS INT) AS n_chars_clean
 FROM dirty""",
+        "stratified_sample": """
+SELECT doc_id, lang FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':dcs-strat'), 1, 2) <
+      CASE lang WHEN 'en' THEN '80' WHEN 'fr' THEN '40'
+                WHEN 'zh' THEN '20' ELSE '10' END""",
         "tpch_q1": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,

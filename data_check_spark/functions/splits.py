@@ -64,6 +64,49 @@ def hash_split(
     return df.withColumn("split", split_label(F.col(key_col), fractions, salt))
 
 
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    salt: str = "dcs-strat",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff its md5
+    bucket (same 256-bucket scheme as ``split_label``) falls under its
+    stratum's quantized rate. Shuffle-free and re-run/backfill stable
+    like ``hash_split`` — the training-mix use case ("50% of en, 25%
+    of fr, drop the rest") needs sampling decisions that any engine
+    can re-derive row-by-row, which ``df.sample`` (per-run RNG) cannot
+    give. Strata absent from ``rates`` get ``default_rate``.
+
+    Rates quantize to 1/256 like split fractions; a rate >= 1.0 keeps
+    the whole stratum. Because every stratum reads the SAME bucket of
+    the SAME key, a row kept at rate r stays kept at any rate' > r —
+    nested samples for curriculum/ablation mixes are free."""
+    if not rates:
+        raise ValueError("rates must be non-empty")
+    for s, r in {**rates, "<default>": default_rate}.items():
+        if r < 0:
+            raise ValueError(f"negative rate for stratum {s!r}")
+    bucket = F.substring(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(":" + salt)).cast("binary")),
+        1,
+        2,
+    )
+
+    def bound(rate: float) -> str:
+        b = min(256, round(rate * 256))
+        return "g" if b >= 256 else format(b, "02x")
+
+    keep = bucket < F.lit(bound(default_rate))
+    for stratum, rate in rates.items():
+        keep = F.when(
+            F.col(strata_col) == F.lit(stratum), bucket < F.lit(bound(rate))
+        ).otherwise(keep)
+    return df.filter(keep)
+
+
 def split_summary(
     df: DataFrame,
     key_col: str,

@@ -405,3 +405,56 @@ def test_tdigest_auto_fan_in(spark, monkeypatch):
     for q in (0.25, 0.75):
         cdf = np.searchsorted(sv, est[q], side="right") / len(sv)
         assert abs(cdf - q) <= 0.015
+
+
+# ---------------------------------------------------- stratified sampling
+def _strat_df(spark, n=2000):
+    return spark.range(n).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("s"), (F.col("id") % 4).cast("string")).alias("g"),
+    )
+
+
+def test_stratified_sample_rates(spark):
+    from data_check_spark.functions.splits import stratified_sample
+
+    df = _strat_df(spark)
+    out = stratified_sample(df, "k", "g", {"s0": 0.5, "s1": 0.25}, default_rate=0.0)
+    per = {r["g"]: r["n"] for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    # 500 rows per stratum; md5 buckets are uniform: expect ~250/~125,
+    # zero for unlisted strata
+    assert set(per) <= {"s0", "s1"}
+    assert abs(per["s0"] - 250) < 60 and abs(per["s1"] - 125) < 45
+
+
+def test_stratified_sample_nested(spark):
+    """A row kept at rate r stays kept at any higher rate — the
+    documented nested-sample guarantee (same bucket, same key)."""
+    from data_check_spark.functions.splits import stratified_sample
+
+    df = _strat_df(spark)
+    lo = {r["k"] for r in stratified_sample(df, "k", "g", {"s0": 0.125}).select("k").collect()}
+    hi = {r["k"] for r in stratified_sample(df, "k", "g", {"s0": 0.5}).select("k").collect()}
+    assert lo <= hi and len(lo) < len(hi)
+
+
+def test_stratified_sample_default_and_full(spark):
+    from data_check_spark.functions.splits import stratified_sample
+
+    df = _strat_df(spark, 400)
+    # rate >= 1.0 keeps the whole stratum; default applies to the rest
+    out = stratified_sample(df, "k", "g", {"s0": 1.0}, default_rate=1.0)
+    assert out.count() == 400
+    none = stratified_sample(df, "k", "g", {"s0": 0.0}, default_rate=0.0)
+    assert none.count() == 0
+    with pytest.raises(ValueError, match="negative"):
+        stratified_sample(df, "k", "g", {"s0": -0.1})
+
+
+def test_stratified_sample_partition_invariant(spark):
+    from data_check_spark.functions.splits import stratified_sample
+
+    df = _strat_df(spark)
+    a = sorted(r["k"] for r in stratified_sample(df.repartition(1), "k", "g", {"s0": 0.3, "s2": 0.7}).select("k").collect())
+    b = sorted(r["k"] for r in stratified_sample(df.repartition(19), "k", "g", {"s0": 0.3, "s2": 0.7}).select("k").collect())
+    assert a == b
