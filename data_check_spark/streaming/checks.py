@@ -196,6 +196,49 @@ _DEDUP_OUT = StructType(
         StructField("state_size", LongType()),
     ]
 )
+def streaming_sessions(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-key gap sessions over a stream via Spark's native
+    ``session_window`` — merging-window state the engine manages and
+    the watermark bounds, so this runs forever without custom state
+    code. Emits one row per closed session: key, session_start,
+    session_end, n_events.
+
+    Boundary semantics vs the batch labeler
+    (operators/sessionize.sessionize): ``session_window`` spans
+    ``[first_ts, last_ts + gap)`` and merges an event landing EXACTLY
+    ``gap`` after the previous into the same session only if it is
+    strictly inside the half-open end — i.e. an exactly-``gap``
+    follower starts a NEW session here, while the batch labeler's
+    strictly-greater rule keeps it. Equal up to that single boundary
+    instant (tested on gap-free-boundary data in
+    tests/test_streaming.py); pick one form per pipeline and stay
+    with it.
+
+    Works identically on a batch frame (groupBy(session_window(...)))
+    — the batch/streaming interchange pattern this module uses for
+    stats and PSI."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("w"),
+            F.col(key_col),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(key_col),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            F.col("n_events"),
+        )
+    )
+
+
 # Bounded state: 8 bytes per distinct url ever seen in the bucket —
 # xxhash64 values (computed JVM-side before the Python worker), NOT
 # url strings. An earlier design stored a '\n'-joined SORTED string of

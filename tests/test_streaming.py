@@ -378,3 +378,66 @@ def test_streaming_psi_verdict_interchangeable_with_batch(spark, pages_dir, tmp_
         assert stream_v[0]["psi"] == pytest.approx(batch_v[0]["metric"], abs=2e-6)
         assert stream_v[0]["threshold"] == batch_v[0]["threshold"]
         assert stream_v[0]["passed"] == batch_v[0]["passed"]
+
+
+# ------------------------------------------------------------- sessions
+def _session_events(spark, n=500, seed=3):
+    import datetime as dt
+    import random
+
+    rng = random.Random(seed)
+    rows, t = [], 0.0
+    for eid in range(n):
+        # gaps straddle the 300 s threshold but never hit it exactly —
+        # the one boundary instant where session_window (half-open end)
+        # and the batch labeler (strictly-greater) disagree by design
+        t += rng.choice([5, 60, 299, 301, 4000])
+        rows.append(
+            (eid, f"u{rng.randrange(4)}", dt.datetime(2024, 1, 1) + dt.timedelta(seconds=t))
+        )
+    return spark.createDataFrame(rows, "eid bigint, k string, ts timestamp")
+
+
+def test_streaming_sessions_match_batch(spark, tmp_path):
+    from data_check_spark.streaming.checks import streaming_sessions
+
+    df = _session_events(spark)
+    d = str(tmp_path / "events")
+    df.repartition(3).write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(df.schema).parquet(d)
+    q = run_to_memory(
+        streaming_sessions(stream, "k", "ts", gap="5 minutes"), "sessions", "complete"
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["k"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.table("sessions").collect()
+    )
+    want = sorted(
+        (r["k"], r["session_start"], r["session_end"], r["n_events"])
+        for r in streaming_sessions(spark.read.parquet(d), "k", "ts", gap="5 minutes").collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_session_window_agrees_with_batch_labeler(spark):
+    """session_window (engine-managed merging windows) and
+    operators/sessionize (label assignment) must produce the same
+    sessions off the exact-gap boundary: same per-key session count,
+    same (start, n_events) per session."""
+    from data_check_spark.operators.sessionize import sessionize
+    from data_check_spark.streaming.checks import streaming_sessions
+
+    df = _session_events(spark, n=800, seed=11)
+    via_window = sorted(
+        (r["k"], r["session_start"], r["n_events"])
+        for r in streaming_sessions(df, "k", "ts", gap="5 minutes").collect()
+    )
+    via_labels = sorted(
+        (r["k"], r["session_start"], r["n_events"])
+        for r in sessionize(df, "k", "ts", 300.0, tiebreak_col="eid")
+        .groupBy("k", "session_seq")
+        .agg(F.min("ts").alias("session_start"), F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    )
+    assert via_window == via_labels
