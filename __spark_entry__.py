@@ -893,6 +893,29 @@ def _q_suite_expr(spark, sf_dir):
     return suite.run(spark, d, "source").verdicts
 
 
+_CONTAM_PHRASE = " zeta eta theta iota kappa lambda mu nu"
+
+
+def _q_contamination(spark, sf_dir):
+    """Benchmark-contamination counts per train doc (operators/dedup.
+    contamination_check): eval = doc_id%10==0, train = the rest; a
+    known 8-word phrase is PLANTED into every eval doc and into train
+    docs with doc_id%13==1 (row-local, identical construction in the
+    DuckDB twin) so contamination is non-trivial by construction on
+    top of the corpus's natural n-gram overlaps."""
+    from data_check_spark.operators.dedup import contamination_check
+
+    d = _t(spark, sf_dir, "documents")
+    txt = F.when(
+        (F.col("doc_id") % 10 == 0) | (F.col("doc_id") % 13 == 1),
+        F.concat(F.col("text"), F.lit(_CONTAM_PHRASE)),
+    ).otherwise(F.col("text"))
+    base = d.select("doc_id", txt.alias("text"))
+    train = base.filter(F.col("doc_id") % 10 != 0)
+    ev = base.filter(F.col("doc_id") % 10 == 0)
+    return contamination_check(train, ev, "doc_id", "text", n=8)
+
+
 def _q_crossdoc_ngram(spark, sf_dir):
     """Cross-document duplicated-n-gram counts (operators/dedup.
     cross_doc_ngram_duplicates, Lee et al. dedup signal): per doc, how
@@ -1017,6 +1040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suite_expr_verdicts": _q_suite_expr,
         "repetition_metrics": _q_repetition,
         "crossdoc_ngram": _q_crossdoc_ngram,
+        "contamination": _q_contamination,
         "train_split": _q_train_split,
         "tdigest_quantiles": _q_tdigest,
         # xxhash64-simhash / seeded-LSH values have no DuckDB twin, so
@@ -1520,6 +1544,28 @@ SELECT doc_id,
        count(*) FILTER (WHERE docs > 1) AS n_shared_ngrams,
        count(*) AS n_ngrams
 FROM g JOIN pg USING (h) GROUP BY doc_id""",
+        "contamination": r"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0 OR doc_id % 13 = 1
+              THEN text || ' zeta eta theta iota kappa lambda mu nu'
+              ELSE text END AS text
+  FROM documents
+), w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws FROM d
+), g AS (
+  SELECT doc_id, md5(gram) AS h FROM (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(range(1, len(ws) - 6),
+             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+                  || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7]))) AS gram
+    FROM w WHERE len(ws) >= 8)
+), t AS (SELECT * FROM g WHERE doc_id % 10 <> 0),
+   e AS (SELECT DISTINCT h FROM g WHERE doc_id % 10 = 0)
+SELECT t.doc_id,
+       count(*) FILTER (WHERE e.h IS NOT NULL) AS n_contaminated_ngrams,
+       count(*) AS n_ngrams
+FROM t LEFT JOIN e ON t.h = e.h GROUP BY t.doc_id""",
         "train_split": """
 WITH s AS (
   SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':dcs'), 1, 2) < 'cd' THEN 'train'

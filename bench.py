@@ -77,6 +77,7 @@ HEADLINE = [
     "range_join_events",
     "sessionize_events",
     "pii_scan",
+    "contamination",
 ]
 
 PAGES_N = int(os.environ.get("DCS_BENCH_PAGES_N", "500000"))

@@ -467,3 +467,70 @@ def cross_doc_ngram_duplicates(
             F.count(F.lit(1)).alias("n_ngrams"),
         )
     )
+
+
+def _gram_hash_frame(df: DataFrame, id_col: str, text_col: str, n: int, hash_fn: str):
+    """(_id, _h) distinct word-n-gram hashes per document — the shared
+    front end of cross_doc_ngram_duplicates and contamination_check
+    (same lowercase/split/shingle/hash derivation, so their counts are
+    directly comparable and one DuckDB recipe oracles both)."""
+    if hash_fn not in ("md5", "xxhash64"):
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
+    words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0)
+    gram_hash = (
+        (lambda g: F.md5(g.cast("binary"))) if hash_fn == "md5" else F.xxhash64
+    )
+    return (
+        df.select(F.col(id_col).alias("_id"), words.alias("_w"))
+        .select("_id", F.explode(word_shingles_from(F.col("_w"), n)).alias("_g"))
+        .select("_id", gram_hash(F.col("_g")).alias("_h"))
+    )
+
+
+def contamination_check(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    hash_fn: str = "md5",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Benchmark-contamination scan (the decontamination step of
+    GPT-3/Gopher-style pipelines): per TRAIN document, how many of its
+    distinct word n-grams appear anywhere in the EVAL corpus →
+    (id, n_contaminated_ngrams, n_ngrams). A pipeline then drops or
+    flags train docs above a threshold before training.
+
+    Scale shape — built around the asymmetry of the problem: eval
+    suites are tiny (10³-10⁵ docs) while train is the 100 TB side.
+    The eval side reduces to a DISTINCT gram-hash set (16 B/gram md5,
+    8 B xxhash64) that is BROADCAST, so the train corpus is scanned
+    ONCE map-side (shingle → hash → broadcast left-join probe) and
+    the only train-side shuffle is the final per-doc partial-agg
+    groupBy(id). Nothing is quadratic; a boilerplate gram shared by
+    every train doc costs one broadcast-set hit per doc, not a pair
+    explosion. Set ``broadcast_eval=False`` only if the eval gram set
+    genuinely cannot fit an executor (then it's a plain shuffled
+    left-join on the hash).
+
+    Lineage: Lee et al. dedup + the eval-overlap protocol of Brown et
+    al. (GPT-3 appendix C) / Rae et al. (Gopher). Reference engine has
+    no analogue (/root/reference/ is validation-only)."""
+    tg = _gram_hash_frame(train, id_col, text_col, n, hash_fn)
+    eh = (
+        _gram_hash_frame(eval_df, id_col, text_col, n, hash_fn)
+        .select("_h")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    if broadcast_eval:
+        eh = F.broadcast(eh)
+    return (
+        tg.join(eh, "_h", "left")
+        .groupBy(F.col("_id").alias(id_col))
+        .agg(
+            F.count_if(F.col("_hit").isNotNull()).alias("n_contaminated_ngrams"),
+            F.count(F.lit(1)).alias("n_ngrams"),
+        )
+    )

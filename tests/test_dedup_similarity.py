@@ -283,3 +283,64 @@ def test_cross_doc_ngram_single_shingle_pass(spark, tmp_path):
     final = final.split("== Initial Plan ==")[0]
     assert final.count("ReusedExchange") == 1, final
     assert final.count("FileScan parquet") == 1, final
+
+
+# -------------------------------------------------------- contamination
+def _contam_frames(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today ok"),
+            (2, "completely unrelated content about engines and planes here now"),
+            (3, "benchmark question alpha beta gamma delta epsilon zeta padded words"),
+            (4, None),
+            (5, "short text"),
+        ],
+        "doc_id bigint, text string",
+    )
+    ev = spark.createDataFrame(
+        [
+            (100, "benchmark question alpha beta gamma delta epsilon zeta"),
+            (101, "held out eval item with its own distinct phrasing entirely"),
+        ],
+        "doc_id bigint, text string",
+    )
+    return train, ev
+
+
+def test_contamination_detects_planted_overlap(spark):
+    from data_check_spark.operators.dedup import contamination_check
+
+    train, ev = _contam_frames(spark)
+    got = {
+        r["doc_id"]: (r["n_contaminated_ngrams"], r["n_ngrams"])
+        for r in contamination_check(train, ev, n=8).collect()
+    }
+    # doc 3 contains the eval item's full 8-gram; docs 1/2 share nothing;
+    # docs 4 (NULL) and 5 (< 8 tokens) have no grams and are omitted
+    assert got[3][0] == 1 and got[3][1] > 0
+    assert got[1] == (0, got[1][1]) and got[2] == (0, got[2][1])
+    assert 4 not in got and 5 not in got
+
+
+def test_contamination_broadcast_and_shuffle_agree(spark):
+    from data_check_spark.operators.dedup import contamination_check
+
+    train, ev = _contam_frames(spark)
+    a = sorted(map(tuple, contamination_check(train, ev, n=4, broadcast_eval=True).collect()))
+    b = sorted(map(tuple, contamination_check(train, ev, n=4, broadcast_eval=False).collect()))
+    assert a == b and len(a) == 3
+
+
+def test_contamination_broadcast_plan(spark):
+    """The eval gram set must reach the join as a broadcast — the
+    train side stays map-side (the operator's 100 TB claim)."""
+    from data_check_spark.operators.dedup import contamination_check
+
+    train, ev = _contam_frames(spark)
+    plan = (
+        contamination_check(train, ev, n=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
