@@ -28,6 +28,11 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+# NOTE: these are the patterns as the regex ENGINE sees them (what
+# F.lit()/DuckDB string literals pass through verbatim). Embedding one
+# in a Spark SQL string literal (ExprCheck predicate_sql, spark.sql)
+# requires doubling the backslashes — Spark SQL processes backslash
+# escapes inside quoted literals (tests/test_suite.py PII-gate test).
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 URL_RE = r"https?://[A-Za-z0-9./_%-]+"
 IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"

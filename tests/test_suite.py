@@ -608,3 +608,38 @@ def test_expr_check_resume_matches_uninterrupted(spark, pages, tmp_path):
            for r in res.verdicts.filter("check = 'expr'").collect()}
     assert got == {k: v for k, v in want.items() if k[0] != parts[0]}
     res.unpersist()
+
+
+def test_expr_check_pii_gate(spark):
+    """Declarative PII gating: the functions/pii patterns drop into an
+    ExprCheck predicate, so 'no emails/IPs in shipped text' is a
+    one-line suite constraint riding the fused stats pass."""
+    from data_check_spark.functions.pii import EMAIL_RE, IPV4_RE
+    from data_check_spark.plans.suite import ExprCheck
+
+    rows = [
+        ("p1", 1, "clean prose with nothing sensitive"),
+        ("p1", 2, "leaked contact bob@example.com in the body"),
+        ("p2", 3, "served from 10.0.0.7 internally"),
+        ("p2", 4, "also clean"),
+        ("p2", 5, "and clean again"),
+    ]
+    df = spark.createDataFrame(rows, "part string, id long, text string")
+    # Spark SQL string literals process backslash escapes, so regex
+    # backslashes must be doubled when a pattern is embedded in SQL
+    # (see functions/pii.py note)
+    ip_sql = IPV4_RE.replace("\\", "\\\\")
+    pred = (
+        f"regexp_count(text, '{EMAIL_RE}') = 0 AND "
+        f"regexp_count(text, '{ip_sql}') = 0"
+    )
+    res = CheckSuite(
+        [ExprCheck(name="no_pii", predicate_sql=pred,
+                   max_violation_ratio=0.4, id_col="id")]
+    ).run(spark, df, "part")
+    v = {r["partition"]: r for r in res.verdicts.collect()}
+    assert v["p1"]["metric"] == pytest.approx(0.5) and not v["p1"]["passed"]
+    assert v["p2"]["metric"] == pytest.approx(1 / 3) and v["p2"]["passed"]
+    viol = res.violations["expr:no_pii"].collect()
+    assert [(r["partition"], r["id"]) for r in viol] == [("p1", 2), ("p2", 3)]
+    res.unpersist()
