@@ -896,6 +896,18 @@ def _q_suite_expr(spark, sf_dir):
 _CONTAM_PHRASE = " zeta eta theta iota kappa lambda mu nu"
 
 
+def _q_outlier_counts(spark, sf_dir):
+    """Tukey-fence outlier counts (operators/stats.iqr_outlier_counts)
+    over documents.n_chars and events.value — exact-percentile fences
+    (no float-summation-order dependence), fence rounding via Spark
+    round (HALF_UP, same as DuckDB) so the oracle is exact."""
+    from data_check_spark.operators.stats import iqr_outlier_counts
+
+    a = iqr_outlier_counts(_t(spark, sf_dir, "documents"), ["n_chars"])
+    b = iqr_outlier_counts(_t(spark, sf_dir, "events"), ["value"])
+    return a.unionByName(b)
+
+
 def _q_contamination(spark, sf_dir):
     """Benchmark-contamination counts per train doc (operators/dedup.
     contamination_check): eval = doc_id%10==0, train = the rest; a
@@ -1041,6 +1053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_metrics": _q_repetition,
         "crossdoc_ngram": _q_crossdoc_ngram,
         "contamination": _q_contamination,
+        "outlier_counts": _q_outlier_counts,
         "train_split": _q_train_split,
         "tdigest_quantiles": _q_tdigest,
         # xxhash64-simhash / seeded-LSH values have no DuckDB twin, so
@@ -1544,6 +1557,26 @@ SELECT doc_id,
        count(*) FILTER (WHERE docs > 1) AS n_shared_ngrams,
        count(*) AS n_ngrams
 FROM g JOIN pg USING (h) GROUP BY doc_id""",
+        "outlier_counts": """
+WITH dq AS (SELECT quantile_cont(n_chars, 0.25) AS q1, quantile_cont(n_chars, 0.75) AS q3,
+                   count(*) AS n FROM documents),
+     df AS (SELECT n, round(q1, 6) AS q1, round(q3, 6) AS q3,
+                   round(q1 - 1.5 * (q3 - q1), 6) AS lo, round(q3 + 1.5 * (q3 - q1), 6) AS hi
+            FROM dq),
+     eq AS (SELECT quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3,
+                   count(*) AS n FROM events),
+     ef AS (SELECT n, round(q1, 6) AS q1, round(q3, 6) AS q3,
+                   round(q1 - 1.5 * (q3 - q1), 6) AS lo, round(q3 + 1.5 * (q3 - q1), 6) AS hi
+            FROM eq)
+SELECT 'n_chars' AS "column", n AS n_rows, q1, q3, lo AS lo_fence, hi AS hi_fence,
+       (SELECT count(*) FROM documents, df WHERE n_chars < lo) AS n_below,
+       (SELECT count(*) FROM documents, df WHERE n_chars > hi) AS n_above
+FROM df
+UNION ALL
+SELECT 'value', n, q1, q3, lo, hi,
+       (SELECT count(*) FROM events, ef WHERE value < lo),
+       (SELECT count(*) FROM events, ef WHERE value > hi)
+FROM ef""",
         "contamination": r"""
 WITH d AS (
   SELECT doc_id,

@@ -431,3 +431,85 @@ def _verdicts_from_per_part(
         (F.count_if(~F.col("passed")) == 0).alias("passed"),
     )
     return verdicts.unionByName(summary.select(verdicts.columns))
+
+
+def iqr_outlier_counts(
+    df: DataFrame, cols: list[str], k: float = 1.5, round_to: int = 6
+) -> DataFrame:
+    """Robust (Tukey-fence) outlier counts per numeric column: rows
+    below ``q1 − k·IQR`` / above ``q3 + k·IQR`` → one long-format row
+    per column: (column, n_rows, q1, q3, lo_fence, hi_fence, n_below,
+    n_above). The standard quality gate for 'clip or flag pathological
+    doc lengths / values' in a data pipeline — robust where a
+    mean±3σ fence is dragged by the very outliers it should catch.
+
+    Determinism across engines (why IQR, not z-score, is the oracled
+    form): exact ``percentile`` with linear interpolation is a pure
+    function of the sorted values — no float summation-order
+    dependence — so Spark and DuckDB (quantile_cont) produce
+    bit-identical fences; a mean/std fence differs in the last ulp
+    per summation order and can flip a boundary count.
+
+    Scale: ONE full-sort-free percentile pass for ALL columns fused in
+    a single aggregation (Spark's exact percentile buffers per-task
+    value multisets — for 10^12-row frames prefer the t-digest fences,
+    operators/sketch.quantiles_via_tdigest, same output contract at
+    ±rank-error), then ONE fused count pass with the fences as
+    literals — two scans total for any number of columns."""
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    raw = df.agg(
+        *[
+            F.percentile(F.col(c), F.lit(q)).alias(f"{c}__{name}")
+            for c in cols
+            for name, q in (("q1", 0.25), ("q3", 0.75))
+        ]
+    )
+    # fence arithmetic + rounding stay in Spark expressions: Spark's
+    # round (HALF_UP) matches DuckDB's round for all signs, while
+    # Python's round() is half-to-even — doing this driver-side would
+    # diverge from the oracle on exact halves
+    qs = raw.select(
+        *[
+            e
+            for c in cols
+            for e in (
+                F.round(F.col(f"{c}__q1"), round_to).alias(f"{c}__q1r"),
+                F.round(F.col(f"{c}__q3"), round_to).alias(f"{c}__q3r"),
+                F.round(
+                    F.col(f"{c}__q1") - k * (F.col(f"{c}__q3") - F.col(f"{c}__q1")),
+                    round_to,
+                ).alias(f"{c}__lo"),
+                F.round(
+                    F.col(f"{c}__q3") + k * (F.col(f"{c}__q3") - F.col(f"{c}__q1")),
+                    round_to,
+                ).alias(f"{c}__hi"),
+            )
+        ]
+    ).collect()[0]
+    fences = {
+        c: (qs[f"{c}__lo"], qs[f"{c}__hi"], qs[f"{c}__q1r"], qs[f"{c}__q3r"])
+        for c in cols
+    }
+    counts = df.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            agg
+            for c in cols
+            for agg in (
+                F.count_if(F.col(c) < F.lit(fences[c][0])).alias(f"{c}__below"),
+                F.count_if(F.col(c) > F.lit(fences[c][1])).alias(f"{c}__above"),
+            )
+        ],
+    ).collect()[0]
+    spark = df.sparkSession
+    rows = [
+        (c, counts["_n"], fences[c][2], fences[c][3], fences[c][0], fences[c][1],
+         counts[f"{c}__below"], counts[f"{c}__above"])
+        for c in cols
+    ]
+    return spark.createDataFrame(
+        rows,
+        "column string, n_rows bigint, q1 double, q3 double, "
+        "lo_fence double, hi_fence double, n_below bigint, n_above bigint",
+    )

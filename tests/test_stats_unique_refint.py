@@ -232,3 +232,56 @@ def test_column_stats_include_quantiles(spark):
     assert row["p50"] == 50.0 and row["p90"] == 90.0 and row["p99"] == 99.0
     row = column_stats(df, ["v"]).collect()[0]
     assert row["p50"] is None  # opt-in: no sketch unless asked
+
+
+# ------------------------------------------------------------ IQR fences
+def test_iqr_outlier_counts(spark):
+    from data_check_spark.operators.stats import iqr_outlier_counts
+
+    # sorted = [-1000, -49, 1..100, 150, 5000] (104 values): q1 at
+    # rank 0.25*103 = 25.75 -> 24.75, q3 at 77.25 -> 76.25; iqr=51.5
+    # -> fences [-52.5, 153.5]
+    vals = list(range(1, 101)) + [-1000, -49, 150, 5000]
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    r = iqr_outlier_counts(df, ["x"]).collect()[0]
+    assert r["column"] == "x" and r["n_rows"] == 104
+    assert r["q1"] == 24.75 and r["q3"] == 76.25
+    assert r["lo_fence"] == -52.5 and r["hi_fence"] == 153.5
+    # only -1000 below (-49 > -52.5); only 5000 above (150 <= 153.5)
+    assert r["n_below"] == 1 and r["n_above"] == 1
+
+
+def test_iqr_outlier_counts_matches_duckdb(spark):
+    """Exact-percentile fences must be bit-identical to DuckDB's
+    quantile_cont + round — the operator's cross-engine claim."""
+    import random
+
+    import duckdb
+
+    from data_check_spark.operators.stats import iqr_outlier_counts
+
+    rng = random.Random(5)
+    vals = [round(rng.uniform(-50, 50), 3) for _ in range(997)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = iqr_outlier_counts(df, ["x"]).collect()[0]
+    con = duckdb.connect()
+    con.register("t", __import__("pandas").DataFrame({"x": vals}))
+    w = con.execute(
+        """WITH q AS (SELECT quantile_cont(x,0.25) q1, quantile_cont(x,0.75) q3 FROM t)
+           SELECT round(q1,6), round(q3,6),
+                  round(q1-1.5*(q3-q1),6), round(q3+1.5*(q3-q1),6) FROM q"""
+    ).fetchone()
+    assert (got["q1"], got["q3"], got["lo_fence"], got["hi_fence"]) == w
+
+
+def test_iqr_outlier_counts_multi_column_two_scans(spark):
+    from data_check_spark.operators.stats import iqr_outlier_counts
+
+    df = spark.createDataFrame(
+        [(float(i), float(i * i)) for i in range(50)], "a double, b double"
+    )
+    out = {r["column"]: r for r in iqr_outlier_counts(df, ["a", "b"]).collect()}
+    assert set(out) == {"a", "b"}
+    assert out["a"]["n_below"] == 0 and out["a"]["n_above"] == 0
+    with pytest.raises(ValueError, match="non-empty"):
+        iqr_outlier_counts(df, [])
