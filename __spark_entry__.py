@@ -896,6 +896,48 @@ def _q_suite_expr(spark, sf_dir):
 _CONTAM_PHRASE = " zeta eta theta iota kappa lambda mu nu"
 
 
+def _q_pack_contract(spark, sf_dir):
+    """Sequence-packing CONTRACT (operators/packing.py): bin packing
+    has no SQL twin, so — like the simhash/lsh entries — this emits
+    the invariants as DuckDB-re-derivable values: every doc packed
+    exactly once, token mass conserved, no pack over budget, mean
+    fill of multi-doc packs >= 0.9 (FFD on this length distribution
+    packs far tighter; 0.9 is the contract floor)."""
+    from data_check_spark.operators.packing import pack_sequences, pack_summary
+
+    max_len = 1000
+    d = _t(spark, sf_dir, "documents")
+    packed = pack_sequences(d, "doc_id", "n_chars", max_len, num_shards=8)
+    summ = pack_summary(packed, max_len)
+    a = packed.agg(
+        F.count(F.lit(1)).alias("n_docs_packed"),
+        F.countDistinct("doc_id").alias("n_distinct_docs"),
+        F.sum("n_tokens").alias("tokens_packed"),
+    )
+    b = summ.agg(
+        F.count_if(
+            (~F.col("oversize")) & (F.col("total_tokens") > max_len)
+        ).alias("n_over_budget"),
+        F.avg(F.when(F.col("n_docs") > 1, F.col("fill_ratio"))).alias("mean_fill"),
+    )
+    c = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("tokens_in"),
+    )
+    return (
+        a.crossJoin(b)
+        .crossJoin(c)
+        .select(
+            F.col("n_docs").cast("long").alias("n_docs"),
+            (F.col("n_docs_packed") == F.col("n_docs")).alias("all_packed"),
+            (F.col("n_distinct_docs") == F.col("n_docs")).alias("each_once"),
+            (F.col("tokens_packed") == F.col("tokens_in")).alias("tokens_conserved"),
+            (F.col("n_over_budget") == 0).alias("no_over_budget"),
+            (F.col("mean_fill") >= 0.9).alias("fill_ok"),
+        )
+    )
+
+
 def _q_outlier_counts(spark, sf_dir):
     """Tukey-fence outlier counts (operators/stats.iqr_outlier_counts)
     over documents.n_chars and events.value — exact-percentile fences
@@ -1054,6 +1096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crossdoc_ngram": _q_crossdoc_ngram,
         "contamination": _q_contamination,
         "outlier_counts": _q_outlier_counts,
+        "pack_contract": _q_pack_contract,
         "train_split": _q_train_split,
         "tdigest_quantiles": _q_tdigest,
         # xxhash64-simhash / seeded-LSH values have no DuckDB twin, so
@@ -1557,6 +1600,10 @@ SELECT doc_id,
        count(*) FILTER (WHERE docs > 1) AS n_shared_ngrams,
        count(*) AS n_ngrams
 FROM g JOIN pg USING (h) GROUP BY doc_id""",
+        "pack_contract": """
+SELECT count(*) AS n_docs, TRUE AS all_packed, TRUE AS each_once,
+       TRUE AS tokens_conserved, TRUE AS no_over_budget, TRUE AS fill_ok
+FROM documents""",
         "outlier_counts": """
 WITH dq AS (SELECT quantile_cont(n_chars, 0.25) AS q1, quantile_cont(n_chars, 0.75) AS q3,
                    count(*) AS n FROM documents),

@@ -1,0 +1,139 @@
+"""Sequence packing: group documents into fixed-token-budget packs
+(the pre-training batching step — concatenate documents up to
+``max_len`` tokens per training sequence so padding is minimized).
+
+Optimal bin packing is NP-hard and inherently global; the distributed
+rendering that 100 TB needs packs WITHIN shards:
+
+1. hash-repartition doc (id, len) pairs into ``num_shards`` shards —
+   only the two small columns move, never text;
+2. sort each shard by (len desc, id) — first-fit-decreasing order,
+   and a total order so the result is a pure function of
+   (input, num_shards);
+3. one ``mapInPandas`` pass per shard runs first-fit-decreasing with
+   an open-bin list; a bin CLOSES once its remaining budget drops
+   under ``close_frac·max_len``, which bounds the open-bin scan (the
+   classic FFD O(n·bins) tail) and the task's memory to the
+   almost-empty bins only. FFD is within 11/9 of optimal per shard;
+   sharding costs at most one underfull pack per shard — at 10⁶+
+   docs/shard that is noise against the padding saved.
+
+Per-shard packing is the honest trade: a global packer would serialize
+the corpus through one node for a <1% fill gain. Deterministic at a
+FIXED num_shards (pack ids embed the shard id); changing num_shards
+re-bins — pass an explicit value in pipelines that must be re-run
+stable, like repartition counts anywhere else.
+
+Oversized docs (len > max_len) get a single-doc pack flagged
+``oversize`` — the caller decides whether to split or drop them; the
+packer never silently truncates.
+
+Output is per-doc assignment rows (id, pack_id, pack stats come from
+a trivial groupBy) — no arrays, no text movement. Lineage: T5 / GPT-3
+style packing (public); the reference engine has no analogue.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_OUT = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_tokens", LongType()),
+        StructField("pack_id", StringType()),
+        StructField("oversize", BooleanType()),
+    ]
+)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    len_col: str,
+    max_len: int,
+    num_shards: int = 64,
+    close_frac: float = 0.05,
+) -> DataFrame:
+    """Assign every document to a pack: returns (doc_id, n_tokens,
+    pack_id, oversize). ``pack_id`` = ``"<shard>-<seq>"``. NULL ids or
+    lengths are rejected upstream concerns — filter first."""
+    if max_len <= 0:
+        raise ValueError("max_len must be positive")
+    close_at = max(0, int(max_len * close_frac))
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # state spans Arrow batches: the shard's rows arrive in sorted
+        # order, bins live across the whole shard
+        open_bins: list[list] = []  # [remaining, seq]
+        shard = None
+        seq = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if shard is None:
+                shard = int(pdf["_shard"].iloc[0])
+            ids = pdf["_id"].to_numpy()
+            lens = pdf["_len"].to_numpy()
+            out_pack, out_over = [], []
+            for i in range(len(pdf)):
+                n = int(lens[i])
+                if n > max_len:
+                    out_pack.append(f"{shard}-{seq}")
+                    out_over.append(True)
+                    seq += 1
+                    continue
+                placed = None
+                for b in open_bins:
+                    if b[0] >= n:
+                        placed = b
+                        break
+                if placed is None:
+                    placed = [max_len, seq]
+                    seq += 1
+                    open_bins.append(placed)
+                placed[0] -= n
+                out_pack.append(f"{shard}-{placed[1]}")
+                out_over.append(False)
+                if placed[0] < close_at:
+                    open_bins.remove(placed)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_tokens": lens,
+                    "pack_id": out_pack,
+                    "oversize": out_over,
+                }
+            )
+
+    slim = (
+        df.select(
+            F.col(id_col).cast("long").alias("_id"),
+            F.col(len_col).cast("long").alias("_len"),
+        )
+        .repartition(num_shards, "_id")
+        .withColumn("_shard", F.spark_partition_id())
+        .sortWithinPartitions(F.col("_len").desc(), F.col("_id"))
+    )
+    return slim.mapInPandas(pack, _OUT)
+
+
+def pack_summary(packed: DataFrame, max_len: int) -> DataFrame:
+    """One row per pack: n_docs, total_tokens, fill_ratio, oversize."""
+    return packed.groupBy("pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.sum("n_tokens") / F.lit(float(max_len)), 6).alias("fill_ratio"),
+        F.max("oversize").alias("oversize"),
+    )
