@@ -78,6 +78,8 @@ HEADLINE = [
     "sessionize_events",
     "pii_scan",
     "contamination",
+    "outlier_counts",
+    "pack_contract",
 ]
 
 PAGES_N = int(os.environ.get("DCS_BENCH_PAGES_N", "500000"))
