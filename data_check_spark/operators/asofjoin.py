@@ -20,10 +20,15 @@ keys. This implementation is the scale-correct union form:
    (UNBOUNDED PRECEDING → CURRENT ROW) carries the latest right
    payload forward; filter back to left rows.
 
-Cost: ONE shuffle of (key, ts, slim payload) + an in-partition sort —
-the same asymptotics as a single equi-join, no pair explosion, and
-the window is a running aggregate (O(n) per partition, no
-re-scan per frame row). Hot keys land on one task like any
+Cost: ONE shuffle of (key, ts, payload, left row) + an in-partition
+sort — the same asymptotics as a single equi-join, no pair explosion,
+and the window is a running aggregate (O(n) per partition, no
+re-scan per frame row). The left row rides the shuffle whole: one
+wide shuffle beats the alternative (project (key, ts, rowid), window,
+then equi-join the result back to the left table = a SECOND full
+shuffle of the same wide rows plus a join) whenever the payload is
+narrower than the left row — i.e. always. Project left down to the
+columns you need BEFORE calling if the table is very wide. Hot keys land on one task like any
 single-key groupBy; AQE skew handling and/or a coarser composite key
 (key, time-bucket) are the standard remedies and are the caller's
 call, since bucketing changes lookback semantics across bucket edges.
