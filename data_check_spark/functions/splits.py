@@ -107,6 +107,37 @@ def stratified_sample(
     return df.filter(keep)
 
 
+def temperature_rates(
+    counts: dict[str, int], alpha: float, budget: float | None = None
+) -> dict[str, float]:
+    """Per-stratum keep-rates so a ``stratified_sample`` realizes a
+    temperature-``alpha`` mix: sampled share of stratum s ∝
+    ``count_s**alpha`` (the multilingual upsampling scheme of
+    XLM-R/mBERT-style pipelines — alpha<1 upsamples low-resource
+    strata RELATIVE to the rest by downsampling the head less than
+    proportionally... i.e. the head is cut hardest). ``alpha=1``
+    keeps the natural mix (all rates equal), ``alpha=0`` targets
+    equal-sized strata.
+
+    Rates are scaled so the largest is 1.0 (keep everything from the
+    most-downweighted stratum — the largest possible sample with the
+    requested shape); pass ``budget`` in (0, 1] to scale all rates
+    down further (e.g. 0.1 → a 10%-of-maximum mix). Rates are exact
+    here; ``stratified_sample`` quantizes them to 1/256 on use."""
+    if not counts or any(c <= 0 for c in counts.values()):
+        raise ValueError("counts must be non-empty and positive")
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    if budget is not None and not (0 < budget <= 1):
+        raise ValueError("budget must be in (0, 1]")
+    weights = {s: c**alpha for s, c in counts.items()}
+    tot_w = sum(weights.values())
+    # unscaled rate ∝ target share / available count
+    raw = {s: (weights[s] / tot_w) / counts[s] for s in counts}
+    scale = (budget or 1.0) / max(raw.values())
+    return {s: r * scale for s, r in raw.items()}
+
+
 def split_summary(
     df: DataFrame,
     key_col: str,

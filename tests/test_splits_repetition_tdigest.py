@@ -458,3 +458,55 @@ def test_stratified_sample_partition_invariant(spark):
     a = sorted(r["k"] for r in stratified_sample(df.repartition(1), "k", "g", {"s0": 0.3, "s2": 0.7}).select("k").collect())
     b = sorted(r["k"] for r in stratified_sample(df.repartition(19), "k", "g", {"s0": 0.3, "s2": 0.7}).select("k").collect())
     assert a == b
+
+
+def test_temperature_rates_shapes():
+    from data_check_spark.functions.splits import temperature_rates
+
+    counts = {"en": 80000, "fr": 15000, "zh": 5000}
+    # alpha=1: natural mix -> every stratum keeps the same fraction
+    r1 = temperature_rates(counts, 1.0)
+    assert all(abs(v - 1.0) < 1e-12 for v in r1.values())
+    # alpha=0: equal-size target -> rates inversely proportional to counts
+    r0 = temperature_rates(counts, 0.0)
+    assert r0["zh"] == pytest.approx(1.0)
+    assert r0["en"] == pytest.approx(5000 / 80000)
+    # alpha=0.5 lies between; smallest stratum always keeps the most
+    rh = temperature_rates(counts, 0.5)
+    assert rh["zh"] == pytest.approx(1.0) and rh["en"] < rh["fr"] < 1.0
+    # budget scales everything
+    rb = temperature_rates(counts, 0.5, budget=0.5)
+    assert all(rb[s] == pytest.approx(0.5 * rh[s]) for s in counts)
+    with pytest.raises(ValueError, match="positive"):
+        temperature_rates({"a": 0}, 1.0)
+    with pytest.raises(ValueError, match="budget"):
+        temperature_rates(counts, 1.0, budget=1.5)
+
+
+def test_temperature_mix_realized(spark):
+    """temperature_rates -> stratified_sample realizes the alpha mix:
+    sampled shares track count^alpha shares (within 1/256 quantization
+    + hash noise)."""
+    from data_check_spark.functions.splits import (
+        stratified_sample,
+        temperature_rates,
+    )
+
+    sizes = {"s0": 6000, "s1": 1500, "s2": 500}
+    rows, k = [], 0
+    for g, n in sizes.items():
+        for _ in range(n):
+            rows.append((k, g))
+            k += 1
+    df = spark.createDataFrame(rows, "k bigint, g string")
+    rates = temperature_rates(sizes, 0.5)
+    got = {
+        r["g"]: r["n"]
+        for r in stratified_sample(df, "k", "g", rates)
+        .groupBy("g").agg(F.count("*").alias("n")).collect()
+    }
+    w = {g: n**0.5 for g, n in sizes.items()}
+    tw = sum(w.values())
+    total = sum(got.values())
+    for g in sizes:
+        assert abs(got[g] / total - w[g] / tw) < 0.05, (g, got)
