@@ -125,3 +125,17 @@ def test_left_columns_preserved(frames):
     out = asof_join(left, right, "k", "ts", ["rv"], tiebreak_col="rid")
     assert out.columns == ["lid", "k", "ts", "lv", "ts_asof", "rv_asof"]
     assert out.count() == left.count()
+
+
+def test_single_exchange_no_join_plan(frames):
+    """The as-of plan must be union -> ONE Exchange -> Sort -> Window —
+    no join operator, no second shuffle (the operator's cost claim)."""
+    left, right = frames
+    plan = (
+        asof_join(left, right, "k", "ts", ["rv"], tiebreak_col="rid")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan

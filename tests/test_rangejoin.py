@@ -119,3 +119,21 @@ def test_bad_args(frames):
             points, intervals.withColumnRenamed("k", "k2"),
             "ts", "start_ts", "end_ts", bucket_width=0,
         )
+
+
+def test_hash_join_not_cartesian(frames):
+    """The bucketed plan must be a hash (or sort-merge) equi-join —
+    never the BroadcastNestedLoop/Cartesian plan Spark gives a raw
+    inequality join."""
+    points, intervals = frames
+    plan = (
+        interval_join(
+            points, intervals.withColumnRenamed("k", "k2"),
+            "ts", "start_ts", "end_ts", bucket_width=13,
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    assert ("HashJoin" in plan) or ("SortMergeJoin" in plan), plan
