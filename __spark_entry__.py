@@ -896,6 +896,24 @@ def _q_suite_expr(spark, sf_dir):
 _CONTAM_PHRASE = " zeta eta theta iota kappa lambda mu nu"
 
 
+def _q_embedding_stats(spark, sf_dir):
+    """Embedding-column quality gate (operators/similarity.
+    embedding_stats): NULL / wrong-dim / NaN / off-unit-norm counts in
+    one fused scan. The synth vectors are clean, so NULLs are PLANTED
+    row-locally (vec_id%97) with the identical construction in the
+    DuckDB twin; the other detectors are pytest-covered on crafted
+    corrupt frames."""
+    from data_check_spark.operators.similarity import embedding_stats
+
+    e = _t(spark, sf_dir, "embeddings")
+    dirty = e.select(
+        F.when(F.col("vec_id") % 97 == 0, F.lit(None)).otherwise(
+            F.col("embedding")
+        ).alias("embedding")
+    )
+    return embedding_stats(dirty, "embedding", dim=64)
+
+
 def _q_pack_contract(spark, sf_dir):
     """Sequence-packing CONTRACT (operators/packing.py): bin packing
     has no SQL twin, so — like the simhash/lsh entries — this emits
@@ -1097,6 +1115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": _q_contamination,
         "outlier_counts": _q_outlier_counts,
         "pack_contract": _q_pack_contract,
+        "embedding_stats": _q_embedding_stats,
         "train_split": _q_train_split,
         "tdigest_quantiles": _q_tdigest,
         # xxhash64-simhash / seeded-LSH values have no DuckDB twin, so
@@ -1600,6 +1619,21 @@ SELECT doc_id,
        count(*) FILTER (WHERE docs > 1) AS n_shared_ngrams,
        count(*) AS n_ngrams
 FROM g JOIN pg USING (h) GROUP BY doc_id""",
+        "embedding_stats": """
+WITH d AS (
+  SELECT CASE WHEN vec_id % 97 = 0 THEN NULL ELSE embedding END AS embedding
+  FROM embeddings)
+SELECT count(*) AS n_rows,
+       count(*) FILTER (WHERE embedding IS NULL) AS n_null,
+       count(*) FILTER (WHERE embedding IS NOT NULL AND len(embedding) <> 64) AS n_wrong_dim,
+       count(*) FILTER (WHERE embedding IS NOT NULL
+                        AND len(list_filter(embedding, x -> isnan(x))) > 0) AS n_nan,
+       count(*) FILTER (WHERE embedding IS NOT NULL
+                        AND len(list_filter(embedding, x -> isnan(x))) = 0
+                        AND len(embedding) = 64
+                        AND abs(list_sum(list_transform(embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) - 1.0) > 0.001) AS n_norm_off
+FROM d""",
         "pack_contract": """
 SELECT count(*) AS n_docs, TRUE AS all_packed, TRUE AS each_once,
        TRUE AS tokens_conserved, TRUE AS no_over_budget, TRUE AS fill_ok

@@ -80,6 +80,7 @@ HEADLINE = [
     "contamination",
     "outlier_counts",
     "pack_contract",
+    "embedding_stats",
 ]
 
 PAGES_N = int(os.environ.get("DCS_BENCH_PAGES_N", "500000"))

@@ -458,3 +458,46 @@ def cosine_near_duplicates(
         )
     )
     return pairs.filter(F.col("cosine") >= threshold).orderBy("id_a", "id_b")
+
+
+def embedding_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    norm_tol: float = 1e-3,
+) -> DataFrame:
+    """One-row quality gate for an embedding column — the checks an
+    ANN/near-dup pipeline needs green before it trusts the vectors:
+    NULL vectors, wrong dimensionality, NaN components, and norms off
+    unit by more than ``norm_tol`` (cosine ops here assume unit-ish
+    vectors; a silently unnormalized shard skews every score).
+
+    ONE fused aggregation scan, all JVM higher-order functions — no
+    Python workers, nothing shuffled but the final counters. The norm
+    check squares components in DOUBLE via a sequential fold; the
+    tolerance (default 1e-3) sits ~9 orders above any cross-engine
+    accumulation difference, so the count is engine-exact in practice
+    (same reasoning as the drift thresholds). ``dim=None`` skips the
+    dimension check."""
+    v = F.col(vec_col)
+    nonnull = v.isNotNull()
+    has_nan = F.exists(v, lambda x: F.isnan(x))
+    norm2 = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+    good_shape = nonnull & ~has_nan
+    if dim is not None:
+        good_shape = good_shape & (F.size(v) == dim)
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(~nonnull).alias("n_null"),
+        F.count_if(nonnull & has_nan).alias("n_nan"),
+        F.count_if(
+            good_shape & (F.abs(norm2 - 1.0) > norm_tol)
+        ).alias("n_norm_off"),
+    ]
+    if dim is not None:
+        aggs.insert(
+            2, F.count_if(nonnull & (F.size(v) != dim)).alias("n_wrong_dim")
+        )
+    return df.agg(*aggs)

@@ -344,3 +344,35 @@ def test_contamination_broadcast_plan(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan, plan
+
+
+# ----------------------------------------------------- embedding quality
+def test_embedding_stats_detectors(spark):
+    from data_check_spark.operators.similarity import embedding_stats
+
+    unit = [1.0] + [0.0] * 3
+    rows = [
+        (1, unit),                          # clean
+        (2, None),                          # null
+        (3, [1.0, 0.0, 0.0]),               # wrong dim
+        (4, [float("nan"), 0.0, 0.0, 0.0]), # nan
+        (5, [2.0, 0.0, 0.0, 0.0]),          # norm off (4.0)
+        (6, [0.6, 0.8, 0.0, 0.0]),          # clean (norm 1)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    r = embedding_stats(df, "embedding", dim=4).collect()[0]
+    assert (r["n_rows"], r["n_null"], r["n_wrong_dim"], r["n_nan"], r["n_norm_off"]) == (
+        6, 1, 1, 1, 1,
+    )
+
+
+def test_embedding_stats_no_dim_check(spark):
+    from data_check_spark.operators.similarity import embedding_stats
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0, 0.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    r = embedding_stats(df, "embedding", dim=None).collect()[0]
+    assert "n_wrong_dim" not in r.asDict()
+    assert r["n_norm_off"] == 0  # both unit-norm at their own dims
