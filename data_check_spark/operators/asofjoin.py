@@ -97,7 +97,10 @@ def asof_join(
         F.col(ts_col).alias("_match_ts"),
         *[F.col(c).alias(c) for c in payload_cols],
     )
-    # Right rows: key, ts, tiebreak, payload; left columns NULL.
+    # Right rows: key, ts, tiebreak, payload; left columns NULL. A
+    # NULL-ts right row can match nothing (it would sort FIRST under
+    # nulls-first asc and be carried to every left row) — drop it.
+    right = right.filter(F.col(ts_col).isNotNull())
     r = right.select(
         F.col(key_col).alias("_k"),
         F.col(ts_col).alias("_ts"),
@@ -136,7 +139,10 @@ def asof_join(
         F.col("_side") == 1
     )
 
-    m = F.col("_m")
+    # a NULL-ts left row has no "as of" instant: keep the row, NULL
+    # match (merge_asof rejects NULL keys outright; keeping the row
+    # with no match is the DataFrame-friendly equivalent)
+    m = F.when(F.col("_ts").isNotNull(), F.col("_m"))
     if tolerance is not None:
         if dict(u.dtypes)["_ts"].startswith("timestamp"):
             gap = F.abs(
@@ -147,7 +153,7 @@ def asof_join(
             gap = F.abs(
                 F.col("_ts").cast("double") - m.getField("_match_ts").cast("double")
             )
-        m = F.when(gap <= F.lit(float(tolerance)), F.col("_m"))
+        m = F.when(gap <= F.lit(float(tolerance)), m)
 
     out = carried.select(
         *[F.col(f"_l_{c}").alias(c) for c in left_cols],

@@ -139,3 +139,24 @@ def test_single_exchange_no_join_plan(frames):
     )
     assert plan.count("Exchange") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_null_ts_rows(spark):
+    """NULL-ts right rows match nothing (they must not get carried as
+    'earliest' under nulls-first sort); NULL-ts left rows survive with
+    a NULL match."""
+    left = spark.createDataFrame(
+        [(1, "a", _ts(10), 1.0), (2, "a", None, 2.0)],
+        "lid bigint, k string, ts timestamp, lv double",
+    )
+    right = spark.createDataFrame(
+        [(101, "a", None, 99.0), (102, "a", _ts(5), 10.0)],
+        "rid bigint, k string, ts timestamp, rv double",
+    )
+    got = {
+        r["lid"]: (r["rid_asof"], r["rv_asof"])
+        for r in asof_join(left, right, "k", "ts", ["rv", "rid"], tiebreak_col="rid").collect()
+    }
+    assert got[1] == (102, 10.0)      # real match; NULL-ts 101 ignored
+    assert got[2] == (None, None)     # NULL-ts left row kept, no match
+    assert len(got) == 2
