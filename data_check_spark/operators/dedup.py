@@ -470,10 +470,11 @@ def cross_doc_ngram_duplicates(
 
 
 def _gram_hash_frame(df: DataFrame, id_col: str, text_col: str, n: int, hash_fn: str):
-    """(_id, _h) distinct word-n-gram hashes per document — the shared
-    front end of cross_doc_ngram_duplicates and contamination_check
-    (same lowercase/split/shingle/hash derivation, so their counts are
-    directly comparable and one DuckDB recipe oracles both)."""
+    """(_id, _h) distinct word-n-gram hashes per document — the SAME
+    lowercase/split/shingle/hash derivation cross_doc_ngram_duplicates
+    builds inline (kept inline there to preserve its exchange-reuse
+    plan), so the two operators' counts are directly comparable and
+    one DuckDB recipe oracles both."""
     if hash_fn not in ("md5", "xxhash64"):
         raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
     words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0)
