@@ -896,6 +896,44 @@ def _q_suite_expr(spark, sf_dir):
 _CONTAM_PHRASE = " zeta eta theta iota kappa lambda mu nu"
 
 
+def _q_fd_violations(spark, sf_dir):
+    """Functional-dependency gate (operators/unique.fd_violations):
+    the BASELINE.json per-row invariant — byte-identical text per url
+    — hunted as a data check. documents has no url column, so one is
+    PLANTED row-locally (doc_id % 31: 31 colliding url classes, each
+    carrying >1 distinct text) with the identical construction in the
+    DuckDB twin; the invariant-HOLDS direction is pytest-covered on
+    the synthetic pages table (tests/test_suite.py)."""
+    from data_check_spark.operators.unique import fd_violations
+
+    d = _t(spark, sf_dir, "documents")
+    pages = d.select(
+        F.concat(F.lit("doc"), (F.col("doc_id") % 31).cast("string")).alias("url"),
+        "text",
+    )
+    return fd_violations(pages, "url", ["text"]).select(
+        F.col("key_value").alias("url"), "n_variants", "n_rows"
+    )
+
+
+def _q_suite_fd(spark, sf_dir):
+    """FunctionalDependencyCheck declared in CheckSuite: per-partition
+    verdict rows counting urls whose text is NOT byte-identical across
+    their rows. Partition = doc_id % 5 and url = doc_id % 31 (coprime:
+    CRT guarantees within-partition collisions), both re-derived
+    identically by the oracle."""
+    from data_check_spark.plans.suite import CheckSuite, FunctionalDependencyCheck
+
+    d = _t(spark, sf_dir, "documents")
+    pages = d.select(
+        F.concat(F.lit("p"), (F.col("doc_id") % 5).cast("string")).alias("part"),
+        F.concat(F.lit("doc"), (F.col("doc_id") % 31).cast("string")).alias("url"),
+        "text",
+    )
+    suite = CheckSuite([FunctionalDependencyCheck("url", ("text",))])
+    return suite.run(spark, pages, "part").verdicts
+
+
 def _q_embedding_stats(spark, sf_dir):
     """Embedding-column quality gate (operators/similarity.
     embedding_stats): NULL / wrong-dim / NaN / off-unit-norm counts in
@@ -1110,6 +1148,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suite_verdicts": _q_suite_verdicts,
         "suite_compare_verdicts": _q_suite_compare,
         "suite_expr_verdicts": _q_suite_expr,
+        "fd_violations": _q_fd_violations,
+        "suite_fd_verdicts": _q_suite_fd,
         "repetition_metrics": _q_repetition,
         "crossdoc_ngram": _q_crossdoc_ngram,
         "contamination": _q_contamination,
@@ -1506,6 +1546,35 @@ x AS (
 )
 SELECT part AS "partition", col AS "column", chk AS "check", metric, threshold, passed
 FROM (SELECT * FROM v UNION ALL SELECT * FROM summary UNION ALL SELECT * FROM x)""",
+        "fd_violations": """
+WITH p AS (
+  SELECT 'doc' || CAST(doc_id % 31 AS VARCHAR) AS url, text FROM documents
+)
+SELECT url,
+       CAST(count(DISTINCT text)
+            + (CASE WHEN count(*) > count(text) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_variants,
+       count(*) AS n_rows
+FROM p GROUP BY url
+HAVING count(DISTINCT text)
+       + (CASE WHEN count(*) > count(text) THEN 1 ELSE 0 END) > 1""",
+        "suite_fd_verdicts": """
+WITH p AS (
+  SELECT 'p' || CAST(doc_id % 5 AS VARCHAR) AS part,
+         'doc' || CAST(doc_id % 31 AS VARCHAR) AS url, text
+  FROM documents
+),
+v AS (
+  SELECT part, url FROM p GROUP BY part, url
+  HAVING count(DISTINCT text)
+         + (CASE WHEN count(*) > count(text) THEN 1 ELSE 0 END) > 1
+),
+c AS (SELECT part, CAST(count(*) AS DOUBLE) AS metric FROM v GROUP BY part)
+SELECT pa.part AS "partition", 'url' AS "column", 'fd' AS "check",
+       coalesce(c.metric, 0.0) AS metric, 0.0 AS threshold,
+       coalesce(c.metric, 0.0) <= 0.0 AS passed
+FROM (SELECT DISTINCT 'p' || CAST(doc_id % 5 AS VARCHAR) AS part FROM documents) pa
+LEFT JOIN c USING (part)""",
         "suite_compare_verdicts": _VERSIONS_CTE + f""",
 cen AS (
   SELECT round(count(*) FILTER (WHERE a.o_orderkey IS NULL) * 1.0 / count(*), 6) AS m1,

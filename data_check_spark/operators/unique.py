@@ -59,6 +59,69 @@ def uniqueness_violations(
     return out
 
 
+def fd_violations(
+    df: DataFrame,
+    determinant: str | Column,
+    dependents: list[str] | tuple[str, ...],
+    limit: int | None = None,
+    broadcast_candidates: bool = True,
+) -> DataFrame:
+    """Functional-dependency violations: values of ``determinant``
+    observed with MORE than one distinct combination of ``dependents``
+    — e.g. ``fd_violations(pages, "url", ["text"])`` asserts the
+    BASELINE.json per-row invariant (byte-identical extracted text per
+    url) as a data check. Generalizes uniqueness: a unique key is the
+    FD ``key -> all columns`` with every group of size 1.
+
+    Returns (key_value, n_variants, n_rows) sorted by key, where
+    ``n_variants`` counts distinct dependent combinations (an all-NULL
+    combination counts as ONE variant — byte-identical means "both
+    NULL or both equal", fail-closed) and ``n_rows`` the group size.
+
+    Scale design (10^12 rows, violations rare):
+
+    * Phase 1 prunes by hash: groupBy(xxhash64(det)) counting distinct
+      xxhash64(deps) — the shuffle carries two 8-byte hashes per row
+      (map-side partially aggregated), never url/text bytes.
+    * Phase 2 re-scans only rows whose determinant hash is a
+      candidate (left-semi against the bounded candidate set,
+      broadcast by default) and recounts BY VALUE, so a determinant
+      hash collision can never fabricate a violation.
+    * One-sided caveat: a collision of two DISTINCT dependent values
+      under xxhash64 *within one determinant group* would mask that
+      group in phase 1 (~2^-64 per pair — the standard
+      hash-fingerprint trade, same class as dedup_exact's md5).
+    """
+    det = F.col(determinant) if isinstance(determinant, str) else determinant
+    deps = [F.col(c) for c in dependents]
+    h_det, h_dep = F.xxhash64(det), F.xxhash64(*deps)
+    cand = (
+        df.groupBy(h_det.alias("_hd"))
+        .agg(F.count_distinct(h_dep).alias("_v"))
+        .filter(F.col("_v") > 1)
+        .select("_hd")
+    )
+    build = F.broadcast(cand) if broadcast_candidates else cand
+    out = (
+        df.select(
+            det.alias("key_value"),
+            F.struct(*deps).alias("_dep"),
+            h_det.alias("_hd"),
+        )
+        .join(build, "_hd", "left_semi")
+        .groupBy("key_value")
+        .agg(
+            F.count_distinct("_dep").alias("n_variants"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .filter(F.col("n_variants") > 1)
+        .orderBy("key_value")
+    )
+    if limit:
+        out = out.limit(limit)
+    return out
+
+
 def remediation_query(df: DataFrame, key: str) -> str:
     """The GROUP-BY query a user can run to see the offending keys —
     the reference embeds exactly this in its failure message

@@ -67,6 +67,38 @@ class UniquenessCheck:
 
 
 @dataclass
+class FunctionalDependencyCheck:
+    """Per-partition functional-dependency gate: every value of
+    ``determinant`` must map to exactly one distinct combination of
+    ``dependents`` within the partition — the BASELINE.json per-row
+    invariant (byte-identical extracted text per url) as a declarative
+    check: ``FunctionalDependencyCheck("url", ("text",))``.
+
+    Verdict metric = number of violating determinant values in the
+    partition (check name ``fd``); violations dump (key
+    ``fd:{determinant}``) = (partition, key_value, n_variants,
+    n_rows), sorted, capped. NULL-dependent combinations count as ONE
+    variant (byte-identical means "both NULL or both equal").
+
+    Plan = the same two-phase hash-candidate shape as UniquenessCheck:
+    phase 1 shuffles (partition, xxhash64(det), xxhash64(deps)) — two
+    8-byte hashes, never url/text bytes — and keeps determinant hashes
+    with >1 distinct dependent hash; phase 2 re-scans only rows whose
+    hash is a candidate (left-semi, broadcast by default — the set is
+    bounded by the violation rate; set ``broadcast_candidates=False``
+    on a high-violation table) and recounts BY VALUE, so a determinant
+    hash collision can never fabricate a violation. One-sided caveat:
+    two distinct dependent values colliding under xxhash64 *within one
+    determinant group* would mask that group in phase 1 (~2^-64 per
+    pair). Partition-scoped → resumes like stats/uniqueness."""
+    determinant: str
+    dependents: tuple[str, ...] | list
+    max_violating_keys: int = 0
+    violation_limit: int = 500  # ref bigquery.py:105
+    broadcast_candidates: bool = True
+
+
+@dataclass
 class ReferentialCheck:
     name: str
     fact_key: Callable[[], Column] | str
@@ -361,6 +393,18 @@ class CheckSuite:
                 f"compare checks must have unique names (violations are "
                 f"keyed by name): duplicates {dup}"
             )
+        fd_dets = [
+            c.determinant
+            for c in self.checks
+            if isinstance(c, FunctionalDependencyCheck)
+        ]
+        if len(set(fd_dets)) != len(fd_dets):
+            dup = sorted({d for d in fd_dets if fd_dets.count(d) > 1})
+            raise ValueError(
+                f"functional-dependency checks must have distinct "
+                f"determinants (violations are keyed by determinant): "
+                f"duplicates {dup} — merge the dependent lists into one check"
+            )
         rep_cols = [c.text_col for c in self.checks if isinstance(c, RepetitionCheck)]
         if len(set(rep_cols)) != len(rep_cols):
             dup = sorted({c for c in rep_cols if rep_cols.count(c) > 1})
@@ -399,6 +443,7 @@ class CheckSuite:
         pool = ThreadPoolExecutor(max_workers=6)
         futs: dict = {}
         uniq_dups: dict[int, DataFrame] = {}
+        fd_viols: dict[int, DataFrame] = {}
         ref_perkey: dict[int, DataFrame] = {}
         cmp_refs: dict[int, DataFrame] = {}
         try:
@@ -511,6 +556,44 @@ class CheckSuite:
                     cached.append(dups)
                     uniq_dups[id(chk)] = dups
                     futs[f"uniq_{id(chk)}"] = pool.submit(dups.count)
+                elif isinstance(chk, FunctionalDependencyCheck):
+                    # same two-phase hash-candidate shape as
+                    # UniquenessCheck (see the dataclass docstring).
+                    # The probe joins on the determinant hash alone —
+                    # broadcasting (hash) instead of (partition, hash)
+                    # keeps the build side minimal; a hash that
+                    # violates only in partition A semi-keeps its
+                    # partition-B rows too, and the by-value recount's
+                    # n_variants>1 filter discards them.
+                    det = F.col(chk.determinant)
+                    deps = [F.col(c) for c in chk.dependents]
+                    h_det, h_dep = F.xxhash64(det), F.xxhash64(*deps)
+                    cand = (
+                        df.groupBy(part_s.alias("partition"), h_det.alias("_hd"))
+                        .agg(F.count_distinct(h_dep).alias("_v"))
+                        .filter(F.col("_v") > 1)
+                        .select("_hd")
+                    )
+                    build = F.broadcast(cand) if chk.broadcast_candidates else cand
+                    viol = (
+                        df.select(
+                            part_s.alias("partition"),
+                            det.alias("key_value"),
+                            F.struct(*deps).alias("_dep"),
+                            h_det.alias("_hd"),
+                        )
+                        .join(build, "_hd", "left_semi")
+                        .groupBy("partition", "key_value")
+                        .agg(
+                            F.count_distinct("_dep").alias("n_variants"),
+                            F.count(F.lit(1)).alias("n_rows"),
+                        )
+                        .filter(F.col("n_variants") > 1)
+                        .persist(StorageLevel.MEMORY_AND_DISK)
+                    )
+                    cached.append(viol)
+                    fd_viols[id(chk)] = viol
+                    futs[f"fd_{id(chk)}"] = pool.submit(viol.count)
                 elif isinstance(chk, ReferentialCheck):
                     from data_check_spark.operators.refint import maybe_broadcast
 
@@ -726,6 +809,31 @@ class CheckSuite:
                         F.coalesce("metric", F.lit(0.0)).alias("metric"),
                         F.lit(float(chk.max_duplicate_keys)).alias("threshold"),
                         (F.coalesce("metric", F.lit(0.0)) <= chk.max_duplicate_keys).alias("passed"),
+                    )
+                )
+                verdict_frames.append(v)
+
+            elif isinstance(chk, FunctionalDependencyCheck):
+                # built, persisted and materialized in Phase 1
+                viol = fd_viols[id(chk)]
+                violations[f"fd:{chk.determinant}"] = viol.orderBy(
+                    "partition", "key_value"
+                ).limit(chk.violation_limit)
+                per_part = viol.groupBy("partition").agg(
+                    F.count(F.lit(1)).cast("double").alias("metric")
+                )
+                v = (
+                    get_all_parts().join(per_part, "partition", "left")
+                    .select(
+                        "partition",
+                        F.lit(chk.determinant).alias("column"),
+                        F.lit("fd").alias("check"),
+                        F.coalesce("metric", F.lit(0.0)).alias("metric"),
+                        F.lit(float(chk.max_violating_keys)).alias("threshold"),
+                        (
+                            F.coalesce("metric", F.lit(0.0))
+                            <= chk.max_violating_keys
+                        ).alias("passed"),
                     )
                 )
                 verdict_frames.append(v)

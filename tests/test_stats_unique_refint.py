@@ -285,3 +285,30 @@ def test_iqr_outlier_counts_multi_column_two_scans(spark):
     assert out["a"]["n_below"] == 0 and out["a"]["n_above"] == 0
     with pytest.raises(ValueError, match="non-empty"):
         iqr_outlier_counts(df, [])
+
+
+def test_fd_violations_operator(spark):
+    """fd_violations matches a brute-force recomputation and is
+    indifferent to the broadcast choice; multi-column dependents and
+    the NULL-combo-is-one-variant rule covered."""
+    from data_check_spark.operators.unique import fd_violations
+
+    rows = [
+        ("u1", "a", 1), ("u1", "a", 1),              # consistent
+        ("u2", "a", 1), ("u2", "b", 1),              # 2 variants
+        ("u3", None, 1), ("u3", None, 1),            # all-NULL combo: 1 variant
+        ("u4", None, 1), ("u4", "x", 1), ("u4", "x", 2),  # 3 variants
+    ]
+    df = spark.createDataFrame(rows, "url string, t string, v int")
+    got = [
+        (r["key_value"], r["n_variants"], r["n_rows"])
+        for r in fd_violations(df, "url", ["t", "v"]).collect()
+    ]
+    assert got == [("u2", 2, 2), ("u4", 3, 3)]
+    got2 = [
+        (r["key_value"], r["n_variants"], r["n_rows"])
+        for r in fd_violations(df, "url", ["t", "v"], broadcast_candidates=False).collect()
+    ]
+    assert got2 == got
+    # limit caps deterministically (sorted by key)
+    assert fd_violations(df, "url", ["t", "v"], limit=1).collect()[0]["key_value"] == "u2"

@@ -643,3 +643,107 @@ def test_expr_check_pii_gate(spark):
     viol = res.violations["expr:no_pii"].collect()
     assert [(r["partition"], r["id"]) for r in viol] == [("p1", 2), ("p2", 3)]
     res.unpersist()
+
+
+def test_fd_check_pages_invariant_passes(spark, pages):
+    """The BASELINE.json per-row invariant — byte-identical text per
+    url — declared as a FunctionalDependencyCheck over the synthetic
+    web-pages table: must PASS (synth text is a pure function of url,
+    duplicate urls included)."""
+    from data_check_spark.plans.suite import FunctionalDependencyCheck
+
+    res = CheckSuite(
+        [FunctionalDependencyCheck("url", ("text",))]
+    ).run(spark, pages, "warc_day")
+    assert res.passed()
+    assert res.violations["fd:url"].isEmpty()
+    res.unpersist()
+
+
+def test_fd_check_detects_broken_invariant(spark, pages):
+    """Mutating ONE row's text for a duplicated url breaks the FD in
+    exactly that url's partition(s); the by-value recount reports the
+    true variant count."""
+    from data_check_spark.plans.suite import FunctionalDependencyCheck
+
+    dup_url = (
+        pages.groupBy("url").count().filter("count > 1")
+        .orderBy("url").limit(1).collect()[0]["url"]
+    )
+    broken = pages.withColumn(
+        "text",
+        F.when(
+            (F.col("url") == dup_url)
+            & (F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"])
+                .Window.partitionBy("url").orderBy("warc_ts", "text")
+            ) == 1),
+            F.concat(F.col("text"), F.lit(" MUTATED")),
+        ).otherwise(F.col("text")),
+    )
+    res = CheckSuite(
+        [FunctionalDependencyCheck("url", ("text",), max_violating_keys=0)]
+    ).run(spark, broken, "warc_day")
+    assert not res.passed()
+    viol = res.violations["fd:url"].collect()
+    assert {r["key_value"] for r in viol} == {dup_url}
+    assert all(r["n_variants"] == 2 for r in viol)
+    # failing partitions = exactly those holding the mutated url's rows
+    bad_parts = {
+        str(r["warc_day"])
+        for r in broken.filter(F.col("url") == dup_url)
+        .select("warc_day").distinct().collect()
+    }
+    v = res.verdicts.filter("check = 'fd' and not passed").collect()
+    assert {r["partition"] for r in v} == bad_parts
+    res.unpersist()
+
+
+def test_fd_null_dependent_is_one_variant(spark):
+    """Byte-identical means 'both NULL or both equal': a key whose
+    rows are all NULL-text passes; NULL-vs-value is a violation."""
+    from data_check_spark.plans.suite import FunctionalDependencyCheck
+
+    rows = [
+        ("p", "u1", None), ("p", "u1", None),          # all-NULL: passes
+        ("p", "u2", None), ("p", "u2", "x"),           # NULL vs value: violates
+        ("p", "u3", "y"), ("p", "u3", "y"),            # equal: passes
+    ]
+    df = spark.createDataFrame(rows, "part string, url string, text string")
+    res = CheckSuite(
+        [FunctionalDependencyCheck("url", ("text",))]
+    ).run(spark, df, "part")
+    viol = res.violations["fd:url"].collect()
+    assert [(r["key_value"], r["n_variants"]) for r in viol] == [("u2", 2)]
+    res.unpersist()
+
+
+def test_fd_duplicate_determinants_raise(spark, pages):
+    from data_check_spark.plans.suite import FunctionalDependencyCheck
+
+    with pytest.raises(ValueError, match="distinct determinants"):
+        CheckSuite(
+            [
+                FunctionalDependencyCheck("url", ("text",)),
+                FunctionalDependencyCheck("url", ("lang",)),
+            ]
+        ).run(spark, pages, "warc_day")
+
+
+def test_fd_check_resume_matches_uninterrupted(spark, pages, tmp_path):
+    """FD is partition-scoped: a resumed run's verdicts over the
+    remaining partitions equal the uninterrupted run's rows for them."""
+    from data_check_spark.plans.suite import FunctionalDependencyCheck
+
+    suite = CheckSuite([FunctionalDependencyCheck("url", ("text", "lang"))])
+    full = suite.run(spark, pages, "warc_day").verdicts
+    man = Manifest(str(tmp_path / "m"))
+    parts = sorted(
+        str(r[0]) for r in pages.select("warc_day").distinct().collect()
+    )
+    for p in parts[:2]:
+        man.mark_complete(p, run_id="prior", metrics={})
+    res = suite.run_resumable(spark, pages, "warc_day", man)
+    expect = full.filter(~F.col("partition").isin(parts[:2]))
+    assert res.verdicts.exceptAll(expect).isEmpty()
+    assert expect.exceptAll(res.verdicts).isEmpty()
