@@ -934,6 +934,40 @@ def _q_suite_fd(spark, sf_dir):
     return suite.run(spark, pages, "part").verdicts
 
 
+def _q_url_canon(spark, sf_dir):
+    """URL canonicalization (functions/urls.add_canonical_url): raw
+    crawl urls collapse onto their canonical key before url-keyed
+    dedup/uniqueness/FD. documents has no url column, so messy raw
+    urls are PLANTED row-locally (host-case / default-port / tracking-
+    param / param-order / fragment variants by doc_id residues) with
+    the identical construction in the DuckDB twin; the twin then
+    re-derives every canonical url through canonical_url_sql — the
+    engine-portability contract (functions/pii, functions/splits
+    pattern). Output: canonical url, row count, distinct raw forms
+    merged."""
+    from data_check_spark.functions.urls import add_canonical_url
+
+    d = _t(spark, sf_dir, "documents")
+    m3, m4 = F.col("doc_id") % 3, F.col("doc_id") % 4
+    host = (
+        F.when(m3 == 0, F.lit("http://Example.COM"))
+        .when(m3 == 1, F.lit("http://example.com:80"))
+        .otherwise(F.lit("HTTP://EXAMPLE.com"))
+    )
+    qs = (
+        F.when(m4 == 0, F.lit(""))
+        .when(m4 == 1, F.lit("?utm_source=x&b=2&a=1"))
+        .when(m4 == 2, F.lit("?a=1&b=2"))
+        .otherwise(F.lit("?b=2&utm_medium=y&a=1#frag"))
+    )
+    raw = F.concat(host, F.lit("/p/"), (F.col("doc_id") % 17).cast("string"), qs)
+    out = add_canonical_url(d.select(raw.alias("url")))
+    return out.groupBy("url_canon").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("url").alias("n_raw_forms"),
+    )
+
+
 def _q_embedding_stats(spark, sf_dir):
     """Embedding-column quality gate (operators/similarity.
     embedding_stats): NULL / wrong-dim / NaN / off-unit-norm counts in
@@ -1150,6 +1184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suite_expr_verdicts": _q_suite_expr,
         "fd_violations": _q_fd_violations,
         "suite_fd_verdicts": _q_suite_fd,
+        "url_canon": _q_url_canon,
         "repetition_metrics": _q_repetition,
         "crossdoc_ngram": _q_crossdoc_ngram,
         "contamination": _q_contamination,
@@ -1229,6 +1264,8 @@ FROM documents"""
 
 
 def oracle_sql() -> dict[str, str]:
+    from data_check_spark.functions.urls import canonical_url_sql
+
     eps = "0.000001"
     return {
         "pk_census": _VERSIONS_CTE + """
@@ -1575,6 +1612,21 @@ SELECT pa.part AS "partition", 'url' AS "column", 'fd' AS "check",
        coalesce(c.metric, 0.0) <= 0.0 AS passed
 FROM (SELECT DISTINCT 'p' || CAST(doc_id % 5 AS VARCHAR) AS part FROM documents) pa
 LEFT JOIN c USING (part)""",
+        "url_canon": f"""
+WITH raw AS (
+  SELECT (CASE WHEN doc_id % 3 = 0 THEN 'http://Example.COM'
+               WHEN doc_id % 3 = 1 THEN 'http://example.com:80'
+               ELSE 'HTTP://EXAMPLE.com' END)
+         || '/p/' || CAST(doc_id % 17 AS VARCHAR)
+         || (CASE WHEN doc_id % 4 = 0 THEN ''
+                  WHEN doc_id % 4 = 1 THEN '?utm_source=x&b=2&a=1'
+                  WHEN doc_id % 4 = 2 THEN '?a=1&b=2'
+                  ELSE '?b=2&utm_medium=y&a=1#frag' END) AS url
+  FROM documents
+),
+c AS (SELECT url, {canonical_url_sql('url')} AS url_canon FROM raw)
+SELECT url_canon, count(*) AS n_rows, count(DISTINCT url) AS n_raw_forms
+FROM c GROUP BY url_canon""",
         "suite_compare_verdicts": _VERSIONS_CTE + f""",
 cen AS (
   SELECT round(count(*) FILTER (WHERE a.o_orderkey IS NULL) * 1.0 / count(*), 6) AS m1,
