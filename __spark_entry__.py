@@ -968,6 +968,23 @@ def _q_url_canon(spark, sf_dir):
     )
 
 
+def _q_heavy_hitters(spark, sf_dir):
+    """Exact top-k heavy hitters (operators/topk.heavy_hitters): the
+    hot-key diagnostic feeding the engine's skew defenses (uniqueness
+    salting, dedup buckets, AQE skew joins) — top-10 users by event
+    count per event type, rank ties broken by key so the result is
+    parallelism- and engine-deterministic."""
+    from data_check_spark.operators.topk import heavy_hitters
+
+    e = _t(spark, sf_dir, "events")
+    return heavy_hitters(e, "user_id", k=10, group="event_type").select(
+        F.col("group").alias("event_type"),
+        F.col("key_value").alias("user_id"),
+        "n",
+        "rank",
+    )
+
+
 def _q_embedding_stats(spark, sf_dir):
     """Embedding-column quality gate (operators/similarity.
     embedding_stats): NULL / wrong-dim / NaN / off-unit-norm counts in
@@ -1185,6 +1202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_violations": _q_fd_violations,
         "suite_fd_verdicts": _q_suite_fd,
         "url_canon": _q_url_canon,
+        "heavy_hitters": _q_heavy_hitters,
         "repetition_metrics": _q_repetition,
         "crossdoc_ngram": _q_crossdoc_ngram,
         "contamination": _q_contamination,
@@ -1627,6 +1645,14 @@ WITH raw AS (
 c AS (SELECT url, {canonical_url_sql('url')} AS url_canon FROM raw)
 SELECT url_canon, count(*) AS n_rows, count(DISTINCT url) AS n_raw_forms
 FROM c GROUP BY url_canon""",
+        "heavy_hitters": """
+SELECT event_type, user_id, n, rank FROM (
+  SELECT event_type, user_id, count(*) AS n,
+         row_number() OVER (
+           PARTITION BY event_type ORDER BY count(*) DESC, user_id
+         ) AS rank
+  FROM events GROUP BY event_type, user_id
+) WHERE rank <= 10""",
         "suite_compare_verdicts": _VERSIONS_CTE + f""",
 cen AS (
   SELECT round(count(*) FILTER (WHERE a.o_orderkey IS NULL) * 1.0 / count(*), 6) AS m1,

@@ -81,6 +81,8 @@ HEADLINE = [
     "outlier_counts",
     "pack_contract",
     "embedding_stats",
+    "fd_violations",
+    "url_canon",
 ]
 
 PAGES_N = int(os.environ.get("DCS_BENCH_PAGES_N", "500000"))
@@ -125,6 +127,22 @@ def run_pages_suite(spark, df, ref) -> float:
     return sec
 
 
+def run_pages_fd_check(spark, df, _ref) -> float:
+    """One timed run of the url → text functional-dependency gate on
+    the pages table (its own entry so pages_suite's composition — and
+    cross-round comparability — is unchanged)."""
+    from data_check_spark.plans.suite import CheckSuite, FunctionalDependencyCheck
+
+    suite = CheckSuite([FunctionalDependencyCheck("url", ("text",))])
+    t0 = time.perf_counter()
+    res = suite.run(spark, df, "warc_day")
+    _force(res.verdicts)
+    _force(res.violations["fd:url"])
+    sec = time.perf_counter() - t0
+    res.unpersist()
+    return sec
+
+
 def one_sweep(spark, qs, sf_dir, pages, timings: dict) -> None:
     """One full timed pass over every headline query + the suite;
     appends each query's seconds to timings[name]."""
@@ -133,6 +151,7 @@ def one_sweep(spark, qs, sf_dir, pages, timings: dict) -> None:
         _force(qs[name](spark, sf_dir))
         timings.setdefault(name, []).append(time.perf_counter() - t0)
     timings.setdefault("pages_suite", []).append(run_pages_suite(spark, *pages))
+    timings.setdefault("pages_fd_check", []).append(run_pages_fd_check(spark, *pages))
 
 
 def main() -> None:

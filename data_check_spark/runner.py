@@ -36,14 +36,19 @@ from data_check_spark.sources.synth import domain_of, synth_domains, synth_pages
 def default_pages_suite(
     with_drift: bool,
     with_repetition: bool = False,
+    with_fd: bool = False,
 ) -> CheckSuite:
     """The standard web-pages validation suite. ``with_repetition``
     adds the Gopher boilerplate gate (one extra scan of (partition,
-    text) — see RepetitionCheck); default OFF so the headline bench's
-    pages_suite numbers stay comparable across rounds. (Quantile
-    thresholds — min_/max_ p50/p90/p99 — are available in StatsCheck
-    for numeric columns; the pages schema has none, so they're
-    exercised on the documents table instead.)"""
+    text) — see RepetitionCheck); ``with_fd`` adds the url → text
+    functional-dependency gate (the BASELINE.json per-row invariant;
+    one extra hash-pair scan — see FunctionalDependencyCheck). Both
+    default OFF so the headline bench's pages_suite numbers stay
+    comparable across rounds — the bench times the FD check as its
+    own entry (``pages_fd_check``). (Quantile thresholds — min_/max_
+    p50/p90/p99 — are available in StatsCheck for numeric columns;
+    the pages schema has none, so they're exercised on the documents
+    table instead.)"""
     checks: list = [
         StatsCheck(
             thresholds={
@@ -92,6 +97,10 @@ def default_pages_suite(
                 doc_dup_2gram_limit=0.9,
             )
         )
+    if with_fd:
+        from data_check_spark.plans.suite import FunctionalDependencyCheck
+
+        checks.append(FunctionalDependencyCheck("url", ("text",)))
     return CheckSuite(checks)
 
 

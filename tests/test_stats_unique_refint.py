@@ -312,3 +312,32 @@ def test_fd_violations_operator(spark):
     assert got2 == got
     # limit caps deterministically (sorted by key)
     assert fd_violations(df, "url", ["t", "v"], limit=1).collect()[0]["key_value"] == "u2"
+
+
+def test_heavy_hitters(spark):
+    """Exact counts, deterministic tie-break (key ascending), global
+    and grouped modes, k larger than the key domain."""
+    from data_check_spark.operators.topk import heavy_hitters
+
+    rows = (
+        [("g1", "a")] * 3 + [("g1", "b")] * 3 + [("g1", "c")] * 1
+        + [("g2", "c")] * 2 + [("g2", "a")] * 1
+    )
+    df = spark.createDataFrame(rows, "g string, k string")
+    got = [
+        (r["group"], r["key_value"], r["n"], r["rank"])
+        for r in heavy_hitters(df, "k", k=2, group="g").collect()
+    ]
+    # g1: a and b tie at 3 — 'a' ranks first by key order
+    assert got == [
+        ("g1", "a", 3, 1), ("g1", "b", 3, 2),
+        ("g2", "c", 2, 1), ("g2", "a", 1, 2),
+    ]
+    glob = [
+        (r["key_value"], r["n"], r["rank"])
+        for r in heavy_hitters(df, "k", k=10).collect()
+    ]
+    # k exceeds the domain: all keys returned, fully ranked
+    assert glob == [("a", 4, 1), ("b", 3, 2), ("c", 3, 3)]
+    with pytest.raises(ValueError, match="k must be"):
+        heavy_hitters(df, "k", k=0)
