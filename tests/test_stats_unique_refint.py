@@ -341,3 +341,35 @@ def test_heavy_hitters(spark):
     assert glob == [("a", 4, 1), ("b", 3, 2), ("c", 3, 3)]
     with pytest.raises(ValueError, match="k must be"):
         heavy_hitters(df, "k", k=0)
+
+
+def test_fd_violations_plan_broadcasts_candidates(spark):
+    """The phase-2 semi-join must broadcast the bounded candidate set
+    (never sort-merge the full table) when broadcast_candidates=True."""
+    from data_check_spark.operators.unique import fd_violations
+
+    df = spark.range(1000).selectExpr(
+        "concat('u', id % 100) AS url", "concat('t', id % 250) AS text"
+    )
+    out = fd_violations(df, "url", ["text"])
+    out.collect()  # AQE finalizes the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_heavy_hitters_plan_partial_agg_before_window(spark):
+    """The count must partially aggregate map-side and the top-k
+    window must run over the aggregate, partitioned by group — raw
+    rows are never globally sorted."""
+    from data_check_spark.operators.topk import heavy_hitters
+
+    df = spark.range(1000).selectExpr(
+        "concat('g', id % 3) AS g", "concat('k', id % 50) AS k"
+    )
+    out = heavy_hitters(df, "k", k=5, group="g")
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan, plan      # map-side combine
+    assert "Window" in plan, plan
+    assert "hashpartitioning(group" in plan, plan  # window keyed by group
