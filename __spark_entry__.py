@@ -51,6 +51,10 @@ from data_check_spark.operators.drift import (
     psi_categorical,
     psi_numeric,
 )
+from data_check_spark.operators.fingerprint import (
+    changed_partitions,
+    partition_fingerprint,
+)
 from data_check_spark.operators.multimodal import extract_media_metadata
 from data_check_spark.operators.refint import referential_violations
 from data_check_spark.operators.rowdiff import (
@@ -1150,6 +1154,72 @@ def _q_tdigest(spark, sf_dir):
     ).orderBy("q")
 
 
+# fingerprint cols: string-cast-portable types only (ints, strings,
+# date) — o_totalprice (double) is deliberately left out, see the
+# float caveat in operators/fingerprint.py
+_FP_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate", "o_orderpriority"]
+
+
+def _fp_enc_sql(col: str) -> str:
+    """DuckDB twin of fingerprint.py's injective length-prefix
+    encoding, over the string-cast column."""
+    s = f"CAST({col} AS VARCHAR)"
+    return (
+        f"CASE WHEN {s} IS NULL THEN 'N' "
+        f"ELSE CAST(length({s}) AS VARCHAR) || ':' || {s} END"
+    )
+
+
+_FP_HASH_SQL = (
+    "SELECT substring(CAST(o_orderdate AS VARCHAR), 1, 7) AS part,\n"
+    "       md5(concat_ws('|', "
+    + ", ".join(_fp_enc_sql(c) for c in _FP_COLS)
+    + ")) AS h\nFROM {side}"
+)
+
+# hex lane → BIGINT via DuckDB's '0x' string cast; Spark uses
+# conv(hex, 16, 10) — verified bit-identical (tests/test_fingerprint.py)
+_FP_LANES_SQL = (
+    "CAST(SUM(CAST(('0x' || substring(h, 1, 15)) AS BIGINT)) AS DECIMAL(38,0)) AS fp_lo,\n"
+    "       CAST(SUM(CAST(('0x' || substring(h, 16, 15)) AS BIGINT)) AS DECIMAL(38,0)) AS fp_hi"
+)
+
+
+def _with_month(df):
+    return df.withColumn(
+        "omonth", F.substring(F.col("o_orderdate").cast("string"), 1, 7)
+    )
+
+
+def _q_partition_fp(spark, sf_dir):
+    """Order-independent per-partition content fingerprints
+    (operators/fingerprint.py): md5 row hash → two 60-bit lanes →
+    exact DECIMAL sums per month partition. The DuckDB oracle
+    re-derives every fingerprint bit-for-bit — the engine-portability
+    claim of the audit story, checked end-to-end."""
+    t1, _ = _orders_versions(spark, sf_dir)
+    fp = partition_fingerprint(_with_month(t1), "omonth", _FP_COLS)
+    # DECIMAL(38,0) loses precision through DuckDB's pandas fetch
+    # (float64) — ship the opaque fingerprint as its digit string
+    return fp.select(
+        "partition",
+        "n_rows",
+        F.col("fp_lo").cast("string").alias("fp_lo"),
+        F.col("fp_hi").cast("string").alias("fp_hi"),
+    )
+
+
+def _q_changed_partitions(spark, sf_dir):
+    """Partition-level version diff: which months of orders v1→v2
+    were added/removed/changed/equal, from fingerprints alone — the
+    scale-first prefilter that prunes the row diff to changed
+    partitions (operators/fingerprint.py diff_changed_partitions)."""
+    t1, t2 = _orders_versions(spark, sf_dir)
+    return changed_partitions(
+        _with_month(t1), _with_month(t2), "omonth", _FP_COLS
+    ).orderBy("partition")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full check-suite verdicts over sf0.001 documents."""
     return _q_suite_verdicts(spark, "/root/testdata/sf0.001")
@@ -1211,6 +1281,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_stats": _q_embedding_stats,
         "train_split": _q_train_split,
         "tdigest_quantiles": _q_tdigest,
+        "partition_fingerprint": _q_partition_fp,
+        "changed_partitions": _q_changed_partitions,
         # xxhash64-simhash / seeded-LSH values have no DuckDB twin, so
         # these three emit their structural CONTRACTS instead
         # (planted-dup coverage, banded-vs-exact equality, recall ≥
@@ -1846,6 +1918,26 @@ UNION ALL
 SELECT CAST(0.75 AS DOUBLE), (SELECT round(quantile_cont(n_chars, 0.75), 4) FROM documents), TRUE
 UNION ALL
 SELECT CAST(0.99 AS DOUBLE), (SELECT round(quantile_cont(n_chars, 0.99), 4) FROM documents), TRUE""",
+        "partition_fingerprint": _VERSIONS_CTE + f""",
+h AS ({_FP_HASH_SQL.format(side='t1')}),
+f AS (SELECT part, COUNT(*) AS n_rows, {_FP_LANES_SQL} FROM h GROUP BY part)
+SELECT part AS "partition", n_rows,
+       CAST(fp_lo AS VARCHAR) AS fp_lo, CAST(fp_hi AS VARCHAR) AS fp_hi
+FROM f""",
+        "changed_partitions": _VERSIONS_CTE + f""",
+h1 AS ({_FP_HASH_SQL.format(side='t1')}),
+h2 AS ({_FP_HASH_SQL.format(side='t2')}),
+f1 AS (SELECT part, COUNT(*) AS n_rows, {_FP_LANES_SQL} FROM h1 GROUP BY part),
+f2 AS (SELECT part, COUNT(*) AS n_rows, {_FP_LANES_SQL} FROM h2 GROUP BY part)
+SELECT coalesce(f1.part, f2.part) AS "partition",
+       CASE WHEN f1.n_rows IS NULL THEN 'added'
+            WHEN f2.n_rows IS NULL THEN 'removed'
+            WHEN f1.n_rows = f2.n_rows AND f1.fp_lo = f2.fp_lo
+                 AND f1.fp_hi = f2.fp_hi THEN 'equal'
+            ELSE 'changed' END AS status,
+       f1.n_rows AS n_rows_1, f2.n_rows AS n_rows_2
+FROM f1 FULL OUTER JOIN f2 ON f1.part = f2.part
+ORDER BY "partition\"""",
         "multimodal_meta": """
 SELECT doc_id,
        CASE WHEN text IS NULL THEN NULL ELSE CAST(octet_length(encode(text)) AS INT) END AS byte_len,

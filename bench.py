@@ -83,6 +83,7 @@ HEADLINE = [
     "embedding_stats",
     "fd_violations",
     "url_canon",
+    "changed_partitions",
 ]
 
 PAGES_N = int(os.environ.get("DCS_BENCH_PAGES_N", "500000"))
