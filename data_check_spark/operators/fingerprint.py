@@ -60,7 +60,7 @@ from pyspark.sql import functions as F
 
 from .rowdiff import row_diff
 
-_LANES = ((1, "fp_lo"), (16, "fp_hi"))  # (hex start pos, name); 15 chars each
+_LANES = ((1, "lo"), (16, "hi"))  # (hex start pos, lane suffix); 15 chars each
 
 
 def _encoded_row(cols: list[Column]) -> Column:
@@ -73,6 +73,27 @@ def _encoded_row(cols: list[Column]) -> Column:
         for c in cols
     ]
     return F.concat_ws("|", *encs)
+
+
+def row_hash(cols: list[str | Column]) -> Column:
+    """Per-row md5 over the injective encoding of ``cols`` — the
+    input every fingerprint aggregate sums. Exposed so other fused
+    passes (plans/suite.py FingerprintCheck) can project it once and
+    ride their existing groupBy(partition)."""
+    ccols = [(F.col(c) if isinstance(c, str) else c).cast("string") for c in cols]
+    return F.md5(_encoded_row(ccols).cast("binary"))
+
+
+def lane_sum_aggs(hash_col: str | Column, prefix: str = "fp") -> list[Column]:
+    """The two exact-DECIMAL lane sums over a projected `row_hash`
+    column, aliased {prefix}_lo / {prefix}_hi."""
+    h = F.col(hash_col) if isinstance(hash_col, str) else hash_col
+    return [
+        F.sum(
+            F.conv(F.substring(h, start, 15), 16, 10).cast("decimal(20,0)")
+        ).cast("decimal(38,0)").alias(f"{prefix}_{suffix}")
+        for start, suffix in _LANES
+    ]
 
 
 def partition_fingerprint(
@@ -88,18 +109,10 @@ def partition_fingerprint(
     if cols is None:
         pname = partition_col if isinstance(partition_col, str) else None
         cols = [c for c in df.columns if c != pname]
-    ccols = [(F.col(c) if isinstance(c, str) else c).cast("string") for c in cols]
-    h = F.md5(_encoded_row(ccols).cast("binary"))
-    lanes = [
-        F.sum(
-            F.conv(F.substring(F.col("_h"), start, 15), 16, 10).cast("decimal(20,0)")
-        ).cast("decimal(38,0)").alias(name)
-        for start, name in _LANES
-    ]
     return (
-        df.select(pcol.cast("string").alias("partition"), h.alias("_h"))
+        df.select(pcol.cast("string").alias("partition"), row_hash(cols).alias("_h"))
         .groupBy("partition")
-        .agg(F.count(F.lit(1)).alias("n_rows"), *lanes)
+        .agg(F.count(F.lit(1)).alias("n_rows"), *lane_sum_aggs("_h"))
     )
 
 

@@ -171,6 +171,7 @@ def partition_stats_pass(
     numeric_hists: dict[str, tuple[Column | str, float, float, int]] | None = None,
     exact_distinct: tuple = (),
     expr_counts: dict[str, Column] | None = None,
+    fingerprint_cols: list[str] | None = None,
 ) -> DataFrame:
     """THE fused scan: one ``groupBy(partition)`` computing every
     thresholded column's metrics AND (optionally) a fixed-width
@@ -228,8 +229,17 @@ def partition_stats_pass(
     if expr_counts:
         expr_aggs.append(F.count(F.lit(1)).alias("_xn"))
         expr_aggs += [F.count_if(c).alias(f"_x_{n}") for n, c in expr_counts.items()]
+    fp_aggs = []
+    if fingerprint_cols:
+        # suite FingerprintCheck support: per-partition content
+        # lineage rides this pass — one projected md5 + three more
+        # aggregates, zero extra scans (operators/fingerprint.py)
+        from .fingerprint import lane_sum_aggs, row_hash
+
+        base = base.select("*", row_hash(fingerprint_cols).alias("_fph"))
+        fp_aggs = [F.count(F.lit(1)).alias("_fpn"), *lane_sum_aggs("_fph", "_fp")]
     return base.groupBy(part.alias("partition")).agg(
-        F.array(*structs).alias("_m"), *hist_aggs, *expr_aggs
+        F.array(*structs).alias("_m"), *hist_aggs, *expr_aggs, *fp_aggs
     )
 
 

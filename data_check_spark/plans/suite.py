@@ -242,6 +242,30 @@ class ExprCheck:
 
 
 @dataclass
+class FingerprintCheck:
+    """Per-partition content LINEAGE, not a verdict: reduce every
+    partition to (n_rows, fp_lo, fp_hi) — the order-independent,
+    engine-portable content fingerprint of operators/fingerprint.py —
+    as part of the suite run.
+
+    Emits no verdict rows. The frame lands in
+    ``SuiteResult.fingerprints``; under ``run_resumable`` it is also
+    appended to ``{audit_path}/fingerprints`` and each partition's
+    manifest record carries its fingerprint, so the NEXT run can
+    answer "which partitions changed since the validated version?"
+    from the audit table alone (``changed_partitions_vs_audit``)
+    without ever rescanning this version.
+
+    Scale: with a StatsCheck present this costs ZERO extra scans —
+    one projected md5 plus three aggregates riding the fused
+    groupBy(partition) stats pass; standalone it is the one-scan
+    map-side-combined aggregation of ``partition_fingerprint``.
+    ``cols`` must be string-cast engine-portable (ints/strings/dates
+    — see the float caveat in operators/fingerprint.py)."""
+    cols: list[str]
+
+
+@dataclass
 class CompareCheck:
     """Two-table diff family — the reference's flagship workflow
     (``/root/reference/data_check/data_processor.py:211-285``, driven
@@ -293,6 +317,8 @@ class SuiteResult:
     verdicts: DataFrame
     violations: dict[str, DataFrame]
     cached: list[DataFrame] = field(default_factory=list)
+    # per-partition (n_rows, fp_lo, fp_hi) when a FingerprintCheck ran
+    fingerprints: DataFrame | None = None
 
     def passed(self) -> bool:
         return self.verdicts.filter(~F.col("passed")).isEmpty()
@@ -414,6 +440,15 @@ class CheckSuite:
                 "combine the thresholds into one RepetitionCheck"
             )
 
+        fp_checks = [c for c in self.checks if isinstance(c, FingerprintCheck)]
+        if len(fp_checks) > 1:
+            raise ValueError(
+                "at most one FingerprintCheck per suite (its output is the "
+                "run's single lineage frame) — put every column in one check"
+            )
+        fp_check = fp_checks[0] if fp_checks else None
+        fingerprints: DataFrame | None = None
+
         expr_checks = [c for c in self.checks if isinstance(c, ExprCheck)]
         expr_names = [c.name for c in expr_checks]
         if len(set(expr_names)) != len(expr_names):
@@ -471,6 +506,7 @@ class CheckSuite:
                     df, part_s, fused_stats.thresholds, fused_stats.approx, nums,
                     exact_distinct=fused_stats.exact_distinct,
                     expr_counts=expr_viol,
+                    fingerprint_cols=fp_check.cols if fp_check else None,
                 )
                 futs["pass"] = pool.submit(
                     lambda: [r.asDict(recursive=True) for r in pass_src.collect()]
@@ -479,6 +515,15 @@ class CheckSuite:
                     futs["exact"] = pool.submit(
                         exact_distinct_counts, df, part_s, fused_stats.exact_distinct
                     )
+
+            if fp_check is not None and fused_stats is None:
+                # no stats pass to ride — the standalone one-scan agg
+                # (lazy; materialized by whoever consumes the lineage)
+                from data_check_spark.operators.fingerprint import (
+                    partition_fingerprint,
+                )
+
+                fingerprints = partition_fingerprint(df, part_s, fp_check.cols)
 
             if expr_checks and fused_stats is None:
                 # no stats pass to ride — all ExprChecks share ONE
@@ -671,6 +716,15 @@ class CheckSuite:
                 pass_df = spark.createDataFrame(pass_rows, pass_src.schema)
                 all_parts = pass_df.select("partition")
                 stats_verdicts_df = verdicts_from_pass(pass_df, fused_stats.thresholds)
+                if fp_check is not None:
+                    # lineage fell out of the same collected pass —
+                    # a |partitions|-row local relation, no extra scan
+                    fingerprints = pass_df.select(
+                        "partition",
+                        F.col("_fpn").alias("n_rows"),
+                        F.col("_fp_lo").alias("fp_lo"),
+                        F.col("_fp_hi").alias("fp_hi"),
+                    )
 
             if fused_cat or fused_num or fused_ks:
                 from data_check_spark.operators.drift import EPS
@@ -1030,14 +1084,30 @@ class CheckSuite:
                         )
                         .limit(chk.violation_limit)
                     )
+            elif isinstance(chk, FingerprintCheck):
+                pass  # lineage-only: computed in/alongside the fused pass
             else:
                 raise TypeError(f"unknown check type: {type(chk)}")
 
+        if not verdict_frames:
+            # legal for a lineage-only suite (just a FingerprintCheck):
+            # empty verdicts, passed() trivially True
+            verdict_frames.append(
+                spark.createDataFrame(
+                    [],
+                    "partition string, column string, check string, "
+                    "metric double, threshold double, passed boolean",
+                )
+            )
         verdicts = verdict_frames[0]
         for v in verdict_frames[1:]:
             verdicts = verdicts.unionByName(v)
         return SuiteResult(
-            run_id, verdicts.orderBy("partition", "check", "column"), violations, cached
+            run_id,
+            verdicts.orderBy("partition", "check", "column"),
+            violations,
+            cached,
+            fingerprints=fingerprints,
         )
 
     def run_resumable(
@@ -1106,6 +1176,24 @@ class CheckSuite:
             .agg(F.count("*").alias("n"), F.count_if(~F.col("passed")).alias("failed"))
             .collect()
         }
+        if result.fingerprints is not None:
+            # content lineage: fingerprints land in the audit table
+            # (the baseline changed_partitions_vs_audit diffs against)
+            # and in each partition's manifest record — |partitions|
+            # tiny rows, the collect is metadata-sized
+            if audit_path:
+                write_audit(
+                    result.fingerprints,
+                    f"{audit_path}/fingerprints",
+                    run_id,
+                    "fingerprint",
+                )
+            for r in result.fingerprints.collect():
+                summary.setdefault(r["partition"], {})["fingerprint"] = {
+                    "n_rows": int(r["n_rows"]),
+                    "fp_lo": str(r["fp_lo"]),
+                    "fp_hi": str(r["fp_hi"]),
+                }
         for p in pending:
             manifest.mark_complete(p, run_id, summary.get(str(p), summary.get("*", {})))
         return result

@@ -747,3 +747,61 @@ def test_fd_check_resume_matches_uninterrupted(spark, pages, tmp_path):
     expect = full.filter(~F.col("partition").isin(parts[:2]))
     assert res.verdicts.exceptAll(expect).isEmpty()
     assert expect.exceptAll(res.verdicts).isEmpty()
+
+
+def test_fingerprint_check_rides_stats_pass(spark, pages):
+    """Fused lineage == the standalone operator, and a lineage-only
+    suite works (empty verdicts, passed() True)."""
+    from data_check_spark.operators.fingerprint import partition_fingerprint
+    from data_check_spark.plans.suite import FingerprintCheck
+
+    cols = ["url", "text", "lang"]
+    fused = CheckSuite(
+        [StatsCheck(thresholds={"text": {"max_null_rate": 0.05}}),
+         FingerprintCheck(cols=cols)]
+    ).run(spark, pages, "warc_day")
+    want = sorted(
+        tuple(r) for r in partition_fingerprint(pages, "warc_day", cols).collect()
+    )
+    got = sorted(tuple(r) for r in fused.fingerprints.collect())
+    assert got == want and len(got) > 0
+    fused.unpersist()
+
+    alone = CheckSuite([FingerprintCheck(cols=cols)]).run(spark, pages, "warc_day")
+    assert sorted(tuple(r) for r in alone.fingerprints.collect()) == want
+    assert alone.verdicts.count() == 0 and alone.passed()
+    alone.unpersist()
+
+    with pytest.raises(ValueError, match="at most one FingerprintCheck"):
+        CheckSuite(
+            [FingerprintCheck(cols=["url"]), FingerprintCheck(cols=["text"])]
+        ).run(spark, pages, "warc_day")
+
+
+def test_fingerprint_check_resumable_lineage(spark, pages, suite, tmp_path):
+    """run_resumable persists fingerprints to the audit table and the
+    manifest; changed_partitions_vs_audit then detects a mutated
+    partition against the stored baseline with NO rescan of v1."""
+    from data_check_spark.operators.fingerprint import changed_partitions_vs_audit
+    from data_check_spark.plans.suite import FingerprintCheck
+
+    cols = ["url", "text", "lang"]
+    sc = CheckSuite(suite.checks + [FingerprintCheck(cols=cols)])
+    man = Manifest(str(tmp_path / "manifest"))
+    audit = str(tmp_path / "audit")
+    res = sc.run_resumable(spark, pages, "warc_day", man, audit_path=audit)
+    assert res is not None and res.fingerprints is not None
+    # every manifest record carries its partition's fingerprint
+    recs = man.completed()
+    assert len(recs) > 0
+    assert all("fingerprint" in r["metrics"] for r in recs.values())
+    # stored fingerprints answer "what changed?" for a mutated v2
+    v2 = pages.withColumn(
+        "lang",
+        F.when(F.col("warc_day") == sorted(recs)[0], F.lit("xx"))
+        .otherwise(F.col("lang")),
+    )
+    out = {r["partition"]: r["status"] for r in changed_partitions_vs_audit(
+        v2, "warc_day", f"{audit}/fingerprints", cols=cols).collect()}
+    assert out[sorted(recs)[0]] == "changed"
+    assert all(s == "equal" for p, s in out.items() if p != sorted(recs)[0])
