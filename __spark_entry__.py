@@ -849,6 +849,29 @@ def _q_suite_verdicts(spark, sf_dir):
     return suite.run(spark, d, "source").verdicts
 
 
+def _q_suite_fingerprint(spark, sf_dir):
+    """FingerprintCheck through the FUSED suite path: the lineage
+    lanes ride the stats pass's groupBy(partition) (zero extra
+    scans, plans/suite.py) and the DuckDB oracle re-derives every
+    fingerprint bit — verifying the fused projection/agg end-to-end,
+    not just the standalone operator."""
+    from data_check_spark.plans.suite import CheckSuite, FingerprintCheck, StatsCheck
+
+    d = _t(spark, sf_dir, "documents")
+    res = CheckSuite(
+        [
+            StatsCheck(thresholds={"text": {"max_null_rate": 0.05}}, approx=False),
+            FingerprintCheck(cols=["doc_id", "text", "lang"]),
+        ]
+    ).run(spark, d, "source")
+    return res.fingerprints.select(
+        "partition",
+        "n_rows",
+        F.col("fp_lo").cast("string").alias("fp_lo"),
+        F.col("fp_hi").cast("string").alias("fp_hi"),
+    )
+
+
 def _q_suite_compare(spark, sf_dir):
     """The reference's flagship two-table diff session (census +
     per-column ratios, data_processor.py:211-285) declared INSIDE
@@ -1269,6 +1292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suite_verdicts": _q_suite_verdicts,
         "suite_compare_verdicts": _q_suite_compare,
         "suite_expr_verdicts": _q_suite_expr,
+        "suite_fingerprint": _q_suite_fingerprint,
         "fd_violations": _q_fd_violations,
         "suite_fd_verdicts": _q_suite_fd,
         "url_canon": _q_url_canon,
@@ -1673,6 +1697,15 @@ x AS (
 )
 SELECT part AS "partition", col AS "column", chk AS "check", metric, threshold, passed
 FROM (SELECT * FROM v UNION ALL SELECT * FROM summary UNION ALL SELECT * FROM x)""",
+        "suite_fingerprint": f"""
+WITH h AS (
+  SELECT CAST(source AS VARCHAR) AS part,
+         md5(concat_ws('|', {_fp_enc_sql('doc_id')}, {_fp_enc_sql('text')}, {_fp_enc_sql('lang')})) AS h
+  FROM documents),
+f AS (SELECT part, COUNT(*) AS n_rows, {_FP_LANES_SQL} FROM h GROUP BY part)
+SELECT part AS "partition", n_rows,
+       CAST(fp_lo AS VARCHAR) AS fp_lo, CAST(fp_hi AS VARCHAR) AS fp_hi
+FROM f""",
         "fd_violations": """
 WITH p AS (
   SELECT 'doc' || CAST(doc_id % 31 AS VARCHAR) AS url, text FROM documents
