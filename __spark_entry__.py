@@ -830,6 +830,55 @@ def _q_approx_stats(spark, sf_dir):
     )
 
 
+def _q_hll_distinct(spark, sf_dir):
+    """Mergeable HLL distinct sketches (operators/sketch.py
+    hll_partition_sketches family): per-(partition, column) DataSketches
+    binaries whose UNION answers global/incremental distinct counts
+    with no rescan. Contract oracle (approx_stats pattern): per column,
+    the exact distinct count (DuckDB re-derives) + two booleans — the
+    union-of-partition-sketches estimate AND the single direct global
+    sketch's estimate are each within the lg_k=12 ~5% bound of exact.
+    (Union estimates use DataSketches' composite estimator while a
+    directly-built sketch keeps its HIP accumulator, so exact equality
+    between them is NOT a contract — both bounds are.) Sketch binaries
+    themselves are engine-specific."""
+    from data_check_spark.operators.sketch import (
+        hll_estimates,
+        hll_partition_sketches,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    cols = ["doc_id", "text", "lang"]
+    union_est = hll_estimates(
+        hll_partition_sketches(d, "source", cols), per_partition=False
+    )
+    direct_est = hll_estimates(
+        hll_partition_sketches(d.selectExpr("'*' AS g", *cols), "g", cols),
+        per_partition=False,
+    ).withColumnRenamed("n_distinct_est", "direct_est")
+    exact = d.select(
+        F.explode(
+            F.map_from_arrays(
+                F.array(*[F.lit(c) for c in cols]),
+                F.array(*[F.col(c).cast("string") for c in cols]),
+            )
+        ).alias("column", "_v")
+    ).groupBy("column").agg(F.count_distinct("_v").alias("exact_distinct"))
+    j = exact.join(union_est, "column").join(direct_est, "column")
+    return j.select(
+        "column",
+        "exact_distinct",
+        (
+            F.abs(F.col("n_distinct_est") - F.col("exact_distinct"))
+            <= 0.05 * F.col("exact_distinct")
+        ).alias("union_within_5pct"),
+        (
+            F.abs(F.col("direct_est") - F.col("exact_distinct"))
+            <= 0.05 * F.col("exact_distinct")
+        ).alias("direct_within_5pct"),
+    ).orderBy("column")
+
+
 def _q_suite_verdicts(spark, sf_dir):
     from data_check_spark.plans.suite import CheckSuite, StatsCheck, UniquenessCheck
 
@@ -1287,6 +1336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_quantiles": _q_sketch_quantiles,
         "cosine_neardup_lsh": _q_cosine_neardup_lsh,
         "approx_stats": _q_approx_stats,
+        "hll_distinct": _q_hll_distinct,
         "schema_diff": _q_schema_diff,
         "minhash_pairs": _q_minhash,
         "suite_verdicts": _q_suite_verdicts,
@@ -1822,6 +1872,16 @@ SELECT count(*) AS n_docs,
        TRUE AS hll_text_within_5pct,
        TRUE AS p50_within_1pct
 FROM documents""",
+        "hll_distinct": """
+SELECT col AS "column", exact_distinct,
+       TRUE AS union_within_5pct, TRUE AS direct_within_5pct
+FROM (
+  SELECT 'doc_id' AS col, count(DISTINCT CAST(doc_id AS VARCHAR)) AS exact_distinct FROM documents WHERE doc_id IS NOT NULL
+  UNION ALL
+  SELECT 'text', count(DISTINCT text) FROM documents WHERE text IS NOT NULL
+  UNION ALL
+  SELECT 'lang', count(DISTINCT lang) FROM documents WHERE lang IS NOT NULL
+) ORDER BY col""",
         "repetition_metrics": r"""
 WITH toks AS (
   SELECT doc_id, text, regexp_extract_all(lower(text), '\S+') AS t

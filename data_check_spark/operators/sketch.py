@@ -296,3 +296,80 @@ def quantiles_via_tdigest(
     Rank error is bounded by the k1 merge invariant (≈ 2·q(1−q)/δ
     per merge level; two levels here)."""
     return tdigest_quantiles(merge_tdigest(partition_tdigest(df, col, delta), delta), qs)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable HLL distinct-count sketches (Apache DataSketches via Spark
+# 3.5+ hll_sketch_agg / hll_union_agg).
+#
+# approx_count_distinct answers "how many distinct NOW" but leaves no
+# state behind. These helpers persist the per-(partition, column) HLL
+# sketch BINARY itself (lg_k=12 → ≤ ~2.5 KB each, rel. std err
+# ~1.04/√2^12 ≈ 1.6%), so:
+#   * the global distinct count is a union of partition sketches —
+#     no second scan (hll_union_agg is associative/commutative, and
+#     union-of-partitions == direct-global estimate, pytest-pinned);
+#   * an INCREMENTAL run sketches only its new partitions and unions
+#     them with the audit table's stored sketches — cross-run distinct
+#     counts at 10^12 rows without ever rescanning validated data
+#     (the same audit pattern as fingerprints/t-digest rows).
+# ---------------------------------------------------------------------------
+
+
+def hll_partition_sketches(
+    df: DataFrame,
+    partition_col: Column | str,
+    cols: list[str],
+    lg_k: int = 12,
+) -> DataFrame:
+    """Long-format (partition, column, sketch, n_rows): one HLL sketch
+    per (partition, column) from ONE groupBy(partition) scan. Values
+    sketch in their canonical string domain (NULLs don't contribute).
+    Persist with plans/audit.write_audit; merge with hll_merge."""
+    part = F.col(partition_col) if isinstance(partition_col, str) else partition_col
+    aggs = [F.count(F.lit(1)).alias("_n")] + [
+        F.hll_sketch_agg(F.col(c).cast("string"), lg_k).alias(f"_s_{i}")
+        for i, c in enumerate(cols)
+    ]
+    wide = df.groupBy(part.cast("string").alias("partition")).agg(*aggs)
+    frames = [
+        wide.select(
+            "partition",
+            F.lit(c).alias("column"),
+            F.col(f"_s_{i}").alias("sketch"),
+            F.col("_n").alias("n_rows"),
+        )
+        for i, c in enumerate(cols)
+    ]
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out
+
+
+def hll_merge(*sketch_frames: DataFrame) -> DataFrame:
+    """Union any number of sketch frames (this run's + stored runs')
+    into one sketch per (partition, column). Tiny input — at most
+    |partitions| × |columns| × |runs| KB-sized rows."""
+    u = sketch_frames[0]
+    for fr in sketch_frames[1:]:
+        u = u.unionByName(fr.select(*u.columns))
+    return u.groupBy("partition", "column").agg(
+        F.hll_union_agg("sketch").alias("sketch"),
+        F.sum("n_rows").alias("n_rows"),
+    )
+
+
+def hll_estimates(sketches: DataFrame, per_partition: bool = True) -> DataFrame:
+    """Distinct-count estimates from sketch rows alone (no data scan).
+    per_partition=False unions across partitions first — the global
+    count per column."""
+    if per_partition:
+        return sketches.select(
+            "partition",
+            "column",
+            F.hll_sketch_estimate("sketch").alias("n_distinct_est"),
+        )
+    return sketches.groupBy("column").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("n_distinct_est")
+    )

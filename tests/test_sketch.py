@@ -43,3 +43,70 @@ def test_sketch_empty_and_nulls(spark):
     df = spark.createDataFrame([(None,), (None,)], "v double")
     out = quantiles_via_sketch(df, "v", 0, 10, [0.5]).collect()
     assert out[0]["value"] is None
+
+
+def test_hll_sketches_union_matches_direct_and_bounds(spark):
+    """Union of per-partition sketches == one direct global sketch
+    (estimate-identical), and estimates stay within the lg_k=12
+    ~5% bound of exact."""
+    from data_check_spark.operators.sketch import (
+        hll_estimates,
+        hll_merge,
+        hll_partition_sketches,
+    )
+
+    df = spark.range(50_000).selectExpr(
+        "cast(id % 7 as string) AS part",
+        "cast(id % 9123 as string) AS k",
+        "cast(id as string) AS uid",
+    )
+    sk = hll_partition_sketches(df, "part", ["k", "uid"])
+    est = {r["column"]: r["n_distinct_est"]
+           for r in hll_estimates(sk, per_partition=False).collect()}
+    assert abs(est["k"] - 9123) / 9123 < 0.05
+    assert abs(est["uid"] - 50_000) / 50_000 < 0.05
+    # direct global sketch: also within bound (NOT necessarily equal —
+    # a never-merged sketch estimates via HIP, a union via composite)
+    direct = {r["column"]: r["n_distinct_est"] for r in hll_estimates(
+        hll_partition_sketches(df.selectExpr("'*' AS g", "k", "uid"), "g", ["k", "uid"]),
+        per_partition=False).collect()}
+    assert abs(direct["k"] - 9123) / 9123 < 0.05
+    assert abs(direct["uid"] - 50_000) / 50_000 < 0.05
+    # partitioning-independence of the union estimate
+    re7 = {r["column"]: r["n_distinct_est"] for r in hll_estimates(
+        hll_partition_sketches(df.repartition(13), "part", ["k", "uid"]),
+        per_partition=False).collect()}
+    assert est == re7
+
+
+def test_hll_incremental_merge_without_rescan(spark, tmp_path):
+    """The audit story: run 1 sketches partitions A,B; run 2 sketches
+    only C and unions with the STORED rows — the combined estimate
+    matches sketching all three at once."""
+    from data_check_spark.operators.sketch import (
+        hll_estimates,
+        hll_merge,
+        hll_partition_sketches,
+    )
+    from data_check_spark.plans.audit import write_audit
+
+    df = spark.range(30_000).selectExpr(
+        "cast(id % 3 as string) AS part", "cast(id % 4567 as string) AS k"
+    )
+    audit = str(tmp_path / "audit")
+    write_audit(
+        hll_partition_sketches(df.filter("part <> '2'"), "part", ["k"]),
+        audit, run_id="r1", kind="hll",
+    )
+    stored = (
+        spark.read.parquet(audit)
+        .filter("audit_kind = 'hll'")
+        .select("partition", "column", "sketch", "n_rows")
+    )
+    merged = hll_merge(stored, hll_partition_sketches(df.filter("part = '2'"), "part", ["k"]))
+    got = hll_estimates(merged, per_partition=False).collect()[0]["n_distinct_est"]
+    want = hll_estimates(
+        hll_partition_sketches(df, "part", ["k"]), per_partition=False
+    ).collect()[0]["n_distinct_est"]
+    assert got == want
+    assert merged.agg({"n_rows": "sum"}).collect()[0][0] == 30_000
