@@ -260,6 +260,12 @@ class FingerprintCheck:
     one projected md5 plus three aggregates riding the fused
     groupBy(partition) stats pass; standalone it is the one-scan
     map-side-combined aggregation of ``partition_fingerprint``.
+    Honest cost note (scripts/ab_fingerprint.py, 20M pages): the md5
+    over the encoded row IS the cost — it dwarfs the saved second
+    scan on a page-cache-hot single box (fused vs two-pass measured
+    ~even: 41.4 vs 41.9 s at 8 cores, 13.6 vs 14.6 s at 32); the
+    fusion win is the avoided second READ, which matters exactly when
+    scans are IO-bound — the cold-100 TB regime this engine targets.
     ``cols`` must be string-cast engine-portable (ints/strings/dates
     — see the float caveat in operators/fingerprint.py)."""
     cols: list[str]
