@@ -830,6 +830,33 @@ def _q_approx_stats(spark, sf_dir):
     )
 
 
+def _q_suite_schema(spark, sf_dir):
+    """SchemaCheck through the suite: fail-fast schema gate (reference
+    check #1, data_processor.py schema diff, as a declarative kind).
+    Deliberately drifted expectations (source:double, missing_col) so
+    both failure modes appear. GENUINE oracle: DuckDB re-derives every
+    verdict from ITS OWN information_schema over the same parquet —
+    the two engines must agree on the table's schema."""
+    from data_check_spark.plans.suite import CheckSuite, SchemaCheck
+
+    d = _t(spark, sf_dir, "documents")
+    res = CheckSuite(
+        [
+            SchemaCheck(
+                expected={
+                    "doc_id": "bigint",
+                    "text": "string",
+                    "lang": "string",
+                    "n_chars": "bigint",
+                    "source": "double",       # type drift: actually string
+                    "missing_col": "string",  # absent
+                }
+            )
+        ]
+    ).run(spark, d, "source")
+    return res.verdicts
+
+
 def _q_hll_distinct(spark, sf_dir):
     """Mergeable HLL distinct sketches (operators/sketch.py
     hll_partition_sketches family): per-(partition, column) DataSketches
@@ -1337,6 +1364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_neardup_lsh": _q_cosine_neardup_lsh,
         "approx_stats": _q_approx_stats,
         "hll_distinct": _q_hll_distinct,
+        "suite_schema_verdicts": _q_suite_schema,
         "schema_diff": _q_schema_diff,
         "minhash_pairs": _q_minhash,
         "suite_verdicts": _q_suite_verdicts,
@@ -1872,6 +1900,25 @@ SELECT count(*) AS n_docs,
        TRUE AS hll_text_within_5pct,
        TRUE AS p50_within_1pct
 FROM documents""",
+        "suite_schema_verdicts": """
+WITH cols AS (
+  SELECT column_name AS name,
+         CASE data_type WHEN 'VARCHAR' THEN 'string' WHEN 'BIGINT' THEN 'bigint'
+              WHEN 'INTEGER' THEN 'int' WHEN 'DOUBLE' THEN 'double'
+              WHEN 'TIMESTAMP' THEN 'timestamp' WHEN 'DATE' THEN 'date'
+              WHEN 'BLOB' THEN 'binary' ELSE lower(data_type) END AS t
+  FROM information_schema.columns WHERE table_name = 'documents'
+),
+exp(name, want) AS (VALUES
+  ('doc_id','bigint'), ('lang','string'), ('missing_col','string'),
+  ('n_chars','bigint'), ('source','double'), ('text','string'))
+SELECT '*' AS "partition", exp.name AS "column",
+       CASE WHEN c.t IS NULL THEN 'schema_missing' ELSE 'schema' END AS "check",
+       CASE WHEN coalesce(c.t = want, FALSE) THEN 1.0 ELSE 0.0 END AS metric,
+       1.0 AS threshold,
+       coalesce(c.t = want, FALSE) AS passed
+FROM exp LEFT JOIN cols c ON c.name = exp.name
+ORDER BY "column\"""",
         "hll_distinct": """
 SELECT col AS "column", exact_distinct,
        TRUE AS union_within_5pct, TRUE AS direct_within_5pct

@@ -242,6 +242,24 @@ class ExprCheck:
 
 
 @dataclass
+class SchemaCheck:
+    """Declarative schema gate — the reference's check #1
+    (data_processor.py schema diff) as a suite kind, so a suite can
+    fail fast on a drifted table before paying for any scan.
+
+    ``expected`` maps column name → Spark simpleString type ("string",
+    "bigint", "timestamp", …). Verdict rows are global (partition
+    '*'), one per expected column plus one per UNEXPECTED column when
+    ``exact=True``: metric 1.0 = present with the right type. Purely
+    driver-side (df.schema — free, like the reference's dry-run
+    schema fetch, SURVEY §2 S6/O2); global, so run_resumable treats
+    it like drift checks (unfiltered table, same verdict whether or
+    not the run resumed)."""
+    expected: dict[str, str]
+    exact: bool = False  # True: extra columns also fail
+
+
+@dataclass
 class FingerprintCheck:
     """Per-partition content LINEAGE, not a verdict: reduce every
     partition to (n_rows, fp_lo, fp_hi) — the order-independent,
@@ -1090,6 +1108,29 @@ class CheckSuite:
                         )
                         .limit(chk.violation_limit)
                     )
+            elif isinstance(chk, SchemaCheck):
+                # driver-side (df.schema is free — ref O2 dry-run);
+                # row filters never change a schema, so the verdict is
+                # resume-invariant without drift-style special-casing
+                types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+                rows = []
+                for name, want in sorted(chk.expected.items()):
+                    got = types.get(name)
+                    rows.append((
+                        "*", name,
+                        "schema" if got is not None else "schema_missing",
+                        1.0 if got == want else 0.0, 1.0, got == want,
+                    ))
+                if chk.exact:
+                    for name in sorted(set(types) - set(chk.expected)):
+                        rows.append(("*", name, "schema_unexpected", 0.0, 1.0, False))
+                verdict_frames.append(
+                    spark.createDataFrame(
+                        rows,
+                        "partition string, column string, check string, "
+                        "metric double, threshold double, passed boolean",
+                    )
+                )
             elif isinstance(chk, FingerprintCheck):
                 pass  # lineage-only: computed in/alongside the fused pass
             else:

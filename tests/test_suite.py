@@ -805,3 +805,36 @@ def test_fingerprint_check_resumable_lineage(spark, pages, suite, tmp_path):
         v2, "warc_day", f"{audit}/fingerprints", cols=cols).collect()}
     assert out[sorted(recs)[0]] == "changed"
     assert all(s == "equal" for p, s in out.items() if p != sorted(recs)[0])
+
+
+def test_schema_check(spark, pages, tmp_path):
+    from data_check_spark.plans.suite import SchemaCheck
+
+    good = {"url": "string", "warc_ts": "timestamp", "text": "string",
+            "lang": "string"}
+    res = CheckSuite([SchemaCheck(expected=good)]).run(spark, pages, "warc_day")
+    v = {r["column"]: (r["check"], r["passed"]) for r in res.verdicts.collect()}
+    assert all(c == "schema" and p for c, p in v.values()) and len(v) == 4
+
+    bad = CheckSuite([SchemaCheck(
+        expected={"url": "bigint", "nope": "string", "text": "string"}
+    )]).run(spark, pages, "warc_day")
+    b = {r["column"]: (r["check"], r["passed"]) for r in bad.verdicts.collect()}
+    assert b["url"] == ("schema", False)          # type drift
+    assert b["nope"] == ("schema_missing", False)  # absent column
+    assert b["text"] == ("schema", True)
+    assert not bad.passed()
+
+    # exact=True flags extra columns; resumable path carries the gate
+    ex = CheckSuite([SchemaCheck(expected=good, exact=True)]).run(
+        spark, pages, "warc_day"
+    )
+    extra = {r["column"] for r in
+             ex.verdicts.filter("check = 'schema_unexpected'").collect()}
+    assert "html" in extra and not ex.passed()
+
+    man = Manifest(str(tmp_path / "m"))
+    res2 = CheckSuite(
+        [SchemaCheck(expected=good), UniquenessCheck(key="url", max_duplicate_keys=10**9)]
+    ).run_resumable(spark, pages, "warc_day", man)
+    assert res2.verdicts.filter("check = 'schema'").count() == 4
