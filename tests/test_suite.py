@@ -838,3 +838,13 @@ def test_schema_check(spark, pages, tmp_path):
         [SchemaCheck(expected=good), UniquenessCheck(key="url", max_duplicate_keys=10**9)]
     ).run_resumable(spark, pages, "warc_day", man)
     assert res2.verdicts.filter("check = 'schema'").count() == 4
+
+
+def test_duplicate_repetition_checks_rejected(spark, pages):
+    from data_check_spark.plans.suite import RepetitionCheck
+
+    with pytest.raises(ValueError, match="repetition checks must target"):
+        CheckSuite([
+            RepetitionCheck(text_col="text", max_mean_dup_2gram=0.2),
+            RepetitionCheck(text_col="text", max_mean_dup_2gram=0.5),
+        ]).run(spark, pages, "warc_day")
