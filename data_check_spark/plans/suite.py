@@ -443,15 +443,6 @@ class CheckSuite:
                 f"compare checks must have unique names (violations are "
                 f"keyed by name): duplicates {dup}"
             )
-        rep_cols = [
-            c.text_col for c in self.checks if isinstance(c, RepetitionCheck)
-        ]
-        if len(set(rep_cols)) != len(rep_cols):
-            dup = sorted({c for c in rep_cols if rep_cols.count(c) > 1})
-            raise ValueError(
-                f"repetition checks must target unique columns (violations "
-                f"are keyed 'repetition:<text_col>'): duplicates {dup}"
-            )
         fd_dets = [
             c.determinant
             for c in self.checks

@@ -839,12 +839,3 @@ def test_schema_check(spark, pages, tmp_path):
     ).run_resumable(spark, pages, "warc_day", man)
     assert res2.verdicts.filter("check = 'schema'").count() == 4
 
-
-def test_duplicate_repetition_checks_rejected(spark, pages):
-    from data_check_spark.plans.suite import RepetitionCheck
-
-    with pytest.raises(ValueError, match="repetition checks must target"):
-        CheckSuite([
-            RepetitionCheck(text_col="text", max_mean_dup_2gram=0.2),
-            RepetitionCheck(text_col="text", max_mean_dup_2gram=0.5),
-        ]).run(spark, pages, "warc_day")
