@@ -252,6 +252,18 @@ def _q_refint(spark, sf_dir):
     return referential_violations(li, "l_partkey", dim, "p_partkey")
 
 
+def _q_refint_hashed(spark, sf_dir):
+    """Hashed-key referential path (operators/refint.py hash_keys):
+    the anti-join build side carries xxhash64 surrogates (8 B/key)
+    instead of raw keys — ~10× higher broadcast ceiling for url-keyed
+    dimension snapshots. GENUINE exact oracle: xxhash64 is fixed-seed
+    and 64-bit collisions are absent at this scale, so the output is
+    byte-identical to the raw-key anti-join DuckDB computes."""
+    li = _t(spark, sf_dir, "lineitem")
+    dim = _t(spark, sf_dir, "part").filter(F.col("p_partkey") % 10 != 4)
+    return referential_violations(li, "l_partkey", dim, "p_partkey", hash_keys=True)
+
+
 def _q_psi_lang(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return psi_categorical(d.filter(F.col("doc_id") % 2 == 0), d.filter(F.col("doc_id") % 2 == 1), "lang")
@@ -1333,6 +1345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "row_diff": _q_row_diff,
         "unique_violations": _q_unique,
         "refint_violations": _q_refint,
+        "refint_hashed": _q_refint_hashed,
         "stats_documents": _stats_documents,
         "psi_lang": _q_psi_lang,
         "psi_nchars": _q_psi_nchars,
@@ -1487,6 +1500,11 @@ WHERE coalesce(a.o_orderstatus, 'none') <> coalesce(b.o_orderstatus, 'none')
 SELECT l_orderkey AS key_value, count(*) AS n
 FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1""",
         "refint_violations": """
+SELECT l_partkey AS ref_key, count(*) AS n_rows
+FROM lineitem
+WHERE l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_partkey % 10 <> 4)
+GROUP BY l_partkey""",
+        "refint_hashed": """
 SELECT l_partkey AS ref_key, count(*) AS n_rows
 FROM lineitem
 WHERE l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_partkey % 10 <> 4)

@@ -77,6 +77,16 @@ def maybe_broadcast(dim_keys: DataFrame, broadcast: bool | str = "auto") -> Data
     return dim_keys
 
 
+def hashed_key(key: Column) -> Column:
+    """64-bit join surrogate for a (possibly long) dimension key.
+
+    NULL maps to NULL — NOT to ``xxhash64(NULL)``, which is the seed
+    hash (a real value a genuine key could also hash to). A NULL
+    surrogate never equals anything in the anti-join, so NULL fact
+    keys stay violations, exactly like the raw-key join."""
+    return F.when(key.isNotNull(), F.xxhash64(key))
+
+
 def referential_violations(
     fact: DataFrame,
     fact_key: str | Column,
@@ -85,6 +95,7 @@ def referential_violations(
     keep_columns: list[str] | None = None,
     broadcast: bool | str = "auto",
     limit: int | None = None,
+    hash_keys: bool = False,
 ) -> DataFrame:
     """Rows of ``fact`` whose key has no match in ``dim`` (left anti).
 
@@ -92,22 +103,48 @@ def referential_violations(
     the per-key census is what a verdict needs and shuffles far less
     than row dumps; pass ``keep_columns`` for a row-level violation
     dump instead (ref-style, bounded by ``limit``).
-    """
+
+    ``hash_keys=True`` anti-joins on ``xxhash64`` of the key instead
+    of the raw key: the broadcast/shuffle side carries 8 bytes per
+    dimension key instead of the key itself. For the north rule's
+    url-keyed dimension snapshots (~80 B/url) that raises the
+    broadcastable-dim ceiling ~10× — a 100M-url snapshot becomes an
+    ~800 MB raw build but an ~80 MB hash build — at the cost of a
+    false-NEGATIVE rate bounded by 64-bit collisions (birthday bound:
+    ~3·10⁻⁹ expected missed violations at 10⁹ dim keys; never a false
+    positive, and deterministic — xxhash64 is fixed-seed, so repeated
+    runs agree). NULL fact keys are violations on both paths (see
+    ``hashed_key``); NULL dim keys match nothing on both paths (raw:
+    SQL equality is never true on NULL; hashed: filtered before
+    hashing)."""
     k = F.col(fact_key) if isinstance(fact_key, str) else fact_key
-    dim_keys = maybe_broadcast(
-        dim.select(F.col(dim_key).alias("_dim_key")).dropDuplicates(), broadcast
-    )
+    if hash_keys:
+        dim_side = dim.filter(F.col(dim_key).isNotNull()).select(
+            F.xxhash64(dim_key).alias("_dim_key")
+        )
+        # the 8-byte surrogate rides NEXT TO the raw key (the dump /
+        # census must still report real keys); the win is the dim
+        # build side, which is what the broadcast ceiling prices
+        extra = [hashed_key(k).alias("_jk")]
+        jcol = "_jk"
+    else:
+        dim_side = dim.select(F.col(dim_key).alias("_dim_key"))
+        extra = []
+        jcol = "ref_key"
+    dim_keys = maybe_broadcast(dim_side.dropDuplicates(), broadcast)
 
     if keep_columns:
-        slim = fact.select(k.alias("ref_key"), *keep_columns)
-        out = slim.join(
-            dim_keys, slim["ref_key"] == dim_keys["_dim_key"], "left_anti"
-        ).orderBy("ref_key")
+        slim = fact.select(k.alias("ref_key"), *extra, *keep_columns)
+        out = (
+            slim.join(dim_keys, slim[jcol] == dim_keys["_dim_key"], "left_anti")
+            .drop("_jk")
+            .orderBy("ref_key")
+        )
         return out.limit(limit) if limit else out
 
-    slim = fact.select(k.alias("ref_key"))
+    slim = fact.select(k.alias("ref_key"), *extra)
     missing = slim.join(
-        dim_keys, slim["ref_key"] == dim_keys["_dim_key"], "left_anti"
+        dim_keys, slim[jcol] == dim_keys["_dim_key"], "left_anti"
     )
     out = (
         missing.groupBy("ref_key")

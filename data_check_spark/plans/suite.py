@@ -111,6 +111,11 @@ class ReferentialCheck:
     # join unhinted for AQE's runtime decision (see
     # operators/refint.maybe_broadcast)
     broadcast: bool | str = "auto"
+    # anti-join on xxhash64(key) surrogates: the dim build side
+    # carries 8 B/key instead of the raw key (~10× higher broadcast
+    # ceiling for url-keyed snapshots) at a 64-bit-collision-bounded
+    # false-negative rate; see operators/refint.referential_violations
+    hash_keys: bool = False
     # retained for API compatibility; the current engine aggregates the
     # fact side to (partition, ref_key) counts before the anti-join,
     # which is cheaper than riding the uniqueness exchange was (the
@@ -664,13 +669,21 @@ class CheckSuite:
                     fd_viols[id(chk)] = viol
                     futs[f"fd_{id(chk)}"] = pool.submit(viol.count)
                 elif isinstance(chk, ReferentialCheck):
-                    from data_check_spark.operators.refint import maybe_broadcast
+                    from data_check_spark.operators.refint import (
+                        hashed_key,
+                        maybe_broadcast,
+                    )
 
                     fk = F.expr(chk.fact_key) if isinstance(chk.fact_key, str) else chk.fact_key()
                     dim = chk.dim(spark)
+                    if chk.hash_keys:
+                        dim_side = dim.filter(
+                            F.col(chk.dim_key).isNotNull()
+                        ).select(F.xxhash64(chk.dim_key).alias("_dk"))
+                    else:
+                        dim_side = dim.select(F.col(chk.dim_key).alias("_dk"))
                     dim_keys = maybe_broadcast(
-                        dim.select(F.col(chk.dim_key).alias("_dk")).dropDuplicates(),
-                        chk.broadcast,
+                        dim_side.dropDuplicates(), chk.broadcast
                     )
                     # aggregate BEFORE the anti-join: the (partition,
                     # ref_key) groupBy collapses via map-side combine
@@ -680,10 +693,15 @@ class CheckSuite:
                     # per-partition verdict both reuse the persisted
                     # result — the fact table is scanned exactly once
                     # per referential check
+                    probe = (
+                        hashed_key(F.col("ref_key"))
+                        if chk.hash_keys
+                        else F.col("ref_key")
+                    )
                     per_key = (
                         df.groupBy(part_s.alias("partition"), fk.alias("ref_key"))
                         .agg(F.count(F.lit(1)).alias("n"))
-                        .join(dim_keys, F.col("ref_key") == F.col("_dk"), "left_anti")
+                        .join(dim_keys, probe == F.col("_dk"), "left_anti")
                         .persist(StorageLevel.MEMORY_AND_DISK)
                     )
                     cached.append(per_key)

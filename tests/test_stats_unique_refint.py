@@ -373,3 +373,53 @@ def test_heavy_hitters_plan_partial_agg_before_window(spark):
     assert "partial_count" in plan, plan      # map-side combine
     assert "Window" in plan, plan
     assert "hashpartitioning(group" in plan, plan  # window keyed by group
+
+
+def test_referential_hashed_matches_exact(spark):
+    """hash_keys=True anti-joins on xxhash64 surrogates; at test scale
+    (no 64-bit collisions) output is identical to the raw-key join,
+    including the NULL edge cases: NULL fact keys are violations on
+    both paths, NULL dim keys match nothing on both paths."""
+    fact = spark.createDataFrame(
+        [("a", 1), ("b", 2), (None, 3), ("zz", 4), ("zz", 5)],
+        "k string, v int",
+    )
+    dim = spark.createDataFrame([("a",), ("b",), (None,)], "dk string")
+
+    key = lambda t: (t[0] is not None, t)  # noqa: E731 — None-safe sort
+    for bc in (True, False):
+        exact = sorted(
+            map(tuple, referential_violations(fact, "k", dim, "dk", broadcast=bc).collect()),
+            key=key,
+        )
+        hashed = sorted(
+            map(tuple, referential_violations(
+                fact, "k", dim, "dk", broadcast=bc, hash_keys=True).collect()),
+            key=key,
+        )
+        assert exact == hashed == [(None, 1), ("zz", 2)]
+
+    rows_h = referential_violations(
+        fact, "k", dim, "dk", keep_columns=["v"], hash_keys=True
+    )
+    assert rows_h.columns == ["ref_key", "v"]  # surrogate column dropped
+    assert sorted(map(tuple, rows_h.collect()), key=key) == sorted(
+        map(tuple, referential_violations(
+            fact, "k", dim, "dk", keep_columns=["v"]).collect()),
+        key=key,
+    )
+
+
+def test_referential_hashed_dim_build_is_8_bytes(spark):
+    """The hashed path's dim build side is the 8-byte surrogate, not
+    the raw key: the broadcast build scans only a bigint column."""
+    dim = spark.range(1000).select(
+        F.concat(F.lit("https://example.com/page/"), F.col("id")).alias("dk")
+    )
+    fact = spark.range(1000, 1010).select(
+        F.concat(F.lit("https://example.com/page/"), F.col("id")).alias("k")
+    )
+    out = referential_violations(fact, "k", dim, "dk", hash_keys=True, broadcast=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert out.count() == 10

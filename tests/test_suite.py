@@ -839,3 +839,25 @@ def test_schema_check(spark, pages, tmp_path):
     ).run_resumable(spark, pages, "warc_day", man)
     assert res2.verdicts.filter("check = 'schema'").count() == 4
 
+
+def test_referential_check_hashed_matches_exact(spark, pages, suite):
+    """ReferentialCheck(hash_keys=True) produces byte-identical
+    verdicts and violation rows to the raw-key anti-join (no 64-bit
+    collisions at test scale; xxhash64 is fixed-seed)."""
+    import dataclasses
+
+    from data_check_spark.plans.suite import ReferentialCheck
+
+    hashed = CheckSuite([
+        dataclasses.replace(c, hash_keys=True)
+        if isinstance(c, ReferentialCheck) else c
+        for c in suite.checks
+    ])
+    r1 = suite.run(spark, pages, "warc_day")
+    r2 = hashed.run(spark, pages, "warc_day")
+    assert sorted(map(tuple, r1.verdicts.collect())) == \
+        sorted(map(tuple, r2.verdicts.collect()))
+    v1 = sorted(map(tuple, r1.violations["refint:domain_in_snapshot"].collect()))
+    v2 = sorted(map(tuple, r2.violations["refint:domain_in_snapshot"].collect()))
+    assert v1 == v2 and len(v1) > 0
+    r1.unpersist(); r2.unpersist()
