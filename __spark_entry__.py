@@ -937,6 +937,43 @@ def _q_suite_verdicts(spark, sf_dir):
     return suite.run(spark, d, "source").verdicts
 
 
+def _q_suite_drift_profile(spark, sf_dir):
+    """Profile-based drift (plans/suite.py run(reference_profile=)):
+    the reference side is a STORED (kind, key, freq) profile — at
+    100 TB the previously-validated version is never rescanned. Here
+    the profile of the odd-doc_id half stands in for that stored
+    baseline; the even half drifts against it. GENUINE oracle: DuckDB
+    recomputes both distributions from the raw rows and the PSI
+    verdicts must agree to 6 dp — proving the stored profile carries
+    exactly what a reference scan would have."""
+    from data_check_spark.plans.suite import (
+        CategoricalDriftCheck,
+        CheckSuite,
+        NumericDriftCheck,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    suite = CheckSuite(
+        [
+            CategoricalDriftCheck(column="lang", max_psi=0.01),
+            NumericDriftCheck(
+                name="n_chars_hist",
+                expr=lambda: F.col("n_chars"),
+                lo=0.0,
+                hi=600.0,
+                n_buckets=20,
+                max_psi=0.01,
+            ),
+        ]
+    )
+    prof = suite.drift_profile_of(d.filter(F.col("doc_id") % 2 == 1))
+    res = suite.run(
+        spark, d.filter(F.col("doc_id") % 2 == 0), "source",
+        reference_profile=prof,
+    )
+    return res.verdicts
+
+
 def _q_suite_fingerprint(spark, sf_dir):
     """FingerprintCheck through the FUSED suite path: the lineage
     lanes ride the stats pass's groupBy(partition) (zero extra
@@ -1378,6 +1415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_stats": _q_approx_stats,
         "hll_distinct": _q_hll_distinct,
         "suite_schema_verdicts": _q_suite_schema,
+        "suite_drift_profile": _q_suite_drift_profile,
         "schema_diff": _q_schema_diff,
         "minhash_pairs": _q_minhash,
         "suite_verdicts": _q_suite_verdicts,
@@ -1918,6 +1956,27 @@ SELECT count(*) AS n_docs,
        TRUE AS hll_text_within_5pct,
        TRUE AS p50_within_1pct
 FROM documents""",
+        "suite_drift_profile": f"""
+WITH f1 AS (SELECT lang AS k, count(*) * 1.0 / (SELECT count(*) FROM documents WHERE doc_id % 2 = 0) AS p
+            FROM documents WHERE doc_id % 2 = 0 GROUP BY lang),
+     f2 AS (SELECT lang AS k, count(*) * 1.0 / (SELECT count(*) FROM documents WHERE doc_id % 2 = 1) AS q
+            FROM documents WHERE doc_id % 2 = 1 GROUP BY lang),
+     jc AS (SELECT coalesce(p, {eps}) AS p, coalesce(q, {eps}) AS q
+            FROM f1 FULL OUTER JOIN f2 USING (k)),
+     h1 AS (SELECT greatest(0, least(19, CAST(floor(n_chars / 30.0) AS INT))) AS b, count(*) AS n
+            FROM documents WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL GROUP BY 1),
+     h2 AS (SELECT greatest(0, least(19, CAST(floor(n_chars / 30.0) AS INT))) AS b, count(*) AS n
+            FROM documents WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL GROUP BY 1),
+     g1 AS (SELECT b, n * 1.0 / (SELECT sum(n) FROM h1) AS p FROM h1),
+     g2 AS (SELECT b, n * 1.0 / (SELECT sum(n) FROM h2) AS q FROM h2),
+     jn AS (SELECT coalesce(p, {eps}) AS p, coalesce(q, {eps}) AS q
+            FROM g1 FULL OUTER JOIN g2 USING (b)),
+     pc AS (SELECT round(sum((p - q) * ln(p / q)), 6) AS psi FROM jc),
+     pn AS (SELECT round(sum((p - q) * ln(p / q)), 6) AS psi FROM jn)
+SELECT '*' AS "partition", 'lang' AS "column", 'psi_categorical' AS "check",
+       psi AS metric, 0.01 AS threshold, psi <= 0.01 AS passed FROM pc
+UNION ALL
+SELECT '*', 'n_chars_hist', 'psi_numeric', psi, 0.01, psi <= 0.01 FROM pn""",
         "suite_schema_verdicts": """
 WITH cols AS (
   SELECT column_name AS name,

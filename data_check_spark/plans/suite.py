@@ -348,6 +348,11 @@ class SuiteResult:
     cached: list[DataFrame] = field(default_factory=list)
     # per-partition (n_rows, fp_lo, fp_hi) when a FingerprintCheck ran
     fingerprints: DataFrame | None = None
+    # (kind, key, freq) rows of THIS table's fused drift profile, when
+    # fused drift checks ran — tiny (|categories| + |buckets| rows) and
+    # persistable, so the NEXT version can drift against this run
+    # without rescanning this table (see run(reference_profile=...))
+    drift_profile: DataFrame | None = None
 
     def passed(self) -> bool:
         return self.verdicts.filter(~F.col("passed")).isEmpty()
@@ -364,6 +369,30 @@ class SuiteResult:
 class CheckSuite:
     checks: list = field(default_factory=list)
 
+    def drift_profile_of(self, df: DataFrame) -> DataFrame:
+        """(kind, key, freq) profile of ``df`` under this suite's
+        fused drift checks — the bootstrap for profile-based drift:
+        the FIRST version of a table has nothing to drift against, so
+        build+persist its profile with this, then validate every later
+        version with ``run(reference_profile=...)`` / let
+        ``run_resumable`` persist each version's own profile
+        automatically. Bucket specs mirror run()'s fused assembly
+        (kinds keyed by check name, zero buckets absent)."""
+        from data_check_spark.operators.drift import drift_profile
+
+        cats = {
+            c.column: F.col(c.column)
+            for c in self.checks
+            if isinstance(c, CategoricalDriftCheck) and c.reference is None
+        }
+        nums = {
+            c.name: (c.expr(), c.lo, c.hi, c.n_buckets)
+            for c in self.checks
+            if isinstance(c, (NumericDriftCheck, KSDriftCheck))
+            and c.reference is None
+        }
+        return drift_profile(df, cats, nums).select("kind", "key", "freq")
+
     def run(
         self,
         spark: SparkSession,
@@ -371,7 +400,18 @@ class CheckSuite:
         partition_col: Column | str,
         reference_df: DataFrame | None = None,
         run_id: str | None = None,
+        reference_profile: DataFrame | None = None,
     ) -> SuiteResult:
+        """``reference_profile``: (kind, key, freq) rows — a prior
+        run's ``SuiteResult.drift_profile`` (typically read back from
+        ``{audit_path}/drift_profiles``) standing in for
+        ``reference_df`` on the fused drift checks. The reference
+        VERSION is then never rescanned: at 100 TB, drift vs the
+        previously-validated version costs one scan of the new data
+        plus a metadata-sized audit read. Kinds must have been built
+        with the same columns/bucket specs (they're keyed by check
+        name; a missing kind fails the verdict closed via the EPS
+        floor on every bucket)."""
         run_id = run_id or uuid.uuid4().hex[:12]
         import math
         from concurrent.futures import ThreadPoolExecutor
@@ -383,6 +423,7 @@ class CheckSuite:
         verdict_frames: list[DataFrame] = []
         violations: dict[str, DataFrame] = {}
         cached: list[DataFrame] = []
+        drift_profile_df: DataFrame | None = None
         # computed once, shared by uniqueness/refint verdict joins —
         # otherwise each check re-scans the table for the partition list
         all_parts: DataFrame | None = None
@@ -413,13 +454,19 @@ class CheckSuite:
                 fused_num.append(chk)
             elif isinstance(chk, KSDriftCheck) and chk.reference is None:
                 fused_ks.append(chk)
-        if (fused_cat or fused_num or fused_ks) and reference_df is None:
+        if (
+            (fused_cat or fused_num or fused_ks)
+            and reference_df is None
+            and reference_profile is None
+        ):
             names = (
                 [c.column for c in fused_cat]
                 + [c.name for c in fused_num]
                 + [c.name for c in fused_ks]
             )
-            raise ValueError(f"drift checks {names}: no reference table")
+            raise ValueError(
+                f"drift checks {names}: no reference table or profile"
+            )
 
         stats_checks = [c for c in self.checks if isinstance(c, StatsCheck)]
         fused_stats: StatsCheck | None = stats_checks[0] if stats_checks else None
@@ -584,9 +631,19 @@ class CheckSuite:
                     futs["prof_df"] = pool.submit(
                         lambda: drift_profile(df, cats, nums).collect()
                     )
-                futs["prof_ref"] = pool.submit(
-                    lambda: drift_profile(reference_df, cats, nums).collect()
-                )
+                if reference_profile is not None:
+                    # stored profile stands in for the reference scan:
+                    # reading |categories|+|buckets| audit rows, not
+                    # the reference version's 100 TB
+                    futs["prof_ref"] = pool.submit(
+                        lambda: reference_profile.select(
+                            "kind", "key", "freq"
+                        ).collect()
+                    )
+                else:
+                    futs["prof_ref"] = pool.submit(
+                        lambda: drift_profile(reference_df, cats, nums).collect()
+                    )
 
             for chk in self.checks:
                 if isinstance(chk, UniquenessCheck):
@@ -789,6 +846,15 @@ class CheckSuite:
                             prof1[(name, str(pos))] = cnt / total
                 for r in (futs["prof_df"].result() if "prof_df" in futs else []):
                     prof1[(r["kind"], r["key"])] = r["freq"]
+                # THIS table's profile, exposed for persistence: the
+                # next version drifts against these rows instead of
+                # rescanning this table (run(reference_profile=...))
+                drift_profile_df = spark.createDataFrame(
+                    [(kd, ky, float(fq)) for (kd, ky), fq in sorted(
+                        prof1.items(), key=lambda t: (t[0][0], t[0][1] or "")
+                    )],
+                    "kind string, key string, freq double",
+                )
                 prof2 = {
                     (r["kind"], r["key"]): r["freq"]
                     for r in futs["prof_ref"].result()
@@ -1173,6 +1239,7 @@ class CheckSuite:
             violations,
             cached,
             fingerprints=fingerprints,
+            drift_profile=drift_profile_df,
         )
 
     def run_resumable(
@@ -1184,12 +1251,19 @@ class CheckSuite:
         audit_path: str | None = None,
         reference_df: DataFrame | None = None,
         run_id: str | None = None,
+        reference_profile: DataFrame | None = None,
     ) -> SuiteResult | None:
         """Resume-aware run: completed partitions (per the manifest)
         are excluded with an isin-filter that Spark pushes down to the
         scan; verdicts land in the audit table; each processed
         partition is then marked complete with its verdict metrics as
-        lineage. Returns None when nothing is pending."""
+        lineage. Returns None when nothing is pending.
+
+        When fused drift checks ran and ``audit_path`` is set, this
+        table's own drift profile (tiny (kind, key, freq) rows) is
+        appended to ``{audit_path}/drift_profiles`` — the next
+        version's run passes it back via ``reference_profile`` (see
+        ``drift_profile_from_audit``) and never rescans this one."""
         run_id = run_id or uuid.uuid4().hex[:12]
         part_s = F.col(partition_col).cast("string")
         all_parts = [r[0] for r in df.select(part_s).distinct().collect()]
@@ -1211,19 +1285,38 @@ class CheckSuite:
         drift_checks = [c for c in self.checks if isinstance(c, _GLOBAL)]
         scoped_checks = [c for c in self.checks if not isinstance(c, _GLOBAL)]
         result = CheckSuite(scoped_checks or drift_checks).run(
-            spark, scoped if scoped_checks else df, partition_col, reference_df, run_id
+            spark,
+            scoped if scoped_checks else df,
+            partition_col,
+            reference_df,
+            run_id,
+            reference_profile=reference_profile,
         )
         if scoped_checks and drift_checks:
-            dres = CheckSuite(drift_checks).run(spark, df, partition_col, reference_df, run_id)
+            dres = CheckSuite(drift_checks).run(
+                spark, df, partition_col, reference_df, run_id,
+                reference_profile=reference_profile,
+            )
             result.verdicts = result.verdicts.unionByName(dres.verdicts)
             result.violations.update(dres.violations)
             result.cached.extend(dres.cached)
+            result.drift_profile = dres.drift_profile
         verdicts = result.verdicts.cache()
         result.cached.append(verdicts)  # released by SuiteResult.unpersist()
         result.verdicts = verdicts
         verdicts.count()
         if audit_path:
             write_audit(verdicts, f"{audit_path}/verdicts", run_id, "verdict")
+            if result.drift_profile is not None:
+                # |categories| + |buckets| rows: the stored baseline
+                # the NEXT version drifts against without rescanning
+                # this one (drift_profile_from_audit)
+                write_audit(
+                    result.drift_profile,
+                    f"{audit_path}/drift_profiles",
+                    run_id,
+                    "drift_profile",
+                )
             for name, viol in result.violations.items():
                 # one subdirectory per violation kind: the kinds have
                 # different schemas (unique→key_value, refint→ref_key)
@@ -1262,3 +1355,18 @@ class CheckSuite:
         for p in pending:
             manifest.mark_complete(p, run_id, summary.get(str(p), summary.get("*", {})))
         return result
+
+
+def drift_profile_from_audit(
+    spark: SparkSession, path: str, run_id: str | None = None
+) -> DataFrame:
+    """Read a stored drift profile back from ``{audit_path}/
+    drift_profiles`` for use as ``run(reference_profile=...)``.
+    ``run_id`` selects a specific validated run; default is the most
+    recent append. Metadata-sized read: |categories| + |buckets| rows
+    per run — drift vs the previously-validated 100 TB version never
+    touches that version's data again."""
+    prof = spark.read.parquet(path)
+    if run_id is None:
+        run_id = prof.orderBy(F.desc("audit_ts")).select("run_id").first()["run_id"]
+    return prof.filter(F.col("run_id") == run_id).select("kind", "key", "freq")

@@ -861,3 +861,66 @@ def test_referential_check_hashed_matches_exact(spark, pages, suite):
     v2 = sorted(map(tuple, r2.violations["refint:domain_in_snapshot"].collect()))
     assert v1 == v2 and len(v1) > 0
     r1.unpersist(); r2.unpersist()
+
+def test_drift_profile_reference_matches_table_reference(spark, pages):
+    """run(reference_profile=...) reproduces run(reference_df=...)
+    byte-identically: the stored (kind, key, freq) rows carry exactly
+    the frequencies the fused reference scan would have collected."""
+    from data_check_spark.plans.suite import KSDriftCheck, NumericDriftCheck
+
+    ref = synth_pages_v2(spark, N)
+    s = CheckSuite([
+        StatsCheck(thresholds={"text": {"max_null_rate": 0.05}}),
+        CategoricalDriftCheck(column="lang", max_psi=0.01),
+        NumericDriftCheck(name="text_len", expr=lambda: F.length("text"),
+                          lo=0.0, hi=5000.0, max_psi=0.2),
+        KSDriftCheck(name="text_len_ks", expr=lambda: F.length("text"),
+                     lo=0.0, hi=5000.0, n_buckets=50, max_ks=0.5),
+    ])
+    direct = s.run(spark, pages, "warc_day", reference_df=ref)
+    want = sorted(map(tuple, direct.verdicts.collect()))
+    assert direct.drift_profile is not None  # df-side profile exposed
+    direct.unpersist()
+
+    via_profile = s.run(
+        spark, pages, "warc_day", reference_profile=s.drift_profile_of(ref)
+    )
+    assert sorted(map(tuple, via_profile.verdicts.collect())) == want
+    via_profile.unpersist()
+
+
+def test_drift_profile_audit_roundtrip(spark, pages, tmp_path):
+    """v1's run_resumable persists v1's own profile to the audit;
+    v2's run drifts against the stored rows (no v1 rescan) and gets
+    the same drift verdicts as scanning v1 directly."""
+    from data_check_spark.plans.suite import drift_profile_from_audit
+
+    v1 = synth_pages_v2(spark, N).withColumn("warc_day", F.to_date("warc_ts"))
+    s = CheckSuite([
+        StatsCheck(thresholds={"text": {"max_null_rate": 0.05}}),
+        CategoricalDriftCheck(column="lang", max_psi=0.01),
+    ])
+    audit = str(tmp_path / "audit")
+    r1 = s.run_resumable(
+        spark, v1, "warc_day", Manifest(str(tmp_path / "m1")),
+        audit_path=audit, reference_profile=s.drift_profile_of(v1),
+    )
+    assert r1 is not None
+    # self-drift bootstrap: PSI vs own profile is 0
+    self_psi = r1.verdicts.filter("check = 'psi_categorical'").collect()[0]
+    assert self_psi["metric"] == 0.0 and self_psi["passed"]
+    r1.unpersist()
+
+    stored = drift_profile_from_audit(spark, f"{audit}/drift_profiles")
+    r2 = s.run_resumable(
+        spark, pages, "warc_day", Manifest(str(tmp_path / "m2")),
+        audit_path=audit, reference_profile=stored,
+    )
+    got = {(r["column"], r["metric"], r["passed"])
+           for r in r2.verdicts.filter("check = 'psi_categorical'").collect()}
+    r2.unpersist()
+    direct = s.run(spark, pages, "warc_day", reference_df=v1)
+    want = {(r["column"], r["metric"], r["passed"])
+            for r in direct.verdicts.filter("check = 'psi_categorical'").collect()}
+    direct.unpersist()
+    assert got == want and len(got) == 1
