@@ -84,6 +84,9 @@ HEADLINE = [
     "fd_violations",
     "url_canon",
     "changed_partitions",
+    # round-5-late additions (same comparability note)
+    "refint_hashed",
+    "suite_drift_profile",
 ]
 
 PAGES_N = int(os.environ.get("DCS_BENCH_PAGES_N", "500000"))

@@ -112,6 +112,14 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--synthesize", type=int, default=0, help="rows to synthesize")
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--reset", action="store_true", help="clear the manifest")
+    ap.add_argument(
+        "--drift-from-audit",
+        action="store_true",
+        help="drift against the stored profile of the last validated "
+        "run ({out}/audit/drift_profiles) instead of rescanning a "
+        "--reference table; this run's own profile is appended for "
+        "the next version",
+    )
     args = ap.parse_args(argv)
 
     spark = SparkSession.builder.appName("data-check-spark-runner").getOrCreate()
@@ -131,7 +139,23 @@ def main(argv: list[str] | None = None) -> int:
     manifest = Manifest(f"{args.out}/manifest")
     if args.reset:
         manifest.reset()
-    suite = default_pages_suite(with_drift=ref is not None)
+    ref_profile = None
+    if args.drift_from_audit:
+        from data_check_spark.plans.suite import drift_profile_from_audit
+
+        try:
+            ref_profile = drift_profile_from_audit(
+                spark, f"{args.out}/audit/drift_profiles"
+            )
+        except Exception:
+            # first version: nothing stored yet — run without drift
+            # verdicts and bootstrap the profile below
+            ref_profile = None
+    suite = default_pages_suite(
+        with_drift=ref is not None or ref_profile is not None
+    )
+    if "warc_day" not in df.columns:
+        df = df.withColumn("warc_day", F.to_date("warc_ts"))
     result = suite.run_resumable(
         spark,
         df,
@@ -139,17 +163,22 @@ def main(argv: list[str] | None = None) -> int:
         manifest,
         audit_path=f"{args.out}/audit",
         reference_df=ref,
-    ) if "warc_day" in df.columns else suite.run_resumable(
-        spark,
-        df.withColumn("warc_day", F.to_date("warc_ts")),
-        "warc_day",
-        manifest,
-        audit_path=f"{args.out}/audit",
-        reference_df=ref,
+        reference_profile=ref_profile,
     )
     if result is None:
         print("nothing pending — all partitions complete per manifest")
         return 2
+    if args.drift_from_audit and ref_profile is None and ref is None:
+        # version-1 bootstrap: persist this table's profile so the
+        # NEXT version's --drift-from-audit run has a baseline (one
+        # extra profile scan, paid once per table lifetime)
+        from data_check_spark.plans.audit import write_audit
+
+        boot = default_pages_suite(with_drift=True).drift_profile_of(df)
+        write_audit(
+            boot, f"{args.out}/audit/drift_profiles", result.run_id, "drift_profile"
+        )
+        print("bootstrapped drift profile for the next version")
     failed = result.verdicts.filter(~F.col("passed")).count()
     total = result.verdicts.count()
     print(f"run_id={result.run_id} verdicts={total} failed={failed}")
