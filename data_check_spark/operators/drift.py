@@ -191,9 +191,14 @@ def psi_from_profiles(p1: DataFrame, p2: DataFrame, round_to: int = 6) -> DataFr
 def _digest_arrays(digest: DataFrame):
     """Driver readout of a merged t-digest (≤ ~2δ rows, bounded):
     (means, midpoint-cumulative-weights, total, vmin, vmax)."""
+    return _digest_arrays_pdf(digest.toPandas())
+
+
+def _digest_arrays_pdf(pdf):
+    """_digest_arrays over an already-collected pandas frame — lets a
+    caller persist the same ≤ ~2δ rows it reads out (one collect)."""
     import numpy as np
 
-    pdf = digest.toPandas()
     cent = pdf[~pdf["is_edge"]].sort_values("mean")
     if len(cent) == 0:
         return None

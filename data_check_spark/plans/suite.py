@@ -35,6 +35,15 @@ from data_check_spark.plans.manifest import Manifest
 VERDICT_COLS = ["partition", "column", "check", "metric", "threshold", "passed"]
 
 
+def _union_all(frames: list[DataFrame]) -> DataFrame | None:
+    if not frames:
+        return None
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
 @dataclass
 class StatsCheck:
     """Per-column stat thresholds, all computed in one fused pass."""
@@ -353,6 +362,11 @@ class SuiteResult:
     # persistable, so the NEXT version can drift against this run
     # without rescanning this table (see run(reference_profile=...))
     drift_profile: DataFrame | None = None
+    # (kind, mean, weight, vmin, vmax, is_edge) rows of THIS table's
+    # t-digests, when KSDigestDriftChecks ran — ≤ ~2δ rows per check,
+    # the stored-baseline twin of drift_profile for the digest checks
+    # (see run(reference_digest=...))
+    drift_digests: DataFrame | None = None
 
     def passed(self) -> bool:
         return self.verdicts.filter(~F.col("passed")).isEmpty()
@@ -393,6 +407,30 @@ class CheckSuite:
         }
         return drift_profile(df, cats, nums).select("kind", "key", "freq")
 
+    def drift_digest_of(self, df: DataFrame) -> DataFrame | None:
+        """(kind, mean, weight, vmin, vmax, is_edge) t-digest rows of
+        ``df`` under this suite's shared-reference KSDigestDriftChecks
+        — the bootstrap for digest-based drift (see
+        ``drift_profile_of``). None when the suite has no such
+        checks."""
+        from data_check_spark.operators.sketch import (
+            merge_tdigest,
+            partition_tdigest,
+        )
+
+        frames = [
+            merge_tdigest(
+                partition_tdigest(df.select(c.expr().alias("_v")), "_v", c.delta),
+                c.delta,
+            ).select(
+                F.lit(c.name).alias("kind"),
+                "mean", "weight", "vmin", "vmax", "is_edge",
+            )
+            for c in self.checks
+            if isinstance(c, KSDigestDriftCheck) and c.reference is None
+        ]
+        return _union_all(frames)
+
     def run(
         self,
         spark: SparkSession,
@@ -401,6 +439,7 @@ class CheckSuite:
         reference_df: DataFrame | None = None,
         run_id: str | None = None,
         reference_profile: DataFrame | None = None,
+        reference_digest: DataFrame | None = None,
     ) -> SuiteResult:
         """``reference_profile``: (kind, key, freq) rows — a prior
         run's ``SuiteResult.drift_profile`` (typically read back from
@@ -411,7 +450,14 @@ class CheckSuite:
         plus a metadata-sized audit read. Kinds must have been built
         with the same columns/bucket specs (they're keyed by check
         name; a missing kind fails the verdict closed via the EPS
-        floor on every bucket)."""
+        floor on every bucket).
+
+        ``reference_digest``: (kind, mean, weight, vmin, vmax,
+        is_edge) rows — a prior run's ``SuiteResult.drift_digests``
+        standing in for the reference table on KSDigestDriftChecks
+        that use the shared reference (per-check ``reference`` loaders
+        still scan). A kind with no stored rows fails that verdict
+        closed (empty-side NULL semantics)."""
         run_id = run_id or uuid.uuid4().hex[:12]
         import math
         from concurrent.futures import ThreadPoolExecutor
@@ -424,6 +470,7 @@ class CheckSuite:
         violations: dict[str, DataFrame] = {}
         cached: list[DataFrame] = []
         drift_profile_df: DataFrame | None = None
+        digest_frames: list[DataFrame] = []
         # computed once, shared by uniqueness/refint verdict joins —
         # otherwise each check re-scans the table for the partition list
         all_parts: DataFrame | None = None
@@ -1120,17 +1167,54 @@ class CheckSuite:
 
             elif isinstance(chk, KSDigestDriftCheck):
                 from data_check_spark.operators.drift import (
-                    build_digest_arrays,
+                    _digest_arrays,
+                    _digest_arrays_pdf,
                     ks_from_digest_arrays,
                     psi_from_digest_arrays,
                 )
+                from data_check_spark.operators.sketch import (
+                    merge_tdigest,
+                    partition_tdigest,
+                )
 
-                ref = chk.reference(spark) if chk.reference else reference_df
-                if ref is None:
-                    raise ValueError(f"drift check {chk.name}: no reference table")
+                def _one_digest_pdf(side: DataFrame):
+                    return merge_tdigest(
+                        partition_tdigest(
+                            side.select(chk.expr().alias("_v")), "_v", chk.delta
+                        ),
+                        chk.delta,
+                    ).toPandas()
+
+                # df-side digest: ONE collect serves the readout AND
+                # the persistable drift_digests rows
+                df_pdf = _one_digest_pdf(df)
+                a_df = _digest_arrays_pdf(df_pdf)
+                if len(df_pdf):
+                    digest_frames.append(
+                        spark.createDataFrame(
+                            df_pdf.assign(kind=chk.name)[
+                                ["kind", "mean", "weight", "vmin", "vmax", "is_edge"]
+                            ]
+                        )
+                    )
+                if reference_digest is not None and chk.reference is None:
+                    # stored baseline: ≤ ~2δ audit rows, the reference
+                    # version is never rescanned; a missing kind reads
+                    # as an empty digest → NULL stat → fails closed
+                    a_ref = _digest_arrays(
+                        reference_digest.filter(
+                            F.col("kind") == chk.name
+                        ).drop("kind")
+                    )
+                else:
+                    ref = chk.reference(spark) if chk.reference else reference_df
+                    if ref is None:
+                        raise ValueError(
+                            f"drift check {chk.name}: no reference table or digest"
+                        )
+                    a_ref = _digest_arrays_pdf(_one_digest_pdf(ref))
                 # ONE digest pair feeds both statistics (ref side first:
                 # PSI buckets are reference-equiprobable)
-                a_ref, a_df = build_digest_arrays(ref, df, chk.expr(), chk.delta)
                 ks = ks_from_digest_arrays(a_ref, a_df)
                 # fail-closed: a NULL stat (an empty side) fails
                 rows = [
@@ -1240,6 +1324,7 @@ class CheckSuite:
             cached,
             fingerprints=fingerprints,
             drift_profile=drift_profile_df,
+            drift_digests=_union_all(digest_frames),
         )
 
     def run_resumable(
@@ -1252,6 +1337,7 @@ class CheckSuite:
         reference_df: DataFrame | None = None,
         run_id: str | None = None,
         reference_profile: DataFrame | None = None,
+        reference_digest: DataFrame | None = None,
     ) -> SuiteResult | None:
         """Resume-aware run: completed partitions (per the manifest)
         are excluded with an isin-filter that Spark pushes down to the
@@ -1291,16 +1377,19 @@ class CheckSuite:
             reference_df,
             run_id,
             reference_profile=reference_profile,
+            reference_digest=reference_digest,
         )
         if scoped_checks and drift_checks:
             dres = CheckSuite(drift_checks).run(
                 spark, df, partition_col, reference_df, run_id,
                 reference_profile=reference_profile,
+                reference_digest=reference_digest,
             )
             result.verdicts = result.verdicts.unionByName(dres.verdicts)
             result.violations.update(dres.violations)
             result.cached.extend(dres.cached)
             result.drift_profile = dres.drift_profile
+            result.drift_digests = dres.drift_digests
         verdicts = result.verdicts.cache()
         result.cached.append(verdicts)  # released by SuiteResult.unpersist()
         result.verdicts = verdicts
@@ -1316,6 +1405,15 @@ class CheckSuite:
                     f"{audit_path}/drift_profiles",
                     run_id,
                     "drift_profile",
+                )
+            if result.drift_digests is not None:
+                # ≤ ~2δ rows per digest check: same stored-baseline
+                # contract for the t-digest drift checks
+                write_audit(
+                    result.drift_digests,
+                    f"{audit_path}/drift_digests",
+                    run_id,
+                    "drift_digest",
                 )
             for name, viol in result.violations.items():
                 # one subdirectory per violation kind: the kinds have
@@ -1370,3 +1468,18 @@ def drift_profile_from_audit(
     if run_id is None:
         run_id = prof.orderBy(F.desc("audit_ts")).select("run_id").first()["run_id"]
     return prof.filter(F.col("run_id") == run_id).select("kind", "key", "freq")
+
+
+def drift_digest_from_audit(
+    spark: SparkSession, path: str, run_id: str | None = None
+) -> DataFrame:
+    """Read stored t-digest rows back from ``{audit_path}/
+    drift_digests`` for ``run(reference_digest=...)`` — the digest
+    twin of ``drift_profile_from_audit`` (≤ ~2δ rows per check kind;
+    the previously-validated version is never rescanned)."""
+    dig = spark.read.parquet(path)
+    if run_id is None:
+        run_id = dig.orderBy(F.desc("audit_ts")).select("run_id").first()["run_id"]
+    return dig.filter(F.col("run_id") == run_id).select(
+        "kind", "mean", "weight", "vmin", "vmax", "is_edge"
+    )

@@ -924,3 +924,51 @@ def test_drift_profile_audit_roundtrip(spark, pages, tmp_path):
             for r in direct.verdicts.filter("check = 'psi_categorical'").collect()}
     direct.unpersist()
     assert got == want and len(got) == 1
+
+def test_digest_drift_stored_reference_matches_table(spark, pages, tmp_path):
+    """KSDigestDriftCheck against stored digest rows reproduces the
+    table-reference verdicts exactly (the digest IS deterministic for
+    a fixed input + partitioning), and the audit round-trip works:
+    v1's run_resumable persists its digests, v2 reads them back."""
+    from data_check_spark.plans.suite import (
+        KSDigestDriftCheck,
+        drift_digest_from_audit,
+    )
+
+    ref = synth_pages_v2(spark, N).withColumn("warc_day", F.to_date("warc_ts"))
+    s = CheckSuite([
+        StatsCheck(thresholds={"text": {"max_null_rate": 0.05}}),
+        KSDigestDriftCheck(name="text_len_dig", expr=lambda: F.length("text"),
+                           max_ks=0.5, max_psi=0.5),
+    ])
+    direct = s.run(spark, pages, "warc_day", reference_df=ref)
+    want = sorted(map(tuple, direct.verdicts.filter(
+        "check in ('ks_digest', 'psi_digest')").collect()))
+    assert direct.drift_digests is not None
+    assert {r["kind"] for r in direct.drift_digests.select("kind").distinct().collect()} \
+        == {"text_len_dig"}
+    direct.unpersist()
+
+    # v1 = ref validated resumably with a self-digest → digests persisted
+    audit = str(tmp_path / "audit")
+    r1 = s.run_resumable(
+        spark, ref, "warc_day", Manifest(str(tmp_path / "m1")),
+        audit_path=audit, reference_digest=s.drift_digest_of(ref),
+    )
+    self_ks = r1.verdicts.filter("check = 'ks_digest'").collect()[0]
+    assert self_ks["metric"] == 0.0 and self_ks["passed"]
+    r1.unpersist()
+
+    stored = drift_digest_from_audit(spark, f"{audit}/drift_digests")
+    r2 = s.run(spark, pages, "warc_day", reference_digest=stored)
+    got = sorted(map(tuple, r2.verdicts.filter(
+        "check in ('ks_digest', 'psi_digest')").collect()))
+    r2.unpersist()
+    assert got == want
+
+    # a kind with no stored rows fails closed (NULL stat)
+    empty = stored.filter("kind = 'nope'")
+    r3 = s.run(spark, pages, "warc_day", reference_digest=empty)
+    ks_row = r3.verdicts.filter("check = 'ks_digest'").collect()[0]
+    assert ks_row["metric"] is None and not ks_row["passed"]
+    r3.unpersist()
