@@ -107,6 +107,23 @@ def reference_freqs_from(ref_df: DataFrame, col: str = "lang") -> dict:
     }
 
 
+def reference_freqs_from_profile(profile: DataFrame, kind: str) -> dict:
+    """Derive the same static distribution from STORED drift-profile
+    rows ((kind, key, freq) — a ``SuiteResult.drift_profile`` or
+    ``drift_profile_from_audit`` read-back) instead of rescanning the
+    reference snapshot: batch, streaming and stored baselines become
+    fully interchangeable. The profile's categorical NULL bucket is a
+    SQL NULL key (cast preserves NULL), so it collects back as the
+    Python ``None`` key streaming_psi_verdicts expects — identical to
+    reference_freqs_from."""
+    return {
+        r["key"]: r["freq"]
+        for r in profile.filter(F.col("kind") == kind)
+        .select("key", "freq")
+        .collect()
+    }
+
+
 def streaming_psi_verdicts(
     pages: DataFrame,
     reference_freqs: dict,

@@ -441,3 +441,26 @@ def test_session_window_agrees_with_batch_labeler(spark):
         .collect()
     )
     assert via_window == via_labels
+
+
+def test_streaming_psi_from_stored_profile_matches_table(spark, pages_dir):
+    """reference_freqs_from_profile over stored (kind, key, freq) rows
+    yields the same dict as reference_freqs_from over the snapshot —
+    NULL bucket included — so streaming PSI can run against the audit
+    table's persisted baseline without rescanning the reference."""
+    from data_check_spark.plans.suite import CategoricalDriftCheck, CheckSuite
+    from data_check_spark.sources.synth import synth_pages_v2
+    from data_check_spark.streaming.checks import (
+        reference_freqs_from,
+        reference_freqs_from_profile,
+    )
+
+    ref_df = synth_pages_v2(spark, N)
+    suite = CheckSuite([CategoricalDriftCheck(column="lang", max_psi=0.2)])
+    prof = suite.drift_profile_of(ref_df)
+    got = reference_freqs_from_profile(prof, "lang")
+    want = reference_freqs_from(ref_df, "lang")
+    assert None in got
+    assert got.keys() == want.keys()
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v, abs=1e-12)
