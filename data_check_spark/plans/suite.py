@@ -1415,6 +1415,19 @@ class CheckSuite:
                     run_id,
                     "drift_digest",
                 )
+            # |columns| rows of schema lineage, unconditionally: the
+            # next version gates schema drift against the last
+            # validated run via SchemaCheck(expected=
+            # schema_from_audit(...), exact=True) — free (df.schema)
+            write_audit(
+                spark.createDataFrame(
+                    [(f.name, f.dataType.simpleString()) for f in df.schema.fields],
+                    "column string, dtype string",
+                ),
+                f"{audit_path}/schemas",
+                run_id,
+                "schema",
+            )
             for name, viol in result.violations.items():
                 # one subdirectory per violation kind: the kinds have
                 # different schemas (unique→key_value, refint→ref_key)
@@ -1468,6 +1481,22 @@ def drift_profile_from_audit(
     if run_id is None:
         run_id = prof.orderBy(F.desc("audit_ts")).select("run_id").first()["run_id"]
     return prof.filter(F.col("run_id") == run_id).select("kind", "key", "freq")
+
+
+def schema_from_audit(
+    spark: SparkSession, path: str, run_id: str | None = None
+) -> dict[str, str]:
+    """Read a stored schema back from ``{audit_path}/schemas`` as a
+    ``SchemaCheck.expected`` mapping — with ``exact=True`` this gates
+    schema DRIFT between table versions (new/dropped/retyped columns)
+    against the last validated run, no old table needed."""
+    sch = spark.read.parquet(path)
+    if run_id is None:
+        run_id = sch.orderBy(F.desc("audit_ts")).select("run_id").first()["run_id"]
+    return {
+        r["column"]: r["dtype"]
+        for r in sch.filter(F.col("run_id") == run_id).collect()
+    }
 
 
 def drift_digest_from_audit(

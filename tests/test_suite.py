@@ -972,3 +972,37 @@ def test_digest_drift_stored_reference_matches_table(spark, pages, tmp_path):
     ks_row = r3.verdicts.filter("check = 'ks_digest'").collect()[0]
     assert ks_row["metric"] is None and not ks_row["passed"]
     r3.unpersist()
+
+def test_schema_drift_vs_stored_schema(spark, pages, tmp_path):
+    """Every run_resumable persists the table schema; the next
+    version's SchemaCheck(expected=schema_from_audit, exact=True)
+    flags retyped, dropped and new columns — schema drift across
+    versions with no old table in reach."""
+    from data_check_spark.plans.suite import SchemaCheck, schema_from_audit
+
+    audit = str(tmp_path / "audit")
+    r1 = CheckSuite([UniquenessCheck(key="url", max_duplicate_keys=10**9)]) \
+        .run_resumable(spark, pages, "warc_day", Manifest(str(tmp_path / "m1")),
+                       audit_path=audit)
+    r1.unpersist()
+    stored = schema_from_audit(spark, f"{audit}/schemas")
+    assert stored["url"] == "string" and stored["warc_ts"] == "timestamp"
+
+    # v2: text retyped, html dropped, extra added
+    v2 = pages.withColumn("text", F.length("text")) \
+        .drop("html").withColumn("extra", F.lit(1))
+    res = CheckSuite([SchemaCheck(expected=stored, exact=True)]).run(
+        spark, v2, "warc_day"
+    )
+    v = {r["column"]: r["check"] for r in
+         res.verdicts.filter("not passed").collect()}
+    assert v["text"] == "schema"            # type drift
+    assert v["html"] == "schema_missing"    # dropped
+    assert v["extra"] == "schema_unexpected"  # new column
+    assert not res.passed()
+
+    # unchanged schema passes exactly
+    ok = CheckSuite([SchemaCheck(expected=stored, exact=True)]).run(
+        spark, pages, "warc_day"
+    )
+    assert ok.passed()
