@@ -120,6 +120,14 @@ def main(argv: list[str] | None = None) -> int:
         "--reference table; this run's own profile is appended for "
         "the next version",
     )
+    ap.add_argument(
+        "--schema-from-audit",
+        action="store_true",
+        help="fail fast on schema drift vs the last validated run's "
+        "stored schema ({out}/audit/schemas; exact — new, dropped and "
+        "retyped columns all fail); every audited run appends its own "
+        "schema, so the first run bootstraps automatically",
+    )
     args = ap.parse_args(argv)
 
     spark = SparkSession.builder.appName("data-check-spark-runner").getOrCreate()
@@ -154,6 +162,16 @@ def main(argv: list[str] | None = None) -> int:
     suite = default_pages_suite(
         with_drift=ref is not None or ref_profile is not None
     )
+    if args.schema_from_audit:
+        from data_check_spark.plans.suite import SchemaCheck, schema_from_audit
+
+        try:
+            expected = schema_from_audit(spark, f"{args.out}/audit/schemas")
+            suite = CheckSuite(
+                [SchemaCheck(expected=expected, exact=True)] + suite.checks
+            )
+        except Exception:
+            print("no stored schema yet — this run bootstraps it")
     if "warc_day" not in df.columns:
         df = df.withColumn("warc_day", F.to_date("warc_ts"))
     result = suite.run_resumable(
