@@ -974,6 +974,49 @@ def _q_suite_drift_profile(spark, sf_dir):
     return res.verdicts
 
 
+def _q_minhash_incremental(spark, sf_dir):
+    """Incremental MinHash dedup against a STORED signature corpus
+    (operators/dedup.py minhash_signatures / minhash_pairs_against):
+    the validated half is reduced to (id, sig) rows — never re-read —
+    and planted copies in the 'new' half must each surface against
+    their stored source with est_jaccard exactly 1.0 (identical text
+    ⇒ identical fixed-seed signature). Structural contract in the
+    simhash/lsh_topk style: DuckDB re-derives n_planted from raw rows
+    and the coverage booleans are TRUE by construction."""
+    from data_check_spark.operators.dedup import (
+        minhash_pairs_against,
+        minhash_signatures,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    _assert_id_headroom(d, "doc_id", 100000)
+    old = d.filter(F.col("doc_id") % 2 == 1)
+    stored = minhash_signatures(old)
+    # planted copies: odd docs ≡ 5 (mod 10) with ≥3 tokens (the
+    # signature pre-filter), shifted into headroom
+    shingleable = F.col("text").isNotNull() & F.col("text").rlike(r"(\S+\s+){2}\S")
+    planted = old.filter((F.col("doc_id") % 10 == 5) & shingleable).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    new = (
+        d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+        .unionByName(planted)
+    )
+    pairs = minhash_pairs_against(new, stored, est_threshold=0.9)
+    hits = pairs.filter(
+        (F.col("id_new") - 100000 == F.col("id_stored"))
+        & (F.col("est_jaccard") == 1.0)
+    )
+    return (
+        planted.select(F.count(F.lit(1)).alias("n_planted"))
+        .crossJoin(hits.select(F.count(F.lit(1)).alias("_nh")))
+        .select(
+            "n_planted",
+            (F.col("_nh") >= F.col("n_planted")).alias("planted_all_found"),
+        )
+    )
+
+
 def _q_suite_fingerprint(spark, sf_dir):
     """FingerprintCheck through the FUSED suite path: the lineage
     lanes ride the stats pass's groupBy(partition) (zero extra
@@ -1418,6 +1461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suite_drift_profile": _q_suite_drift_profile,
         "schema_diff": _q_schema_diff,
         "minhash_pairs": _q_minhash,
+        "minhash_incremental": _q_minhash_incremental,
         "suite_verdicts": _q_suite_verdicts,
         "suite_compare_verdicts": _q_suite_compare,
         "suite_expr_verdicts": _q_suite_expr,
@@ -1911,6 +1955,11 @@ SELECT '*', "column", 'ratio_equal', ratio_equal, 0.95,
         # scripts/exp_lsh_oracle.py — deterministic signatures), so the
         # banded-LSH candidate generation + exact-Jaccard verification
         # must reproduce the exact all-pairs answer bit-for-bit.
+        "minhash_incremental": r"""
+SELECT count(*) AS n_planted, TRUE AS planted_all_found
+FROM documents
+WHERE doc_id % 2 = 1 AND doc_id % 10 = 5
+  AND text IS NOT NULL AND regexp_matches(text, '(\S+\s+){2}\S')""",
         "minhash_pairs": r"""
 WITH docs AS (
   SELECT * FROM documents

@@ -87,6 +87,7 @@ HEADLINE = [
     # round-5-late additions (same comparability note)
     "refint_hashed",
     "suite_drift_profile",
+    "minhash_incremental",
 ]
 
 PAGES_N = int(os.environ.get("DCS_BENCH_PAGES_N", "500000"))

@@ -535,3 +535,129 @@ def contamination_check(
             F.count(F.lit(1)).alias("n_ngrams"),
         )
     )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    num_hashes: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """Persistable per-doc MinHash signatures: (id, sig array<bigint>).
+
+    The signature store is the INCREMENTAL-dedup baseline: ~8·k bytes
+    per doc (256 B at k=32) vs the KBs of text it summarizes, so a
+    validated 100 TB corpus reduces to a ~2 TB signature table that
+    new crawl increments dedup against WITHOUT re-shingling the old
+    text (minhash_pairs_against). Same signature math as
+    minhash_lsh_pairs — one xxhash64 shingle pass, affine
+    permutations — so signatures computed by either path agree
+    bit-for-bit (fixed seed).
+
+    Docs with < shingle_k tokens (or NULL text) have no shingles and
+    are omitted, matching minhash_lsh_pairs' pre-filter."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    has_k_tokens = F.col("_txt").rlike(r"(\S+\s+){%d}\S" % (shingle_k - 1))
+    slim = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt"))
+        .filter(F.col("_txt").isNotNull() & has_k_tokens)
+        .repartition(par, "id")
+    )
+    tok = slim.select("id", _words(F.col("_txt")).alias("_w"))
+    sh = tok.select("id", word_shingles_from(F.col("_w"), shingle_k).alias("_sh"))
+    return sh.withColumn("_base", shingle_base_hashes(F.col("_sh"))).select(
+        "id", minhash_from_base(F.col("_base"), num_hashes, seed).alias("sig")
+    )
+
+
+def minhash_pairs_against(
+    new_df: DataFrame,
+    stored_sigs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    est_threshold: float = 0.7,
+    max_bucket: int = 10_000,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate candidates of NEW docs against a STORED
+    signature corpus (id_new, id_stored, est_jaccard) — incremental
+    dedup: the validated corpus is never re-read or re-shingled; only
+    its (id, sig) rows participate.
+
+    ``est_jaccard`` is the signature estimate (matching-component
+    fraction — the standard unbiased MinHash estimator, s.e.
+    ≈ sqrt(J(1−J)/num_hashes) ≈ 0.08 at k=32, J=0.7), NOT the exact
+    Jaccard minhash_lsh_pairs verifies: the old text is out of reach
+    by design. Identical text ⇒ identical signature ⇒ est exactly
+    1.0. Deterministic: round(matches/k, 6) of integer counts.
+
+    Plan shape mirrors minhash_lsh_pairs: band both sides to (band,
+    bucket, id) — the stored side needs only array ops over k longs
+    per doc, no text — bucket-equi-join NEW × STORED only, drop
+    hot buckets (combined membership > max_bucket), dedup candidate
+    pairs, then re-attach both signatures by id for the estimate (the
+    2 KB/doc sig array never rides the exploded banding shuffle).
+    Within-new duplicates are minhash_lsh_pairs' job; run both for a
+    full increment validation."""
+    rows = num_hashes // bands
+
+    def banded(sigs: DataFrame, side: str) -> DataFrame:
+        return sigs.select(
+            F.col("id").alias(f"id_{side}"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.xxhash64(
+                                *[F.element_at("sig", b * rows + r + 1) for r in range(rows)]
+                            ).alias("bucket"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(f"id_{side}", "bb.band", "bb.bucket")
+
+    new_sigs = minhash_signatures(
+        new_df, text_col, id_col, shingle_k, num_hashes, seed
+    )
+    bn = banded(new_sigs, "new")
+    bs = banded(stored_sigs, "stored")
+    # hot-bucket hygiene across BOTH sides: a boilerplate bucket costs
+    # m_new × m_stored candidate pairs on one reducer
+    sizes = (
+        bn.select("band", "bucket").unionByName(bs.select("band", "bucket"))
+        .groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("_m"))
+    )
+    hot = F.broadcast(sizes.filter(F.col("_m") > max_bucket).select("band", "bucket"))
+    bn = bn.join(hot, ["band", "bucket"], "left_anti")
+    bs = bs.join(hot, ["band", "bucket"], "left_anti")
+
+    cand = (
+        bn.join(bs, ["band", "bucket"])
+        .select("id_new", "id_stored")
+        .dropDuplicates(["id_new", "id_stored"])
+    )
+    sa = new_sigs.select(F.col("id").alias("id_new"), F.col("sig").alias("_sa"))
+    sb = stored_sigs.select(F.col("id").alias("id_stored"), F.col("sig").alias("_sb"))
+    matches = F.size(
+        F.filter(F.zip_with("_sa", "_sb", lambda x, y: x == y), lambda v: v)
+    )
+    return (
+        cand.join(sa, "id_new")
+        .join(sb, "id_stored")
+        .withColumn(
+            "est_jaccard",
+            F.round(matches.cast("double") / F.lit(float(num_hashes)), 6),
+        )
+        .filter(F.col("est_jaccard") >= est_threshold)
+        .select("id_new", "id_stored", "est_jaccard")
+        .orderBy("id_new", "id_stored")
+    )

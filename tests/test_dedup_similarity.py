@@ -376,3 +376,56 @@ def test_embedding_stats_no_dim_check(spark):
     r = embedding_stats(df, "embedding", dim=None).collect()[0]
     assert "n_wrong_dim" not in r.asDict()
     assert r["n_norm_off"] == 0  # both unit-norm at their own dims
+
+
+def test_minhash_incremental_against_stored_signatures(spark, tmp_path):
+    """Incremental dedup: new docs vs a persisted signature corpus.
+    Identical text ⇒ est_jaccard exactly 1.0 (same fixed-seed
+    signature math as minhash_lsh_pairs); a perturbed near-dup lands
+    within the k=32 estimator tolerance of its exact Jaccard; disjoint
+    docs produce no pair. The store round-trips through parquet."""
+    import pyspark.sql.functions as F
+
+    from data_check_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_pairs_against,
+        minhash_signatures,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    old = spark.createDataFrame(
+        [(i, base + f"unique old tail {i} " + "filler words here " * 3)
+         for i in range(50)],
+        "doc_id bigint, text string",
+    )
+    # store the old corpus's signatures (the only artifact kept)
+    sig_path = str(tmp_path / "sigs")
+    minhash_signatures(old).write.parquet(sig_path)
+    stored = spark.read.parquet(sig_path)
+
+    new = spark.createDataFrame(
+        [
+            (1000, base + "unique old tail 7 " + "filler words here " * 3),  # exact copy of 7
+            (1001, base + "unique old tail 8 " + "filler words here " * 2
+             + "filler words changed"),                                      # near-dup of 8
+            (1002, "totally different content about spark plans and shuffles "
+                   "with nothing shared at all beyond language"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {(r["id_new"], r["id_stored"]): r["est_jaccard"]
+           for r in minhash_pairs_against(new, stored, est_threshold=0.3).collect()}
+    assert got[(1000, 7)] == 1.0
+    assert (1001, 8) in got and 0.3 <= got[(1001, 8)] <= 1.0
+    assert not any(idn == 1002 for idn, _ in got)
+
+    # estimator sanity vs the exact Jaccard of the near-dup pair
+    both = old.filter("doc_id = 8").unionByName(new.filter("doc_id = 1001"))
+    exact = minhash_lsh_pairs(both, jaccard_threshold=0.0).collect()[0]["jaccard"]
+    assert abs(got[(1001, 8)] - exact) < 0.35  # se ~ sqrt(J(1-J)/32)
+
+    # signatures computed by either path agree: self-join store vs fresh
+    fresh = minhash_signatures(old)
+    joined = stored.alias("a").join(fresh.alias("b"), "id").select(
+        F.expr("a.sig = b.sig").alias("eq"))
+    assert all(r["eq"] for r in joined.collect())
