@@ -974,6 +974,32 @@ def _q_suite_drift_profile(spark, sf_dir):
     return res.verdicts
 
 
+def _q_dedup_incremental(spark, sf_dir):
+    """Incremental EXACT dedup against a persisted 16 B/doc hash store
+    (operators/dedup.py exact_hashes / exact_duplicates_against):
+    stored = odd docs' md5 rows, new = even docs plus planted copies
+    of odd docs. GENUINE exact oracle — md5 over UTF-8 text bytes is
+    engine-portable, so DuckDB reproduces every (id_new, text_hash,
+    n_stored, stored_ids) row byte-for-byte."""
+    from data_check_spark.operators.dedup import (
+        exact_duplicates_against,
+        exact_hashes,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    _assert_id_headroom(d, "doc_id", 100000)
+    old = d.filter(F.col("doc_id") % 2 == 1)
+    stored = exact_hashes(old)
+    planted = old.filter(
+        (F.col("doc_id") % 10 == 5) & F.col("text").isNotNull()
+    ).select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    new = (
+        d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+        .unionByName(planted)
+    )
+    return exact_duplicates_against(new, stored)
+
+
 def _q_minhash_incremental(spark, sf_dir):
     """Incremental MinHash dedup against a STORED signature corpus
     (operators/dedup.py minhash_signatures / minhash_pairs_against):
@@ -1462,6 +1488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_diff": _q_schema_diff,
         "minhash_pairs": _q_minhash,
         "minhash_incremental": _q_minhash_incremental,
+        "dedup_incremental": _q_dedup_incremental,
         "suite_verdicts": _q_suite_verdicts,
         "suite_compare_verdicts": _q_suite_compare,
         "suite_expr_verdicts": _q_suite_expr,
@@ -1960,6 +1987,25 @@ SELECT count(*) AS n_planted, TRUE AS planted_all_found
 FROM documents
 WHERE doc_id % 2 = 1 AND doc_id % 10 = 5
   AND text IS NOT NULL AND regexp_matches(text, '(\S+\s+){2}\S')""",
+        "dedup_incremental": """
+WITH stored AS (
+  SELECT doc_id AS id, md5(text) AS text_hash
+  FROM documents WHERE doc_id % 2 = 1 AND text IS NOT NULL
+),
+per_hash AS (
+  SELECT text_hash, count(*) AS n_stored,
+         array_to_string(list_sort(list(id))[1:5], ',') AS stored_ids
+  FROM stored GROUP BY text_hash
+),
+new AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents
+  WHERE doc_id % 2 = 1 AND doc_id % 10 = 5 AND text IS NOT NULL
+)
+SELECT n.doc_id AS id_new, p.text_hash, p.n_stored, p.stored_ids
+FROM new n JOIN per_hash p ON md5(n.text) = p.text_hash
+WHERE n.text IS NOT NULL""",
         "minhash_pairs": r"""
 WITH docs AS (
   SELECT * FROM documents

@@ -88,6 +88,7 @@ HEADLINE = [
     "refint_hashed",
     "suite_drift_profile",
     "minhash_incremental",
+    "dedup_incremental",
 ]
 
 PAGES_N = int(os.environ.get("DCS_BENCH_PAGES_N", "500000"))

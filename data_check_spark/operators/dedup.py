@@ -31,6 +31,7 @@ def duplicate_groups(
     id_col: str,
     n_exemplars: int = 5,
     salt_buckets: int = 64,
+    min_n: int = 2,
 ) -> DataFrame:
     """(group_col, n, doc_ids) for groups with n > 1, where doc_ids is
     a comma-joined CAPPED exemplar list (the ``n_exemplars`` smallest
@@ -62,7 +63,7 @@ def duplicate_groups(
                 F.transform(exemplars, lambda x: x.cast("string")), ","
             ).alias("doc_ids"),
         )
-        .filter(F.col("n") > 1)
+        .filter(F.col("n") >= min_n)
         .orderBy(group_col)
     )
 
@@ -660,4 +661,53 @@ def minhash_pairs_against(
         .filter(F.col("est_jaccard") >= est_threshold)
         .select("id_new", "id_stored", "est_jaccard")
         .orderBy("id_new", "id_stored")
+    )
+
+
+def exact_hashes(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Persistable exact-dup store: (id, text_hash md5-hex) — 16 bytes
+    of content hash per doc, the exact-dedup twin of the MinHash
+    signature store. NULL texts are omitted (they are not duplicates
+    of each other)."""
+    return df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.md5(F.col(text_col).cast("binary")).alias("text_hash"),
+    )
+
+
+def exact_duplicates_against(
+    new_df: DataFrame,
+    stored_hashes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_exemplars: int = 5,
+) -> DataFrame:
+    """New docs whose text is byte-identical to a doc in a STORED
+    hash corpus: (id_new, text_hash, n_stored, stored_ids) — the
+    incremental exact-dedup path. The validated corpus is never
+    re-read: the stored side pre-aggregates to one capped-exemplar
+    row per DISTINCT hash (bounded by the salt-free group cap below),
+    so the join probe is hash-to-hash, never new-row × stored-row.
+
+    Exactness: md5 over the text bytes — a match IS byte identity up
+    to md5 collisions (~2⁻¹²⁸; same envelope as exact_duplicates).
+    The stored aggregation reuses duplicate_groups' salted two-phase
+    plan (min_n=1 keeps singleton hashes), so a degenerate boilerplate
+    hash never collects 10⁷ ids in one agg buffer."""
+    per_hash = duplicate_groups(
+        stored_hashes, "text_hash", "id", n_exemplars, min_n=1
+    ).select(
+        "text_hash",
+        F.col("n").alias("n_stored"),
+        F.col("doc_ids").alias("stored_ids"),
+    )
+    new_hashed = exact_hashes(new_df, text_col, id_col).select(
+        F.col("id").alias("id_new"), "text_hash"
+    )
+    return (
+        new_hashed.join(per_hash, "text_hash")
+        .select("id_new", "text_hash", "n_stored", "stored_ids")
+        .orderBy("id_new")
     )

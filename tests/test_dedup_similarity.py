@@ -429,3 +429,33 @@ def test_minhash_incremental_against_stored_signatures(spark, tmp_path):
     joined = stored.alias("a").join(fresh.alias("b"), "id").select(
         F.expr("a.sig = b.sig").alias("eq"))
     assert all(r["eq"] for r in joined.collect())
+
+
+def test_exact_dedup_against_stored_hashes(spark, tmp_path):
+    """Incremental exact dedup: new docs byte-identical to a persisted
+    16 B/doc hash corpus surface with their stored exemplar ids; a
+    changed byte breaks the match. Store round-trips via parquet."""
+    from data_check_spark.operators.dedup import (
+        exact_duplicates_against,
+        exact_hashes,
+    )
+
+    old = spark.createDataFrame(
+        [(i, f"doc body number {i % 7}") for i in range(30)],  # 7 distinct texts
+        "doc_id bigint, text string",
+    )
+    path = str(tmp_path / "hashes")
+    exact_hashes(old).write.parquet(path)
+    stored = spark.read.parquet(path)
+
+    new = spark.createDataFrame(
+        [(100, "doc body number 3"),   # identical to old 3,10,17,24
+         (101, "doc body number 3!"),  # one byte off
+         (102, None)],
+        "doc_id bigint, text string",
+    )
+    got = exact_duplicates_against(new, stored).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["id_new"] == 100 and r["n_stored"] == 4
+    assert r["stored_ids"].split(",") == ["3", "10", "17", "24"]
