@@ -720,6 +720,19 @@ def _q_minhash(spark, sf_dir):
     return minhash_lsh_pairs(_docs_with_dups(spark, sf_dir), jaccard_threshold=0.8)
 
 
+def _q_dup_clusters(spark, sf_dir):
+    """Near-dup pairs -> duplicate clusters via large-star/small-star
+    connected components (operators/components.py) — the retention
+    step of the dedup pipeline. Oracle: DuckDB recursive CTE computes
+    min-reachable-id per node over the SAME exact-Jaccard pair set;
+    the component label (min id in component) is order-independent,
+    so both engines agree bit-for-bit."""
+    from data_check_spark.operators.components import duplicate_clusters
+
+    pairs = minhash_lsh_pairs(_docs_with_dups(spark, sf_dir), jaccard_threshold=0.8)
+    return duplicate_clusters(pairs).orderBy("id")
+
+
 def _q_lsh_topk(spark, sf_dir):
     """Hyperplane-LSH ANN, ORACLE-CHECKED via its recall contract on
     GENUINELY SIMILAR neighbors: plant one exact copy of each query
@@ -1487,6 +1500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suite_drift_profile": _q_suite_drift_profile,
         "schema_diff": _q_schema_diff,
         "minhash_pairs": _q_minhash,
+        "dup_clusters": _q_dup_clusters,
         "minhash_incremental": _q_minhash_incremental,
         "dedup_incremental": _q_dedup_incremental,
         "suite_verdicts": _q_suite_verdicts,
@@ -2032,6 +2046,44 @@ j AS (SELECT id_a, id_b,
              round(inter * 1.0 / nullif(na.n + nb.n - inter, 0), 6) AS jaccard
       FROM p JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b)
 SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.8""",
+        # same exact-Jaccard pair derivation as minhash_pairs, then
+        # min-reachable-id per node via a recursive CTE — the
+        # declarative twin of the large-star/small-star labels
+        # (component = min id in component on both engines)
+        "dup_clusters": r"""
+WITH RECURSIVE docs AS (
+  SELECT * FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 10 = 0
+),
+w AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws FROM docs WHERE text IS NOT NULL),
+g AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, len(ws) - 1),
+                                          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+      FROM w WHERE len(ws) >= 3),
+n AS (SELECT doc_id, len(sh) AS n FROM g),
+t AS (SELECT doc_id, unnest(sh) AS tok FROM g),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+j AS (SELECT id_a, id_b,
+             round(inter * 1.0 / nullif(na.n + nb.n - inter, 0), 6) AS jaccard
+      FROM p JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b),
+e AS (SELECT id_a AS a, id_b AS b FROM j WHERE jaccard >= 0.8
+      UNION
+      SELECT id_b AS a, id_a AS b FROM j WHERE jaccard >= 0.8),
+nodes AS (SELECT DISTINCT a AS node FROM e),
+reach AS (
+  SELECT node, node AS r FROM nodes
+  UNION
+  SELECT e.b AS node, reach.r FROM reach JOIN e ON e.a = reach.node
+),
+comp AS (SELECT node AS id, min(r) AS component FROM reach GROUP BY node),
+sizes AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
+SELECT c.id, c.component, (c.id = c.component) AS is_exemplar, s.cluster_size
+FROM comp c JOIN sizes s USING (component)
+ORDER BY c.id""",
         # exact twin of the banded hyperplane-LSH near-dup: the planted
         # pairs are exact vector copies (cosine 1.0 -> identical sign
         # bits in every band), so LSH recall is structurally 1.0 here

@@ -15,3 +15,7 @@ from data_check_spark.operators.drift import (  # noqa: F401
     psi_numeric,
     ks_statistic,
 )
+from data_check_spark.operators.components import (  # noqa: F401
+    connected_components,
+    duplicate_clusters,
+)

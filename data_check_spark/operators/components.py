@@ -1,0 +1,154 @@
+"""Connected components over candidate-duplicate pairs.
+
+The reference (aballiet/data-check) has no graph stage at all — its
+row-level comparison story ends at pair/row diffs (see
+data_check/query/compare.py's join-based diff SQL). At web scale the
+step AFTER near-dup pair generation is what actually shrinks a corpus:
+pairs -> duplicate CLUSTERS -> keep one exemplar per cluster. This
+module supplies that step Spark-first, as the capstone of the
+MinHash/SimHash pipeline in operators/dedup.py.
+
+Algorithm: alternating large-star / small-star (Kiveris, Lattanzi,
+Mirrokni, Rastogi, Vassilvitskii — "Connected Components in MapReduce
+and Beyond", SoCC'14). Each phase is a shuffle partial-agg (per-node
+min) plus a shuffle join on node id; adjacency LISTS are never
+materialised, so a hot node — boilerplate text duplicated across
+millions of pages — costs a map-side-combined min, not an O(degree)
+array on a single reducer. The edge set converges to per-component
+star graphs (every node pointing at its component's minimum id) in
+O(log n) phase pairs; near-dup clusters, whose diameter is tiny,
+converge in 2-3 pairs in practice. Each iteration is
+localCheckpoint-ed so the task graph stays constant-size instead of
+growing with the iteration count (on a real cluster with a
+checkpoint dir, `RDD.checkpoint`/`dataframe.checkpoint` gives the
+same lineage truncation with HDFS durability).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star phase: every node connects its strictly-LARGER
+    neighbours to the minimum of its closed neighbourhood."""
+    sym = e.select("u", "v").unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("_mn"))
+        .select("u", F.least(F.col("_mn"), F.col("u")).alias("m"))
+    )
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star phase: every node rewires its SMALLER
+    neighbours (and itself) to the minimum of those neighbours."""
+    d = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    mins = d.groupBy("u").agg(F.min("v").alias("m"))
+    rewired = (
+        d.join(mins, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    return rewired.unionByName(
+        mins.select("u", F.col("m").alias("v"))
+    ).distinct()
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, component) for every node appearing in ``pairs``.
+
+    ``component`` is the MINIMUM node id in the node's connected
+    component — a deterministic, order-independent cluster label, so
+    re-runs (and the DuckDB recursive-CTE oracle) agree bit-for-bit.
+
+    Convergence is detected by an order-independent edge-set
+    signature (count + bit-XOR of per-edge xxhash64 — XOR cannot
+    overflow under ANSI mode and the edge set is distinct so nothing
+    self-cancels): both star phases
+    leave the edge set unchanged exactly when every component is a
+    star rooted at its minimum. ``max_iter`` bounds the loop at
+    O(log n) with slack; hitting it raises rather than returning a
+    partially-contracted (wrong) labelling.
+    """
+    e = (
+        pairs.select(
+            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def sig(df: DataFrame) -> tuple:
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("s"),
+        ).collect()[0]
+        return (r["n"], r["s"])
+
+    prev = sig(e)
+    if prev[0] == 0:
+        return e.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        cur = sig(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations"
+        )
+
+    # node set from the CLEANED edge set: a row that contributed no
+    # real edge (self-pair, NULL side) contributes no node either
+    nodes = (
+        e.select(F.col("u").alias("id"))
+        .unionByName(e.select(F.col("v").alias("id")))
+        .distinct()
+    )
+    star = e.select(F.col("u").alias("id"), F.col("v").alias("_root"))
+    return (
+        nodes.join(star, "id", "left")
+        .groupBy("id")
+        .agg(F.min(F.coalesce(F.col("_root"), F.col("id"))).alias("component"))
+    )
+
+
+def duplicate_clusters(
+    pairs: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 25
+) -> DataFrame:
+    """Cluster view of a near-dup pair list: one row per clustered
+    document — (id, component, is_exemplar, cluster_size). The
+    exemplar (the member kept by a dedup retention pass) is the
+    minimum id, i.e. the component label itself; at web scale "keep
+    the first-crawled copy" maps onto exactly this with ids assigned
+    in crawl order. cluster_size rides a broadcast-sized per-component
+    aggregate (#components <= #pairs, and each row is 16 bytes)."""
+    cc = connected_components(pairs, src=src, dst=dst, max_iter=max_iter)
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return cc.join(sizes, "component").select(
+        "id",
+        "component",
+        (F.col("id") == F.col("component")).alias("is_exemplar"),
+        "cluster_size",
+    )

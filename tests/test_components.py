@@ -1,0 +1,91 @@
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_check_spark.operators.components import (
+    connected_components,
+    duplicate_clusters,
+)
+
+
+def _uf_components(edges):
+    """Reference union-find: node -> min id of its component."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    return {x: find(x) for x in parent}
+
+
+def _run(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = connected_components(df, **kw).collect()
+    return {r["id"]: r["component"] for r in out}
+
+
+def test_cc_two_clusters(spark):
+    got = _run(spark, [(1, 2), (2, 3), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_cc_long_chain_converges_in_log_rounds(spark):
+    # a 64-node path has diameter 63; naive min-propagation needs ~63
+    # rounds, large-star/small-star needs O(log n) — max_iter=10 only
+    # passes if the doubling behaviour is real
+    edges = [(i, i + 1) for i in range(64)]
+    got = _run(spark, edges, max_iter=10)
+    assert got == {i: 0 for i in range(65)}
+
+
+def test_cc_self_loops_and_duplicates_ignored(spark):
+    got = _run(spark, [(5, 5), (1, 2), (2, 1), (1, 2)])
+    assert got == {1: 1, 2: 1}
+
+
+def test_cc_empty(spark):
+    df = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(df).count() == 0
+
+
+def test_cc_nulls_dropped(spark):
+    got = _run(spark, [(1, None), (None, 7), (1, 2)])
+    assert got == {1: 1, 2: 1}
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_cc_matches_union_find_on_random_graphs(spark, seed):
+    rng = random.Random(seed)
+    n, m = 200, 160  # sparse: many non-trivial components
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+    edges = [(a, b) for a, b in edges if a != b]
+    assert _run(spark, edges) == _uf_components(edges)
+
+
+def test_duplicate_clusters_exemplar_and_sizes(spark):
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    rows = {r["id"]: r for r in duplicate_clusters(df).collect()}
+    assert rows[1]["is_exemplar"] and rows[1]["cluster_size"] == 3
+    assert not rows[3]["is_exemplar"] and rows[3]["component"] == 1
+    assert rows[10]["is_exemplar"] and rows[10]["cluster_size"] == 2
+    assert not rows[11]["is_exemplar"]
+
+
+def test_cc_custom_columns(spark):
+    df = spark.createDataFrame([(1, 2)], "a long, b long")
+    got = connected_components(df, src="a", dst="b").collect()
+    assert {(r["id"], r["component"]) for r in got} == {(1, 1), (2, 1)}
