@@ -733,6 +733,20 @@ def _q_dup_clusters(spark, sf_dir):
     return duplicate_clusters(pairs).orderBy("id")
 
 
+def _q_suite_neardup(spark, sf_dir):
+    """NearDupCheck through the declarative suite: the near-duplicate
+    MASS gate (fraction of docs a keep-one-exemplar retention pass
+    would drop). GENUINE oracle: DuckDB re-derives the verdict row
+    from exact all-pairs Jaccard + a recursive-CTE component count
+    over the same parquet."""
+    from data_check_spark.plans.suite import CheckSuite, NearDupCheck
+
+    res = CheckSuite(
+        [NearDupCheck(id_col="doc_id", max_neardup_frac=0.05, dump_violations=False)]
+    ).run(spark, _docs_with_dups(spark, sf_dir), "source")
+    return res.verdicts
+
+
 def _q_lsh_topk(spark, sf_dir):
     """Hyperplane-LSH ANN, ORACLE-CHECKED via its recall contract on
     GENUINELY SIMILAR neighbors: plant one exact copy of each query
@@ -1501,6 +1515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_diff": _q_schema_diff,
         "minhash_pairs": _q_minhash,
         "dup_clusters": _q_dup_clusters,
+        "suite_neardup_verdicts": _q_suite_neardup,
         "minhash_incremental": _q_minhash_incremental,
         "dedup_incremental": _q_dedup_incremental,
         "suite_verdicts": _q_suite_verdicts,
@@ -2084,6 +2099,45 @@ sizes AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY componen
 SELECT c.id, c.component, (c.id = c.component) AS is_exemplar, s.cluster_size
 FROM comp c JOIN sizes s USING (component)
 ORDER BY c.id""",
+        # the suite's near-dup MASS verdict re-derived: same pair +
+        # component derivation, then non-exemplar count / count(doc_id)
+        "suite_neardup_verdicts": r"""
+WITH RECURSIVE docs AS (
+  SELECT * FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 10 = 0
+),
+w AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws FROM docs WHERE text IS NOT NULL),
+g AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, len(ws) - 1),
+                                          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+      FROM w WHERE len(ws) >= 3),
+n AS (SELECT doc_id, len(sh) AS n FROM g),
+t AS (SELECT doc_id, unnest(sh) AS tok FROM g),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+j AS (SELECT id_a, id_b,
+             round(inter * 1.0 / nullif(na.n + nb.n - inter, 0), 6) AS jaccard
+      FROM p JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b),
+e AS (SELECT id_a AS a, id_b AS b FROM j WHERE jaccard >= 0.8
+      UNION
+      SELECT id_b AS a, id_a AS b FROM j WHERE jaccard >= 0.8),
+nodes AS (SELECT DISTINCT a AS node FROM e),
+reach AS (
+  SELECT node, node AS r FROM nodes
+  UNION
+  SELECT e.b AS node, reach.r FROM reach JOIN e ON e.a = reach.node
+),
+comp AS (SELECT node AS id, min(r) AS component FROM reach GROUP BY node),
+dropped AS (SELECT count(*) AS d FROM comp WHERE id <> component),
+tot AS (SELECT count(doc_id) AS t FROM docs)
+SELECT '*' AS "partition", 'text' AS "column", 'neardup_frac' AS "check",
+       round(d * 1.0 / nullif(t, 0), 6) AS metric,
+       0.05 AS threshold,
+       coalesce(round(d * 1.0 / nullif(t, 0), 6) <= 0.05, FALSE) AS passed
+FROM dropped, tot""",
         # exact twin of the banded hyperplane-LSH near-dup: the planted
         # pairs are exact vector copies (cosine 1.0 -> identical sign
         # bits in every band), so LSH recall is structurally 1.0 here

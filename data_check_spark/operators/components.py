@@ -77,6 +77,9 @@ def connected_components(
     ``component`` is the MINIMUM node id in the node's connected
     component — a deterministic, order-independent cluster label, so
     re-runs (and the DuckDB recursive-CTE oracle) agree bit-for-bit.
+    Node ids only need a TOTAL ORDER (the star phases are built from
+    min/least/greatest), so long doc ids and string urls both work;
+    src and dst must share one type.
 
     Convergence is detected by an order-independent edge-set
     signature (count + bit-XOR of per-edge xxhash64 — XOR cannot
@@ -88,9 +91,7 @@ def connected_components(
     partially-contracted (wrong) labelling.
     """
     e = (
-        pairs.select(
-            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
-        )
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
         .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))

@@ -227,6 +227,44 @@ class RepetitionCheck:
 
 
 @dataclass
+class NearDupCheck:
+    """Corpus-level near-duplicate mass gate: MinHash-LSH candidate
+    pairs with exact-Jaccard verification (operators/dedup.
+    minhash_lsh_pairs) -> large-star/small-star duplicate clusters
+    (operators/components.duplicate_clusters). Verdict metric = the
+    fraction of documents a keep-one-exemplar retention pass would
+    DROP (non-exemplar cluster members / count(id_col)); passes while
+    metric <= max_neardup_frac.
+
+    GLOBAL (one verdict row, partition '*'): near-duplicate structure
+    crosses partition boundaries by nature, so ``run_resumable`` runs
+    it over the UNFILTERED table like the drift checks — a resumed
+    run reports the same verdict as an uninterrupted one.
+
+    Unlike the lazy checks, the cluster contraction loop materializes
+    eagerly at ``run()`` time (its convergence test is an action);
+    the converged star edges are localCheckpoint-ed, so the verdict
+    metric and the violations dump both reread tiny cluster frames,
+    never the corpus. ``dump_violations`` emits key
+    ``neardup:{text_col}``: the non-exemplar members
+    (id, component, cluster_size), sorted, capped at violation_limit.
+
+    Node ids (``id_col``) need only a total order — long doc ids and
+    string urls both work; the exemplar is the component's MINIMUM id
+    (ids assigned in crawl order ⇒ "keep the first-crawled copy")."""
+    text_col: str = "text"
+    id_col: str = "doc_id"
+    jaccard_threshold: float = 0.8
+    max_neardup_frac: float = 0.05
+    shingle_k: int = 3
+    num_hashes: int = 32
+    bands: int = 8
+    max_bucket: int = 10_000
+    dump_violations: bool = True
+    violation_limit: int = 500
+
+
+@dataclass
 class ExprCheck:
     """Deequ-style declarative row-predicate gate (VERDICT r4 #3):
     assert an arbitrary boolean SQL expression holds for (almost)
@@ -561,6 +599,14 @@ class CheckSuite:
                 f"repetition checks must target distinct columns (verdicts "
                 f"and violations are keyed by text_col): duplicates {dup} — "
                 "combine the thresholds into one RepetitionCheck"
+            )
+
+        nd_cols = [c.text_col for c in self.checks if isinstance(c, NearDupCheck)]
+        if len(set(nd_cols)) != len(nd_cols):
+            dup = sorted({c for c in nd_cols if nd_cols.count(c) > 1})
+            raise ValueError(
+                f"neardup checks must target distinct columns (verdicts and "
+                f"violations are keyed by text_col): duplicates {dup}"
             )
 
         fp_checks = [c for c in self.checks if isinstance(c, FingerprintCheck)]
@@ -1276,6 +1322,48 @@ class CheckSuite:
                         )
                         .limit(chk.violation_limit)
                     )
+            elif isinstance(chk, NearDupCheck):
+                from data_check_spark.operators.components import duplicate_clusters
+                from data_check_spark.operators.dedup import minhash_lsh_pairs
+
+                pairs = minhash_lsh_pairs(
+                    df,
+                    text_col=chk.text_col,
+                    id_col=chk.id_col,
+                    shingle_k=chk.shingle_k,
+                    num_hashes=chk.num_hashes,
+                    bands=chk.bands,
+                    jaccard_threshold=chk.jaccard_threshold,
+                    max_bucket=chk.max_bucket,
+                )
+                # eager: the contraction loop's convergence test is an
+                # action; everything below rereads checkpointed
+                # cluster-sized frames, never the corpus
+                nd = duplicate_clusters(pairs)
+                dropped = nd.filter(~F.col("is_exemplar")).agg(
+                    F.count(F.lit(1)).alias("_d")
+                )
+                tot = df.agg(F.count(F.col(chk.id_col)).alias("_t"))
+                m = F.round(F.try_divide(F.col("_d"), F.col("_t")), 6)
+                verdict_frames.append(
+                    dropped.crossJoin(tot).select(
+                        F.lit("*").alias("partition"),
+                        F.lit(chk.text_col).alias("column"),
+                        F.lit("neardup_frac").alias("check"),
+                        m.alias("metric"),
+                        F.lit(float(chk.max_neardup_frac)).alias("threshold"),
+                        # NULL metric (empty table) fails closed
+                        F.coalesce(
+                            m <= chk.max_neardup_frac, F.lit(False)
+                        ).alias("passed"),
+                    )
+                )
+                if chk.dump_violations:
+                    violations[f"neardup:{chk.text_col}"] = (
+                        nd.filter(~F.col("is_exemplar"))
+                        .orderBy("component", "id")
+                        .limit(chk.violation_limit)
+                    )
             elif isinstance(chk, SchemaCheck):
                 # driver-side (df.schema is free — ref O2 dry-run);
                 # row filters never change a schema, so the verdict is
@@ -1367,6 +1455,7 @@ class CheckSuite:
             KSDriftCheck,
             KSDigestDriftCheck,
             CompareCheck,
+            NearDupCheck,
         )
         drift_checks = [c for c in self.checks if isinstance(c, _GLOBAL)]
         scoped_checks = [c for c in self.checks if not isinstance(c, _GLOBAL)]
