@@ -89,3 +89,20 @@ def test_cc_custom_columns(spark):
     df = spark.createDataFrame([(1, 2)], "a long, b long")
     got = connected_components(df, src="a", dst="b").collect()
     assert {(r["id"], r["component"]) for r in got} == {(1, 1), (2, 1)}
+
+
+def test_star_phase_plans_partial_agg_no_cartesian(spark):
+    """Each star phase must be a map-side-combined min agg + hash join
+    on node id: no adjacency collect_list, no cartesian/nested-loop."""
+    from data_check_spark.operators.components import _large_star, _small_star
+
+    e = spark.createDataFrame(
+        [(i + 1, i) for i in range(50)], "u long, v long"
+    )
+    for phase in (_large_star, _small_star):
+        out = phase(e)
+        out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "partial_min" in plan, plan
+        assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+        assert "collect_list" not in plan, plan
