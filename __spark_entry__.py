@@ -733,6 +733,30 @@ def _q_dup_clusters(spark, sf_dir):
     return duplicate_clusters(pairs).orderBy("id")
 
 
+def _q_cluster_incremental(spark, sf_dir):
+    """Incremental cluster maintenance oracle-checked against the
+    FULL recompute: the old half's pair set is contracted to stored
+    (id, component) stars, then update_clusters merges ONLY the
+    pairs touching the new half — and the result must equal DuckDB's
+    recursive-CTE components over ALL pairs. That is the
+    star-contraction-preserves-connectivity theorem verified
+    end-to-end; the incremental path's input is #clustered-docs +
+    #new-pairs, never the validated corpus."""
+    from data_check_spark.operators.components import (
+        connected_components,
+        update_clusters,
+    )
+
+    pairs = minhash_lsh_pairs(
+        _docs_with_dups(spark, sf_dir), jaccard_threshold=0.8
+    ).localCheckpoint()
+    # old corpus = odd ids (planted +100000 copies keep source parity,
+    # so they land in the 'new' half along with the even originals)
+    both_old = (F.col("id_a") % 2 == 1) & (F.col("id_b") % 2 == 1)
+    stored = connected_components(pairs.filter(both_old))
+    return update_clusters(stored, pairs.filter(~both_old)).orderBy("id")
+
+
 def _q_suite_neardup(spark, sf_dir):
     """NearDupCheck through the declarative suite: the near-duplicate
     MASS gate (fraction of docs a keep-one-exemplar retention pass
@@ -1515,6 +1539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_diff": _q_schema_diff,
         "minhash_pairs": _q_minhash,
         "dup_clusters": _q_dup_clusters,
+        "cluster_incremental": _q_cluster_incremental,
         "suite_neardup_verdicts": _q_suite_neardup,
         "minhash_incremental": _q_minhash_incremental,
         "dedup_incremental": _q_dedup_incremental,
@@ -2099,6 +2124,39 @@ sizes AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY componen
 SELECT c.id, c.component, (c.id = c.component) AS is_exemplar, s.cluster_size
 FROM comp c JOIN sizes s USING (component)
 ORDER BY c.id""",
+        # the incremental path must land on the FULL recompute: same
+        # components CTE as dup_clusters, labels only
+        "cluster_incremental": r"""
+WITH RECURSIVE docs AS (
+  SELECT * FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 10 = 0
+),
+w AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws FROM docs WHERE text IS NOT NULL),
+g AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, len(ws) - 1),
+                                          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+      FROM w WHERE len(ws) >= 3),
+n AS (SELECT doc_id, len(sh) AS n FROM g),
+t AS (SELECT doc_id, unnest(sh) AS tok FROM g),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+j AS (SELECT id_a, id_b,
+             round(inter * 1.0 / nullif(na.n + nb.n - inter, 0), 6) AS jaccard
+      FROM p JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b),
+e AS (SELECT id_a AS a, id_b AS b FROM j WHERE jaccard >= 0.8
+      UNION
+      SELECT id_b AS a, id_a AS b FROM j WHERE jaccard >= 0.8),
+nodes AS (SELECT DISTINCT a AS node FROM e),
+reach AS (
+  SELECT node, node AS r FROM nodes
+  UNION
+  SELECT e.b AS node, reach.r FROM reach JOIN e ON e.a = reach.node
+),
+comp AS (SELECT node AS id, min(r) AS component FROM reach GROUP BY node)
+SELECT id, component FROM comp ORDER BY id""",
         # the suite's near-dup MASS verdict re-derived: same pair +
         # component derivation, then non-exemplar count / count(doc_id)
         "suite_neardup_verdicts": r"""

@@ -135,6 +135,36 @@ def connected_components(
     )
 
 
+def update_clusters(
+    stored: DataFrame,
+    new_pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Incremental cluster maintenance: merge a prior run's
+    (id, component) labelling with NEW near-dup pairs without
+    re-clustering the validated corpus.
+
+    A stored labelling IS a star edge set, and star contraction
+    preserves connectivity — so components over (stored stars ∪ new
+    pairs) equal components over (all old pairs ∪ new pairs), the
+    full recompute (oracle-checked end-to-end by the
+    ``cluster_incremental`` entry). Input size is #clustered-docs +
+    #new-pairs, never corpus-sized; with the new pairs coming from
+    ``minhash_pairs_against`` (the persisted signature store), a new
+    crawl increment's whole dedup cycle — signatures, pairs, cluster
+    labels — never re-reads validated text. New pairs may link two
+    stored clusters; the merged cluster relabels to the global
+    minimum id, so labels stay recompute-identical (label STABILITY
+    across increments is deliberately not promised — parity with a
+    from-scratch run is the stronger audit property)."""
+    edges = stored.select(
+        F.col("id").alias(src), F.col("component").alias(dst)
+    ).unionByName(new_pairs.select(src, dst))
+    return connected_components(edges, src=src, dst=dst, max_iter=max_iter)
+
+
 def duplicate_clusters(
     pairs: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 25
 ) -> DataFrame:

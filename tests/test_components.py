@@ -106,3 +106,36 @@ def test_star_phase_plans_partial_agg_no_cartesian(spark):
         assert "partial_min" in plan, plan
         assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
         assert "collect_list" not in plan, plan
+
+
+def test_update_clusters_equals_full_recompute_merging_old_clusters(spark):
+    # stored: {1,2,3} and {10,11}; new pair (3,10) merges them, (20,21) is new
+    stored = connected_components(
+        spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    )
+    new = spark.createDataFrame([(3, 10), (20, 21)], "id_a long, id_b long")
+    from data_check_spark.operators.components import update_clusters
+    got = {r["id"]: r["component"] for r in update_clusters(stored, new).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 1, 11: 1, 20: 20, 21: 20}
+
+
+@pytest.mark.parametrize("seed", [7, 8])
+def test_update_clusters_matches_full_on_random_split(spark, seed):
+    from data_check_spark.operators.components import update_clusters
+
+    rng = random.Random(seed)
+    n = 150
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(120)]
+    edges = [(a, b) for a, b in edges if a != b]
+    cut = len(edges) // 2
+    old, new = edges[:cut], edges[cut:]
+    stored = connected_components(
+        spark.createDataFrame(old, "id_a long, id_b long")
+    )
+    upd = update_clusters(
+        stored, spark.createDataFrame(new, "id_a long, id_b long")
+    )
+    full = _run(spark, edges)
+    got = {r["id"]: r["component"] for r in upd.collect()}
+    # the update sees every node of old∪new; full CC agrees on all
+    assert got == full
