@@ -159,6 +159,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     jaccard_threshold: float = 0.7,
     max_bucket: int = 10_000,
+    pair_mode: str = "all",
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard) via MinHash + LSH.
 
@@ -173,7 +174,27 @@ def minhash_lsh_pairs(
     O(m²) candidate pairs on one reducer. Members of a dropped bucket
     remain candidates through their other bands; truly identical
     boilerplate is the exact-dedup operator's job anyway.
+
+    ``pair_mode``:
+    * ``"all"`` (default) — every within-bucket pair is a candidate:
+      the COMPLETE verified pair list (what the DuckDB all-pairs
+      oracle checks). On a template-heavy corpus (the realistic web
+      case: m near-identical members per bucket) this is inherently
+      O(m²) — because the ANSWER is O(m²) pairs.
+    * ``"chain"`` — each bucket member pairs only with its successor
+      in id order: O(m) candidates per bucket, one window instead of
+      a self-join. The pair LIST is deliberately incomplete, but the
+      CONNECTIVITY of every genuinely-similar bucket group is
+      preserved (its members form a verified chain), which is the
+      only property cluster consumers (duplicate_clusters /
+      NearDupCheck) need. A dissimilar interloper sorted between two
+      similar members can break one band's chain; the other bands'
+      independent orders make a lost genuine pair need the interloper
+      adjacent in EVERY shared bucket. Use for cluster/mass metrics
+      at scale, never for pair-list parity.
     """
+    if pair_mode not in ("all", "chain"):
+        raise ValueError(f"pair_mode must be 'all' or 'chain', got {pair_mode!r}")
     rows = num_hashes // bands
     # the signature computation is the CPU-heavy map pass — spread it
     # over all cores even when the source has few input splits (small
@@ -223,35 +244,50 @@ def minhash_lsh_pairs(
         "left_anti",
     )
 
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a._id") < F.col("b._id")),
+    if pair_mode == "chain":
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "bucket").orderBy("_id")
+        cand = (
+            banded.withColumn("_prev", F.lag("_id").over(w))
+            .filter(F.col("_prev").isNotNull())
+            .select(F.col("_prev").alias("id_a"), F.col("_id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
         )
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+    else:
+        a = banded.alias("a")
+        b = banded.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a._id") < F.col("b._id")),
+            )
+            .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    # exact-Jaccard verification: shingle each DISTINCT doc touched by
+    # a candidate pair ONCE, then join the (distinct-set) shingle
+    # arrays onto the pairs. Shingle work is O(#candidate docs), not
+    # O(#pairs) — on a template-heavy corpus one doc sits in hundreds
+    # of pairs and the per-pair re-shingle was the bottleneck (1000
+    # synth pages: 187 s -> ~25 s). The semi-join prunes the corpus
+    # scan to candidate docs before any shingling.
+    cids = (
+        cand.select(F.col("id_a").alias("_id"))
+        .unionByName(cand.select(F.col("id_b").alias("_id")))
+        .distinct()
     )
-    # exact-Jaccard verification: join the RAW texts back to the (few)
-    # candidate pairs and shingle only those rows — the full corpus
-    # gets exactly ONE shingle pass (the signature computation above);
-    # joining the shingle DataFrame itself would re-run its whole
-    # lineage once per join side.
-    txt_a = slim.select(F.col("_id").alias("id_a"), F.col("_txt").alias("_ta"))
-    txt_b = slim.select(F.col("_id").alias("id_b"), F.col("_txt").alias("_tb"))
-    pairs = (
-        cand.join(txt_a, "id_a")
-        .join(txt_b, "id_b")
-        .select("id_a", "id_b", _words(F.col("_ta")).alias("_wa"), _words(F.col("_tb")).alias("_wb"))
-        .select(
-            "id_a",
-            "id_b",
-            word_shingles_from(F.col("_wa"), shingle_k).alias("sh_a"),
-            word_shingles_from(F.col("_wb"), shingle_k).alias("sh_b"),
-        )
+    csh = (
+        slim.join(cids, "_id", "left_semi")
+        .select("_id", _words(F.col("_txt")).alias("_w"))
+        .select("_id", word_shingles_from(F.col("_w"), shingle_k).alias("_sh"))
+    )
+    pairs = cand.join(
+        csh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a"
+    ).join(
+        csh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b"
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")

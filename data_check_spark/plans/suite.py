@@ -251,7 +251,14 @@ class NearDupCheck:
 
     Node ids (``id_col``) need only a total order — long doc ids and
     string urls both work; the exemplar is the component's MINIMUM id
-    (ids assigned in crawl order ⇒ "keep the first-crawled copy")."""
+    (ids assigned in crawl order ⇒ "keep the first-crawled copy").
+
+    ``pair_mode`` defaults to ``"chain"`` (see minhash_lsh_pairs): a
+    template-heavy web corpus puts m near-identical members in one
+    LSH bucket, and this check only needs their CONNECTIVITY — the
+    chain gives it in O(m) candidates where the all-pairs list is
+    O(m²) by definition. Set ``"all"`` to force the complete
+    pair-list semantics of the standalone dedup queries."""
     text_col: str = "text"
     id_col: str = "doc_id"
     jaccard_threshold: float = 0.8
@@ -262,6 +269,7 @@ class NearDupCheck:
     max_bucket: int = 10_000
     dump_violations: bool = True
     violation_limit: int = 500
+    pair_mode: str = "chain"
 
 
 @dataclass
@@ -1335,6 +1343,7 @@ class CheckSuite:
                     bands=chk.bands,
                     jaccard_threshold=chk.jaccard_threshold,
                     max_bucket=chk.max_bucket,
+                    pair_mode=chk.pair_mode,
                 )
                 # eager: the contraction loop's convergence test is an
                 # action; everything below rereads checkpointed

@@ -37,6 +37,7 @@ def default_pages_suite(
     with_drift: bool,
     with_repetition: bool = False,
     with_fd: bool = False,
+    neardup_gate: float | None = None,
 ) -> CheckSuite:
     """The standard web-pages validation suite. ``with_repetition``
     adds the Gopher boilerplate gate (one extra scan of (partition,
@@ -101,6 +102,17 @@ def default_pages_suite(
         from data_check_spark.plans.suite import FunctionalDependencyCheck
 
         checks.append(FunctionalDependencyCheck("url", ("text",)))
+    if neardup_gate is not None:
+        from data_check_spark.plans.suite import NearDupCheck
+
+        # global near-duplicate MASS gate (own MinHash+cluster pass —
+        # not fused; opt-in like repetition/FD so the headline
+        # pages_suite numbers stay comparable across rounds)
+        checks.append(
+            NearDupCheck(
+                text_col="text", id_col="url", max_neardup_frac=neardup_gate
+            )
+        )
     return CheckSuite(checks)
 
 
@@ -127,6 +139,17 @@ def main(argv: list[str] | None = None) -> int:
         "stored schema ({out}/audit/schemas; exact — new, dropped and "
         "retyped columns all fail); every audited run appends its own "
         "schema, so the first run bootstraps automatically",
+    )
+    ap.add_argument(
+        "--neardup-gate",
+        type=float,
+        default=None,
+        metavar="FRAC",
+        help="add the global near-duplicate mass gate: fail when the "
+        "fraction of pages a keep-one-exemplar dedup would drop "
+        "(MinHash-LSH pairs -> connected-component clusters, keyed "
+        "by url) exceeds FRAC; violations dump the non-exemplar "
+        "members with cluster labels",
     )
     args = ap.parse_args(argv)
 
@@ -160,7 +183,8 @@ def main(argv: list[str] | None = None) -> int:
             # verdicts and bootstrap the profile below
             ref_profile = None
     suite = default_pages_suite(
-        with_drift=ref is not None or ref_profile is not None
+        with_drift=ref is not None or ref_profile is not None,
+        neardup_gate=args.neardup_gate,
     )
     if args.schema_from_audit:
         from data_check_spark.plans.suite import SchemaCheck, schema_from_audit

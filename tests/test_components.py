@@ -139,3 +139,21 @@ def test_update_clusters_matches_full_on_random_split(spark, seed):
     got = {r["id"]: r["component"] for r in upd.collect()}
     # the update sees every node of old∪new; full CC agrees on all
     assert got == full
+
+
+def test_chain_mode_clusters_equal_all_pairs_clusters(spark):
+    """pair_mode='chain' emits a spanning subset of the all-pairs
+    list, but cluster labels must come out identical on genuinely
+    similar groups (the property NearDupCheck relies on)."""
+    from data_check_spark.operators.dedup import minhash_lsh_pairs
+    from data_check_spark.sources.synth import synth_pages
+
+    df = synth_pages(spark, 400, 2)
+    kw = dict(text_col="text", id_col="url", jaccard_threshold=0.9)
+    all_p = minhash_lsh_pairs(df, **kw)
+    chain_p = minhash_lsh_pairs(df, pair_mode="chain", **kw)
+    cc_all = {r["id"]: r["component"]
+              for r in connected_components(all_p).collect()}
+    cc_chain = {r["id"]: r["component"]
+                for r in connected_components(chain_p).collect()}
+    assert cc_chain == cc_all
