@@ -1329,6 +1329,26 @@ def _q_outlier_counts(spark, sf_dir):
     return a.unionByName(b)
 
 
+def _q_col_profile(spark, sf_dir):
+    """Categorical column profile (operators/stats.categorical_profile)
+    over documents lang/source/n_chars — the deequ-analyzer family
+    (entropy, distinctness, uniqueness, unique-value ratio, mode
+    share) in one melted scan. NULLs are planted into lang
+    (doc_id%17==3, row-local, identical construction in the DuckDB
+    twin) so the null-accounting path is exercised. Ratios are single
+    IEEE divisions (bit-exact cross-engine); entropy is rounded to
+    6 dp (the PSI precedent) to absorb libm/summation-order ulps."""
+    from data_check_spark.operators.stats import categorical_profile
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "lang",
+        F.when(F.col("doc_id") % 17 == 3, F.lit(None).cast("string")).otherwise(
+            F.col("lang")
+        ),
+    )
+    return categorical_profile(d, ["lang", "source", "n_chars"])
+
+
 def _q_contamination(spark, sf_dir):
     """Benchmark-contamination counts per train doc (operators/dedup.
     contamination_check): eval = doc_id%10==0, train = the rest; a
@@ -1555,6 +1575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crossdoc_ngram": _q_crossdoc_ngram,
         "contamination": _q_contamination,
         "outlier_counts": _q_outlier_counts,
+        "col_profile": _q_col_profile,
         "pack_contract": _q_pack_contract,
         "embedding_stats": _q_embedding_stats,
         "train_split": _q_train_split,
@@ -2353,6 +2374,34 @@ SELECT 'value', n, q1, q3, lo, hi,
        (SELECT count(*) FROM events, ef WHERE value < lo),
        (SELECT count(*) FROM events, ef WHERE value > hi)
 FROM ef""",
+        "col_profile": """
+WITH src AS (
+  SELECT CASE WHEN doc_id % 17 = 3 THEN NULL ELSE lang END AS lang,
+         source, n_chars
+  FROM documents
+), m AS (
+  SELECT 'lang' AS col, lang AS value FROM src
+  UNION ALL SELECT 'source', source FROM src
+  UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM src
+), c AS (
+  SELECT col, value, count(*) AS n FROM m GROUP BY col, value
+)
+SELECT col AS "column",
+       CAST(coalesce(sum(n) FILTER (WHERE value IS NOT NULL), 0) AS BIGINT) AS n_nonnull,
+       CAST(coalesce(sum(n) FILTER (WHERE value IS NULL), 0) AS BIGINT) AS n_null,
+       count(*) FILTER (WHERE value IS NOT NULL) AS n_distinct,
+       CAST(count(*) FILTER (WHERE value IS NOT NULL) AS DOUBLE)
+         / CAST(sum(n) FILTER (WHERE value IS NOT NULL) AS DOUBLE) AS distinctness,
+       CAST(count(*) FILTER (WHERE value IS NOT NULL AND n = 1) AS DOUBLE)
+         / CAST(sum(n) FILTER (WHERE value IS NOT NULL) AS DOUBLE) AS uniqueness,
+       CAST(count(*) FILTER (WHERE value IS NOT NULL AND n = 1) AS DOUBLE)
+         / CAST(count(*) FILTER (WHERE value IS NOT NULL) AS DOUBLE) AS unique_ratio,
+       CAST(max(n) FILTER (WHERE value IS NOT NULL) AS DOUBLE)
+         / CAST(sum(n) FILTER (WHERE value IS NOT NULL) AS DOUBLE) AS mode_share,
+       round(log2(CAST(sum(n) FILTER (WHERE value IS NOT NULL) AS DOUBLE))
+             - coalesce(sum(n * log2(CAST(n AS DOUBLE))) FILTER (WHERE value IS NOT NULL), 0.0)
+               / CAST(sum(n) FILTER (WHERE value IS NOT NULL) AS DOUBLE), 6) AS entropy
+FROM c GROUP BY col ORDER BY col""",
         "contamination": r"""
 WITH d AS (
   SELECT doc_id,

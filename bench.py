@@ -89,6 +89,7 @@ HEADLINE = [
     "suite_drift_profile",
     "minhash_incremental",
     "dedup_incremental",
+    "col_profile",
 ]
 
 PAGES_N = int(os.environ.get("DCS_BENCH_PAGES_N", "500000"))

@@ -423,3 +423,58 @@ def test_referential_hashed_dim_build_is_8_bytes(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert out.count() == 10
+
+
+# ------------------------------------------------------------ categorical profile
+def test_categorical_profile_hand_computed(spark):
+    """Entropy/distinctness/uniqueness/mode_share on a frame small
+    enough to verify by hand, including NULL accounting."""
+    import math
+
+    from data_check_spark.operators.stats import categorical_profile
+
+    # lang: a x4, b x2, c x1, NULL x1  -> N=7, distinct=3, once=1
+    rows = [("a",), ("a",), ("a",), ("a",), ("b",), ("b",), ("c",), (None,)]
+    df = spark.createDataFrame(rows, "lang string")
+    r = categorical_profile(df, ["lang"]).collect()[0]
+    assert r["column"] == "lang"
+    assert r["n_nonnull"] == 7 and r["n_null"] == 1 and r["n_distinct"] == 3
+    assert r["distinctness"] == 3 / 7
+    assert r["uniqueness"] == 1 / 7 and r["unique_ratio"] == 1 / 3
+    assert r["mode_share"] == 4 / 7
+    want = -(4 / 7 * math.log2(4 / 7) + 2 / 7 * math.log2(2 / 7) + 1 / 7 * math.log2(1 / 7))
+    assert abs(r["entropy"] - round(want, 6)) <= 1e-6
+
+
+def test_categorical_profile_constant_and_unique(spark):
+    """The two gate-relevant extremes: a constant column (entropy 0,
+    distinctness -> 0) and an all-unique column (entropy log2 N,
+    uniqueness 1)."""
+    from data_check_spark.operators.stats import categorical_profile
+
+    df = spark.range(64).select(
+        F.lit("only").alias("const_col"), F.col("id").cast("string").alias("key_col")
+    )
+    rows = {r["column"]: r for r in categorical_profile(df, ["const_col", "key_col"]).collect()}
+    c, k = rows["const_col"], rows["key_col"]
+    assert c["entropy"] == 0.0 and c["n_distinct"] == 1 and c["mode_share"] == 1.0
+    assert c["uniqueness"] == 0.0
+    assert k["entropy"] == 6.0 and k["uniqueness"] == 1.0 and k["unique_ratio"] == 1.0
+    assert k["distinctness"] == 1.0 and k["mode_share"] == 1 / 64
+
+
+def test_categorical_profile_one_scan(spark):
+    """Plan shape: any number of profiled columns reads the input ONCE
+    (melt via explode, no self-join/union of scans) and shuffles twice
+    (value counts, then per-column rollup)."""
+    from data_check_spark.operators.stats import categorical_profile
+
+    df = spark.range(1000).select(
+        (F.col("id") % 7).cast("string").alias("a"),
+        (F.col("id") % 11).cast("string").alias("b"),
+        (F.col("id") % 13).cast("string").alias("c"),
+    )
+    out = categorical_profile(df, ["a", "b", "c"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Generate explode") == 1
+    assert "Join" not in plan and "Union" not in plan
