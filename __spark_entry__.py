@@ -1165,6 +1165,32 @@ def _q_suite_expr(spark, sf_dir):
     return suite.run(spark, d, "source").verdicts
 
 
+def _q_suite_profile(spark, sf_dir):
+    """Declarative categorical-health gates (plans/suite.ProfileCheck)
+    riding the fused profile scan: lang must keep >=1 bit of entropy
+    with no value over 60% (both pass on the synth corpus) and source
+    must stay under 4 distinct values (fails: there are 20) — both
+    directions exercised. NULLs planted into lang (doc_id%17==3, the
+    col_profile construction) so the non-null renormalization is
+    oracle-checked. The DuckDB twin re-derives every verdict from raw
+    value counts."""
+    from data_check_spark.plans.suite import CheckSuite, ProfileCheck
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "lang",
+        F.when(F.col("doc_id") % 17 == 3, F.lit(None).cast("string")).otherwise(
+            F.col("lang")
+        ),
+    )
+    suite = CheckSuite(
+        [
+            ProfileCheck("lang", min_entropy=1.0, max_mode_share=0.6),
+            ProfileCheck("source", min_distinct=2, max_distinct=3),
+        ]
+    )
+    return suite.run(spark, d, "source").verdicts.orderBy("column", "check")
+
+
 _CONTAM_PHRASE = " zeta eta theta iota kappa lambda mu nu"
 
 
@@ -1566,6 +1592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suite_verdicts": _q_suite_verdicts,
         "suite_compare_verdicts": _q_suite_compare,
         "suite_expr_verdicts": _q_suite_expr,
+        "suite_profile_verdicts": _q_suite_profile,
         "suite_fingerprint": _q_suite_fingerprint,
         "fd_violations": _q_fd_violations,
         "suite_fd_verdicts": _q_suite_fd,
@@ -1942,6 +1969,29 @@ uniq AS (
 )
 SELECT part AS "partition", col AS "column", chk AS "check", metric, threshold, passed
 FROM (SELECT * FROM v UNION ALL SELECT * FROM summary UNION ALL SELECT * FROM uniq)""",
+        "suite_profile_verdicts": """
+WITH src AS (
+  SELECT CASE WHEN doc_id % 17 = 3 THEN NULL ELSE lang END AS lang, source
+  FROM documents
+), lc AS (
+  SELECT lang AS v, count(*) AS n FROM src WHERE lang IS NOT NULL GROUP BY lang
+), lm AS (
+  SELECT CAST(sum(n) AS DOUBLE) AS nt, max(n) AS mx,
+         sum(n * log2(CAST(n AS DOUBLE))) AS snl
+  FROM lc
+), sm AS (
+  SELECT count(DISTINCT source) AS nd FROM src WHERE source IS NOT NULL
+)
+SELECT '*' AS "partition", 'lang' AS "column", 'profile_entropy' AS "check",
+       round(log2(nt) - snl / nt, 6) AS metric, 1.0 AS threshold,
+       round(log2(nt) - snl / nt, 6) >= 1.0 AS passed FROM lm
+UNION ALL
+SELECT '*', 'lang', 'profile_mode_share', mx / nt, 0.6, mx / nt <= 0.6 FROM lm
+UNION ALL
+SELECT '*', 'source', 'profile_max_distinct', CAST(nd AS DOUBLE), 3.0, nd <= 3 FROM sm
+UNION ALL
+SELECT '*', 'source', 'profile_min_distinct', CAST(nd AS DOUBLE), 2.0, nd >= 2 FROM sm
+ORDER BY "column", "check" """,
         "suite_expr_verdicts": """
 WITH base AS (
   SELECT CAST(source AS VARCHAR) AS part,

@@ -90,6 +90,7 @@ HEADLINE = [
     "minhash_incremental",
     "dedup_incremental",
     "col_profile",
+    "suite_profile_verdicts",
 ]
 
 PAGES_N = int(os.environ.get("DCS_BENCH_PAGES_N", "500000"))

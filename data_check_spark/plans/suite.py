@@ -194,6 +194,57 @@ class KSDigestDriftCheck:
 
 
 @dataclass
+class ProfileCheck:
+    """Categorical column health gate from the SAME fused profile scan
+    the drift checks ride (operators/drift.drift_profile): the value
+    counts collapse to |categories| driver-side rows, from which up to
+    four verdicts are derived with zero extra table scans —
+
+      * ``profile_entropy``      Shannon entropy (bits) >= min_entropy
+                                 (a crawl collapsing to one language
+                                 drives lang entropy toward 0)
+      * ``profile_mode_share``   hottest value's share <= max_mode_share
+                                 (hot-value takeover / constant column)
+      * ``profile_min_distinct`` distinct non-null values >= min_distinct
+      * ``profile_max_distinct`` distinct non-null values <= max_distinct
+                                 (category-vocabulary explosion, e.g. a
+                                 lang column degrading to free text)
+
+    Metrics are over NON-NULL values (frequencies renormalized; the
+    profile scan keeps NULL as its own bucket, which the null-rate
+    gates in StatsCheck already cover). Entropy uses the algebraic
+    log2(N) − Σ n·log2 n / N over the exact value counts, rounded to
+    6 dp (operators/stats.categorical_profile's cross-engine
+    convention). A column with zero non-null values fails every
+    configured verdict closed (metric NULL). Global (partition='*'):
+    entropy is not partition-decomposable, and on resume the verdict
+    must not depend on crash state.
+
+    Scale: exact value counts shuffle one row per distinct value —
+    meant for categorical columns (lang, source, content_type), not
+    ~unique keys (there entropy ≈ log2 N and the right gate is the
+    HLL distinct count in StatsCheck)."""
+    column: str
+    min_entropy: float | None = None
+    max_mode_share: float | None = None
+    min_distinct: int | None = None
+    max_distinct: int | None = None
+
+    def __post_init__(self) -> None:
+        if (
+            self.min_entropy is None
+            and self.max_mode_share is None
+            and self.min_distinct is None
+            and self.max_distinct is None
+        ):
+            raise ValueError(
+                f"ProfileCheck({self.column!r}): configure at least one "
+                "of min_entropy / max_mode_share / min_distinct / "
+                "max_distinct"
+            )
+
+
+@dataclass
 class RepetitionCheck:
     """Gopher-style within-document repetition gate
     (functions/textstats.repetition_metrics): per-partition MEAN
@@ -580,6 +631,18 @@ class CheckSuite:
         nums = {c.name: (c.expr(), c.lo, c.hi, c.n_buckets) for c in fused_num}
         nums.update({c.name: (c.expr(), c.lo, c.hi, c.n_buckets) for c in fused_ks})
         cats = {c.column: F.col(c.column) for c in fused_cat}
+        profile_checks = [c for c in self.checks if isinstance(c, ProfileCheck)]
+        prof_cols = [c.column for c in profile_checks]
+        if len(set(prof_cols)) != len(prof_cols):
+            dup = sorted({c for c in prof_cols if prof_cols.count(c) > 1})
+            raise ValueError(
+                f"profile checks must have distinct columns (verdicts are "
+                f"keyed by column): duplicates {dup}"
+            )
+        # a ProfileCheck's value counts share the drift profile's kind
+        # key (the column name) — a CategoricalDriftCheck on the same
+        # column contributes the SAME rows, counted once
+        cats.update({c.column: F.col(c.column) for c in profile_checks})
 
         cmp_names = [c.name for c in self.checks if isinstance(c, CompareCheck)]
         if len(set(cmp_names)) != len(cmp_names):
@@ -713,7 +776,7 @@ class CheckSuite:
                     df.groupBy(part_s.alias("partition")).agg(*xaggs).collect
                 )
 
-            if fused_cat or fused_num or fused_ks:
+            if fused_cat or fused_num or fused_ks or profile_checks:
                 from data_check_spark.operators.drift import drift_profile
 
                 # profiles collapse to (kind, key, n, freq) rows
@@ -724,7 +787,7 @@ class CheckSuite:
                 if fused_stats is not None and (fused_num or fused_ks):
                     # numeric df-side profile falls out of the stats
                     # pass; scan only the cheap categorical columns
-                    if fused_cat:
+                    if cats:
                         futs["prof_df"] = pool.submit(
                             lambda: drift_profile(df, cats, {}).collect()
                         )
@@ -732,19 +795,28 @@ class CheckSuite:
                     futs["prof_df"] = pool.submit(
                         lambda: drift_profile(df, cats, nums).collect()
                     )
-                if reference_profile is not None:
-                    # stored profile stands in for the reference scan:
-                    # reading |categories|+|buckets| audit rows, not
-                    # the reference version's 100 TB
-                    futs["prof_ref"] = pool.submit(
-                        lambda: reference_profile.select(
-                            "kind", "key", "freq"
-                        ).collect()
-                    )
-                else:
-                    futs["prof_ref"] = pool.submit(
-                        lambda: drift_profile(reference_df, cats, nums).collect()
-                    )
+                # ProfileChecks need only this table's own counts — a
+                # profile-only suite never touches (or requires) a
+                # reference side
+                if fused_cat or fused_num or fused_ks:
+                    if reference_profile is not None:
+                        # stored profile stands in for the reference
+                        # scan: reading |categories|+|buckets| audit
+                        # rows, not the reference version's 100 TB
+                        futs["prof_ref"] = pool.submit(
+                            lambda: reference_profile.select(
+                                "kind", "key", "freq"
+                            ).collect()
+                        )
+                    else:
+                        # reference side scans only the DRIFT columns:
+                        # profile-only kinds have no reference use
+                        ref_cats = {c.column: F.col(c.column) for c in fused_cat}
+                        futs["prof_ref"] = pool.submit(
+                            lambda: drift_profile(
+                                reference_df, ref_cats, nums
+                            ).collect()
+                        )
 
             for chk in self.checks:
                 if isinstance(chk, UniquenessCheck):
@@ -926,7 +998,7 @@ class CheckSuite:
                         F.col("_fp_hi").alias("fp_hi"),
                     )
 
-            if fused_cat or fused_num or fused_ks:
+            if fused_cat or fused_num or fused_ks or profile_checks:
                 from data_check_spark.operators.drift import EPS
 
                 # prof1 = df-side profile: numeric part summed from
@@ -935,6 +1007,7 @@ class CheckSuite:
                 # the EPS floor applies identically), categorical part
                 # from the collected scan
                 prof1: dict[tuple, float] = {}
+                prof_n: dict[tuple, int] = {}  # exact counts (ProfileCheck)
                 if fused_stats is not None and (fused_num or fused_ks):
                     for name in nums:
                         buckets: dict[int, int] = {}
@@ -947,6 +1020,7 @@ class CheckSuite:
                             prof1[(name, str(pos))] = cnt / total
                 for r in (futs["prof_df"].result() if "prof_df" in futs else []):
                     prof1[(r["kind"], r["key"])] = r["freq"]
+                    prof_n[(r["kind"], r["key"])] = r["n"]
                 # THIS table's profile, exposed for persistence: the
                 # next version drifts against these rows instead of
                 # rescanning this table (run(reference_profile=...))
@@ -956,13 +1030,67 @@ class CheckSuite:
                     )],
                     "kind string, key string, freq double",
                 )
-                prof2 = {
-                    (r["kind"], r["key"]): r["freq"]
-                    for r in futs["prof_ref"].result()
-                }
+                drift_rows = []
+                for chk in profile_checks:
+                    # exact non-null value counts for this column —
+                    # zero extra scans, pure driver math over
+                    # |categories| collected rows
+                    kv = {
+                        ky: n
+                        for (kd, ky), n in prof_n.items()
+                        if kd == chk.column and ky is not None
+                    }
+                    n_total = sum(kv.values())
+                    nd = len(kv)
+                    if n_total > 0:
+                        # same algebraic form + 6dp rounding as
+                        # operators/stats.categorical_profile (keys
+                        # iterated sorted so the float sum is
+                        # run-order deterministic)
+                        entropy = round(
+                            math.log2(n_total)
+                            - sum(n * math.log2(n) for ky, n in sorted(kv.items()))
+                            / n_total,
+                            6,
+                        )
+                        mode_share = max(kv.values()) / n_total
+                    else:
+                        entropy = mode_share = None  # fail closed
+                    if chk.min_entropy is not None:
+                        drift_rows.append((
+                            "*", chk.column, "profile_entropy", entropy,
+                            float(chk.min_entropy),
+                            entropy is not None and entropy >= chk.min_entropy,
+                        ))
+                    if chk.max_mode_share is not None:
+                        drift_rows.append((
+                            "*", chk.column, "profile_mode_share", mode_share,
+                            float(chk.max_mode_share),
+                            mode_share is not None
+                            and mode_share <= chk.max_mode_share,
+                        ))
+                    if chk.min_distinct is not None:
+                        drift_rows.append((
+                            "*", chk.column, "profile_min_distinct", float(nd),
+                            float(chk.min_distinct),
+                            n_total > 0 and nd >= chk.min_distinct,
+                        ))
+                    if chk.max_distinct is not None:
+                        drift_rows.append((
+                            "*", chk.column, "profile_max_distinct", float(nd),
+                            float(chk.max_distinct),
+                            n_total > 0 and nd <= chk.max_distinct,
+                        ))
+                prof2 = (
+                    {
+                        (r["kind"], r["key"]): r["freq"]
+                        for r in futs["prof_ref"].result()
+                    }
+                    if "prof_ref" in futs
+                    else {}
+                )
                 th = {c.column: (c.max_psi, "psi_categorical") for c in fused_cat}
                 th.update({c.name: (c.max_psi, "psi_numeric") for c in fused_num})
-                drift_rows = []
                 for kind, (max_psi, check_name) in th.items():
                     keys = {ky for kd, ky in prof1 if kd == kind} | {
                         ky for kd, ky in prof2 if kd == kind
@@ -1396,8 +1524,8 @@ class CheckSuite:
                         "metric double, threshold double, passed boolean",
                     )
                 )
-            elif isinstance(chk, FingerprintCheck):
-                pass  # lineage-only: computed in/alongside the fused pass
+            elif isinstance(chk, (FingerprintCheck, ProfileCheck)):
+                pass  # computed in/alongside the fused profile pass
             else:
                 raise TypeError(f"unknown check type: {type(chk)}")
 
@@ -1465,6 +1593,7 @@ class CheckSuite:
             KSDigestDriftCheck,
             CompareCheck,
             NearDupCheck,
+            ProfileCheck,
         )
         drift_checks = [c for c in self.checks if isinstance(c, _GLOBAL)]
         scoped_checks = [c for c in self.checks if not isinstance(c, _GLOBAL)]

@@ -1006,3 +1006,97 @@ def test_schema_drift_vs_stored_schema(spark, pages, tmp_path):
         spark, pages, "warc_day"
     )
     assert ok.passed()
+
+
+# ------------------------------------------------------------ ProfileCheck
+def test_profile_check_hand_computed(spark):
+    """Entropy/mode/distinct verdicts on a frame verifiable by hand:
+    lang = a x4, b x2, c x1, NULL x1 -> non-null N=7, distinct=3,
+    entropy 1.378783, mode 4/7. No reference table required."""
+    import math
+
+    from data_check_spark.plans.suite import ProfileCheck
+
+    df = spark.createDataFrame(
+        [("a", "p0")] * 4 + [("b", "p0")] * 2 + [("c", "p1"), (None, "p1")],
+        "lang string, part string",
+    )
+    res = CheckSuite(
+        [ProfileCheck("lang", min_entropy=1.0, max_mode_share=0.5,
+                      min_distinct=2, max_distinct=10)]
+    ).run(spark, df, "part")
+    v = {r["check"]: r for r in res.verdicts.collect()}
+    want = -(4/7 * math.log2(4/7) + 2/7 * math.log2(2/7) + 1/7 * math.log2(1/7))
+    assert v["profile_entropy"]["metric"] == round(want, 6)
+    assert v["profile_entropy"]["passed"]
+    assert v["profile_mode_share"]["metric"] == 4 / 7
+    assert not v["profile_mode_share"]["passed"]  # 0.571 > 0.5
+    assert v["profile_min_distinct"]["metric"] == 3.0 and v["profile_min_distinct"]["passed"]
+    assert v["profile_max_distinct"]["passed"]
+    assert all(r["partition"] == "*" for r in res.verdicts.collect())
+    assert not res.passed()
+
+
+def test_profile_check_fail_closed_and_guards(spark):
+    """All-NULL column fails every configured verdict closed (metric
+    NULL); duplicate columns and all-None thresholds are rejected."""
+    from data_check_spark.plans.suite import ProfileCheck
+
+    df = spark.createDataFrame([(None, "p0")], "lang string, part string")
+    res = CheckSuite([ProfileCheck("lang", min_entropy=0.1)]).run(spark, df, "part")
+    r = res.verdicts.collect()[0]
+    assert r["metric"] is None and not r["passed"]
+
+    with pytest.raises(ValueError, match="duplicates"):
+        CheckSuite(
+            [ProfileCheck("lang", min_entropy=0.1),
+             ProfileCheck("lang", max_mode_share=0.5)]
+        ).run(spark, df, "part")
+    with pytest.raises(ValueError, match="at least one"):
+        ProfileCheck("lang")
+
+
+def test_profile_check_shares_drift_scan(spark, pages):
+    """A ProfileCheck and a CategoricalDriftCheck on the SAME column
+    share the profile kind: both verdicts come out correct, and the
+    persisted drift profile carries the column's counts ONCE."""
+    from data_check_spark.plans.suite import ProfileCheck
+
+    res = CheckSuite(
+        [
+            CategoricalDriftCheck(column="lang", max_psi=10.0),
+            ProfileCheck("lang", min_entropy=0.5, max_mode_share=0.99),
+        ]
+    ).run(spark, pages, "warc_day", reference_df=pages)
+    v = {r["check"]: r for r in res.verdicts.collect()}
+    assert v["psi_categorical"]["metric"] == 0.0  # self-drift
+    assert v["profile_entropy"]["passed"] and v["profile_mode_share"]["passed"]
+    langs = pages.filter("lang is not null").select("lang").distinct().count()
+    prof_kinds = res.drift_profile.filter("kind = 'lang'").count()
+    nulls = pages.filter("lang is null").count()
+    assert prof_kinds == langs + (1 if nulls else 0)  # once, not twice
+    res.unpersist()
+
+
+def test_profile_check_resume_matches_uninterrupted(spark, pages, tmp_path):
+    """ProfileCheck is global: a resumed run reports the same verdict
+    as an uninterrupted one (entropy is not partition-decomposable)."""
+    from data_check_spark.plans.suite import ProfileCheck
+
+    checks = [
+        StatsCheck(thresholds={"text": {"max_null_rate": 0.05}}),
+        ProfileCheck("lang", min_entropy=0.5),
+    ]
+    full = CheckSuite(checks).run(spark, pages, "warc_day")
+    expected = full.verdicts.filter("check = 'profile_entropy'").collect()[0]
+
+    man = Manifest(str(tmp_path / "m_prof"))
+    parts = sorted(str(r[0]) for r in pages.select("warc_day").distinct().collect())
+    for p in parts[: len(parts) // 2]:
+        man.mark_complete(p, run_id="prior", metrics={})
+    res = CheckSuite(checks).run_resumable(spark, pages, "warc_day", man)
+    got = res.verdicts.filter("check = 'profile_entropy'").collect()
+    assert len(got) == 1
+    assert got[0]["metric"] == expected["metric"]
+    assert got[0]["passed"] == expected["passed"]
+    full.unpersist(); res.unpersist()
