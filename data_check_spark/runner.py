@@ -38,6 +38,8 @@ def default_pages_suite(
     with_repetition: bool = False,
     with_fd: bool = False,
     neardup_gate: float | None = None,
+    lang_min_entropy: float | None = None,
+    lang_max_mode_share: float | None = None,
 ) -> CheckSuite:
     """The standard web-pages validation suite. ``with_repetition``
     adds the Gopher boilerplate gate (one extra scan of (partition,
@@ -102,6 +104,20 @@ def default_pages_suite(
         from data_check_spark.plans.suite import FunctionalDependencyCheck
 
         checks.append(FunctionalDependencyCheck("url", ("text",)))
+    if lang_min_entropy is not None or lang_max_mode_share is not None:
+        from data_check_spark.plans.suite import ProfileCheck
+
+        # categorical-health gate on lang: entropy collapse (crawl
+        # degraded to one language) / hot-value takeover; rides the
+        # drift checks' fused profile scan — zero extra scans when
+        # drift is on, one |categories|-row profile scan when not
+        checks.append(
+            ProfileCheck(
+                "lang",
+                min_entropy=lang_min_entropy,
+                max_mode_share=lang_max_mode_share,
+            )
+        )
     if neardup_gate is not None:
         from data_check_spark.plans.suite import NearDupCheck
 
@@ -151,6 +167,23 @@ def main(argv: list[str] | None = None) -> int:
         "by url) exceeds FRAC; violations dump the non-exemplar "
         "members with cluster labels",
     )
+    ap.add_argument(
+        "--lang-min-entropy",
+        type=float,
+        default=None,
+        metavar="BITS",
+        help="add a ProfileCheck on lang: fail when the language "
+        "distribution's Shannon entropy drops below BITS (a crawl "
+        "collapsing to one language); rides the drift profile scan",
+    )
+    ap.add_argument(
+        "--lang-max-mode-share",
+        type=float,
+        default=None,
+        metavar="FRAC",
+        help="add a ProfileCheck on lang: fail when any single "
+        "language exceeds FRAC of non-null rows",
+    )
     args = ap.parse_args(argv)
 
     spark = SparkSession.builder.appName("data-check-spark-runner").getOrCreate()
@@ -185,6 +218,8 @@ def main(argv: list[str] | None = None) -> int:
     suite = default_pages_suite(
         with_drift=ref is not None or ref_profile is not None,
         neardup_gate=args.neardup_gate,
+        lang_min_entropy=args.lang_min_entropy,
+        lang_max_mode_share=args.lang_max_mode_share,
     )
     if args.schema_from_audit:
         from data_check_spark.plans.suite import SchemaCheck, schema_from_audit

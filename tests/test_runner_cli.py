@@ -33,3 +33,27 @@ def test_runner_synthesize_with_neardup_gate(spark, tmp_path):
     # resume: everything complete -> nothing pending
     assert main(["--synthesize", "2000", "--out", out,
                  "--partitions", "4"]) == 2
+
+
+def test_runner_lang_profile_gate(spark, tmp_path):
+    """--lang-min-entropy / --lang-max-mode-share wire a ProfileCheck
+    on lang into the default suite: the global '*' verdicts land in
+    the audit, and the synth corpus's ~uniform language mix passes a
+    loose gate."""
+    out = str(tmp_path / "run_prof")
+    rc = main([
+        "--synthesize", "2000",
+        "--out", out,
+        "--partitions", "4",
+        "--lang-min-entropy", "0.5",
+        "--lang-max-mode-share", "0.95",
+    ])
+    audit = spark.read.parquet(f"{out}/audit/verdicts")
+    prof = {r["check"]: r for r in
+            audit.filter(F.col("check").startswith("profile_")).collect()}
+    assert set(prof) == {"profile_entropy", "profile_mode_share"}
+    assert all(r["partition"] == "*" for r in prof.values())
+    assert prof["profile_entropy"]["passed"]  # synth mix is multi-lang
+    assert prof["profile_mode_share"]["passed"]
+    failed = audit.filter(~F.col("passed")).count()
+    assert rc == (0 if failed == 0 else 1)
