@@ -1375,6 +1375,29 @@ def _q_col_profile(spark, sf_dir):
     return categorical_profile(d, ["lang", "source", "n_chars"])
 
 
+def _q_suggest_constraints(spark, sf_dir):
+    """Constraint suggestion (plans/suggest.suggest_constraints):
+    profile documents once and emit the gates a new user should start
+    from — null-rate locks/slack gates, candidate keys, categorical
+    vocabulary ceilings, per-partition volume floor. Partition-aware
+    (partition_col='source': null gates derive from the HOTTEST
+    partition, the volume floor from the SMALLEST) and exact
+    (approx=False) so the DuckDB twin re-derives every rule from raw
+    counts. NULLs planted into lang (doc_id%17==3, the col_profile
+    construction) so the slack path fires. The reference has no
+    counterpart — its user supplies the checks (models/table.py);
+    this is the inverse direction a 10^12-row onboarding needs."""
+    from data_check_spark.plans.suggest import suggest_constraints
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "lang",
+        F.when(F.col("doc_id") % 17 == 3, F.lit(None).cast("string")).otherwise(
+            F.col("lang")
+        ),
+    )
+    return suggest_constraints(d, partition_col="source", approx=False)
+
+
 def _q_contamination(spark, sf_dir):
     """Benchmark-contamination counts per train doc (operators/dedup.
     contamination_check): eval = doc_id%10==0, train = the rest; a
@@ -1603,6 +1626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": _q_contamination,
         "outlier_counts": _q_outlier_counts,
         "col_profile": _q_col_profile,
+        "suggest_constraints": _q_suggest_constraints,
         "pack_contract": _q_pack_contract,
         "embedding_stats": _q_embedding_stats,
         "train_split": _q_train_split,
@@ -2452,6 +2476,75 @@ SELECT col AS "column",
              - coalesce(sum(n * log2(CAST(n AS DOUBLE))) FILTER (WHERE value IS NOT NULL), 0.0)
                / CAST(sum(n) FILTER (WHERE value IS NOT NULL) AS DOUBLE), 6) AS entropy
 FROM c GROUP BY col ORDER BY col""",
+        "suggest_constraints": """
+WITH d AS (
+  SELECT doc_id, text,
+         CASE WHEN doc_id % 17 = 3 THEN NULL ELSE lang END AS lang,
+         source, n_chars
+  FROM documents
+), g AS (
+  SELECT 'doc_id' AS col, FALSE AS is_string, count(*) AS n_rows,
+         count(*) FILTER (WHERE doc_id IS NULL) AS n_null,
+         count(DISTINCT doc_id) AS n_distinct FROM d
+  UNION ALL SELECT 'text', TRUE, count(*),
+         count(*) FILTER (WHERE text IS NULL), count(DISTINCT text) FROM d
+  UNION ALL SELECT 'lang', TRUE, count(*),
+         count(*) FILTER (WHERE lang IS NULL), count(DISTINCT lang) FROM d
+  UNION ALL SELECT 'source', TRUE, count(*),
+         count(*) FILTER (WHERE source IS NULL), count(DISTINCT source) FROM d
+  UNION ALL SELECT 'n_chars', FALSE, count(*),
+         count(*) FILTER (WHERE n_chars IS NULL), count(DISTINCT n_chars) FROM d
+), p AS (
+  SELECT source AS part, count(*) AS pn,
+         count(*) FILTER (WHERE doc_id IS NULL) AS nn_doc_id,
+         count(*) FILTER (WHERE text IS NULL) AS nn_text,
+         count(*) FILTER (WHERE lang IS NULL) AS nn_lang,
+         count(*) FILTER (WHERE source IS NULL) AS nn_source,
+         count(*) FILTER (WHERE n_chars IS NULL) AS nn_n_chars
+  FROM d GROUP BY source
+), r AS (
+  SELECT min(pn) AS min_part_rows,
+         max(nn_doc_id / CAST(pn AS DOUBLE)) AS mr_doc_id,
+         max(nn_text / CAST(pn AS DOUBLE)) AS mr_text,
+         max(nn_lang / CAST(pn AS DOUBLE)) AS mr_lang,
+         max(nn_source / CAST(pn AS DOUBLE)) AS mr_source,
+         max(nn_n_chars / CAST(pn AS DOUBLE)) AS mr_n_chars
+  FROM p
+), gm AS (
+  SELECT g.*,
+         greatest(CAST(n_null AS DOUBLE) / n_rows,
+                  CASE g.col WHEN 'doc_id' THEN r.mr_doc_id
+                             WHEN 'text' THEN r.mr_text
+                             WHEN 'lang' THEN r.mr_lang
+                             WHEN 'source' THEN r.mr_source
+                             ELSE r.mr_n_chars END) AS gate_rate
+  FROM g, r
+)
+SELECT col AS "column", 'stats' AS check_kind, 'max_null_rate' AS param,
+       CASE WHEN n_null = 0 THEN 0.0
+            ELSE round(least(1.0, gate_rate * 1.25 + 0.001), 6) END AS value,
+       round(gate_rate, 6) AS observed,
+       CASE WHEN n_null = 0 THEN 'column is complete; lock it in'
+            ELSE 'observed null rate with slack' END AS rationale
+FROM gm
+UNION ALL
+SELECT col, 'uniqueness', 'max_duplicate_keys', 0.0,
+       round(CAST(n_distinct AS DOUBLE) / (n_rows - n_null), 6),
+       'values are distinct; candidate key'
+FROM gm
+WHERE n_null = 0 AND n_rows > 0
+  AND CAST(n_distinct AS DOUBLE) / n_rows >= 1.0
+UNION ALL
+SELECT col, 'profile', 'max_distinct', ceil(n_distinct * 1.5),
+       CAST(n_distinct AS DOUBLE),
+       'low-cardinality vocabulary; gate its growth'
+FROM gm WHERE is_string AND n_distinct BETWEEN 2 AND 100
+UNION ALL
+SELECT '*', 'table', 'min_rows',
+       CAST(floor(min_part_rows * 0.5) AS DOUBLE),
+       CAST(min_part_rows AS DOUBLE),
+       'per-partition floor at half the smallest partition'
+FROM r""",
         "contamination": r"""
 WITH d AS (
   SELECT doc_id,
