@@ -1398,6 +1398,42 @@ def _q_suggest_constraints(spark, sf_dir):
     return suggest_constraints(d, partition_col="source", approx=False)
 
 
+def _q_metric_anomalies(spark, sf_dir):
+    """Metric-history anomaly gate (plans/history.metric_anomalies):
+    median/MAD verdicts over an audit trail of per-run metrics — the
+    deequ anomaly-detection direction the reference lacks (it compares
+    two tables, never a table against its own past). The audit trail
+    is synthesized deterministically from documents: five pseudo-runs
+    ((doc_id%97)%5 slices — 97 is coprime with the source period so
+    every (run, source) cell is populated and every key carries a
+    4-run history; plain doc_id%5 would align runs with sources and
+    leave only the NULL-history path), metric = per-source mean
+    n_chars (integer-sum mean — cross-engine exact at any summation
+    order), current run = 'r4' judged against r0-r3 with k=1 MAD and
+    a 1% relative floor. The DuckDB twin re-derives median, MAD,
+    tolerance and verdicts from the same slices."""
+    from data_check_spark.plans.history import metric_anomalies
+
+    d = _t(spark, sf_dir, "documents")
+    audit = (
+        d.groupBy(
+            F.concat(
+                F.lit("r"), ((F.col("doc_id") % 97) % 5).cast("string")
+            ).alias("run_id"),
+            F.col("source"),
+        )
+        .agg(F.round(F.avg("n_chars"), 6).alias("metric"))
+        .select(
+            "run_id",
+            F.lit("*").alias("partition"),
+            F.col("source").alias("column"),
+            F.lit("avg_n_chars").alias("check"),
+            "metric",
+        )
+    )
+    return metric_anomalies(audit, "r4", k=1.0, min_rel=0.01)
+
+
 def _q_contamination(spark, sf_dir):
     """Benchmark-contamination counts per train doc (operators/dedup.
     contamination_check): eval = doc_id%10==0, train = the rest; a
@@ -1627,6 +1663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlier_counts": _q_outlier_counts,
         "col_profile": _q_col_profile,
         "suggest_constraints": _q_suggest_constraints,
+        "metric_anomalies": _q_metric_anomalies,
         "pack_contract": _q_pack_contract,
         "embedding_stats": _q_embedding_stats,
         "train_split": _q_train_split,
@@ -2545,6 +2582,34 @@ SELECT '*', 'table', 'min_rows',
        CAST(min_part_rows AS DOUBLE),
        'per-partition floor at half the smallest partition'
 FROM r""",
+        "metric_anomalies": """
+WITH a AS (
+  SELECT 'r' || CAST((doc_id % 97) % 5 AS VARCHAR) AS run_id,
+         '*' AS part, source AS col, 'avg_n_chars' AS chk,
+         round(avg(n_chars), 6) AS metric
+  FROM documents GROUP BY 1, source
+), cur AS (SELECT * FROM a WHERE run_id = 'r4'),
+h AS (SELECT * FROM a WHERE run_id <> 'r4'),
+m AS (
+  SELECT part, col, chk, median(metric) AS hm, count(*) AS nh
+  FROM h GROUP BY part, col, chk
+), d2 AS (
+  SELECT h.part, h.col, h.chk, median(abs(h.metric - m.hm)) AS hmad
+  FROM h JOIN m USING (part, col, chk) GROUP BY h.part, h.col, h.chk
+)
+SELECT cur.part AS "partition", cur.col AS "column", cur.chk AS "check",
+       cur.metric AS metric,
+       round(m.hm, 6) AS history_median,
+       round(d2.hmad, 6) AS history_mad,
+       coalesce(m.nh, 0) AS n_history,
+       round(greatest(1.0 * d2.hmad, 0.0, 0.01 * abs(m.hm)), 6) AS tolerance,
+       CASE WHEN m.hm IS NULL OR m.nh < 3 THEN TRUE
+            ELSE abs(cur.metric - m.hm)
+                 <= greatest(1.0 * d2.hmad, 0.0, 0.01 * abs(m.hm)) END AS passed
+FROM cur
+LEFT JOIN m USING (part, col, chk)
+LEFT JOIN d2 USING (part, col, chk)
+ORDER BY "partition", "column", "check" """,
         "contamination": r"""
 WITH d AS (
   SELECT doc_id,

@@ -184,6 +184,18 @@ def main(argv: list[str] | None = None) -> int:
         help="add a ProfileCheck on lang: fail when any single "
         "language exceeds FRAC of non-null rows",
     )
+    ap.add_argument(
+        "--anomaly-gate",
+        type=float,
+        default=None,
+        metavar="K",
+        help="after the suite, gate this run's metrics against the "
+        "audit history of previous runs: fail when a metric moves "
+        "more than K MADs from its per-(partition, column, check) "
+        "historical median (1%% relative floor so constant histories "
+        "don't flag float dust); runs with fewer than 3 prior runs "
+        "pass — the gate arms itself as the audit trail grows",
+    )
     args = ap.parse_args(argv)
 
     spark = SparkSession.builder.appName("data-check-spark-runner").getOrCreate()
@@ -259,6 +271,26 @@ def main(argv: list[str] | None = None) -> int:
     failed = result.verdicts.filter(~F.col("passed")).count()
     total = result.verdicts.count()
     print(f"run_id={result.run_id} verdicts={total} failed={failed}")
+    if args.anomaly_gate is not None:
+        from data_check_spark.plans.history import audit_anomalies
+
+        anom = audit_anomalies(
+            spark,
+            f"{args.out}/audit",
+            result.run_id,
+            k=args.anomaly_gate,
+            min_rel=0.01,
+        ).cache()
+        n_anom = anom.filter(~F.col("passed")).count()
+        print(f"anomaly gate: {n_anom} metric(s) off historical median")
+        for r in anom.filter(~F.col("passed")).limit(20).collect():
+            print(
+                f"  ANOMALY {r['partition']}/{r['column']}/{r['check']}: "
+                f"{r['metric']} vs median {r['history_median']} "
+                f"(+/- {r['tolerance']}, n={r['n_history']})"
+            )
+        anom.unpersist()
+        failed += n_anom
     return 0 if failed == 0 else 1
 
 
