@@ -1434,6 +1434,51 @@ def _q_metric_anomalies(spark, sf_dir):
     return metric_anomalies(audit, "r4", k=1.0, min_rel=0.01)
 
 
+def _q_quarantine(spark, sf_dir):
+    """Quarantine routing (operators/quarantine.route_rows): every row
+    flows on or lands in quarantine with the sorted list of rules it
+    broke — the unbounded filter-and-quarantine pass in front of an
+    ingest, complementing the suite's bounded violation dumps. Planted
+    dirt, identical construction in the DuckDB twin: NULL langs
+    (doc_id%17==3), a pk that collides in pairs (doc_id%10==9 maps to
+    doc_id-1 — exercising the unique rule's min-id exemplar keep AND
+    the fd rule poisoning both members, since the pair's texts
+    differ). Reasons ship comma-joined (the driver compare is
+    array-free by contract)."""
+    from data_check_spark.operators.quarantine import (
+        ExprRule,
+        FDRule,
+        NotNullRule,
+        UniqueRule,
+        route_rows,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.when(F.col("doc_id") % 17 == 3, F.lit(None).cast("string"))
+        .otherwise(F.col("lang"))
+        .alias("lang"),
+        F.when(F.col("doc_id") % 10 == 9, F.col("doc_id") - 1)
+        .otherwise(F.col("doc_id"))
+        .alias("pk"),
+    )
+    routed = route_rows(
+        d,
+        [
+            ExprRule("text_nonempty", "length(text) > 0"),
+            NotNullRule("lang"),
+            UniqueRule("pk", id_col="doc_id"),
+            FDRule("pk", deps=("text",)),
+        ],
+    )
+    return routed.select(
+        "doc_id",
+        F.array_join("quarantine_reasons", ",").alias("reasons"),
+        (F.size("quarantine_reasons") == 0).alias("is_clean"),
+    )
+
+
 def _q_contamination(spark, sf_dir):
     """Benchmark-contamination counts per train doc (operators/dedup.
     contamination_check): eval = doc_id%10==0, train = the rest; a
@@ -1664,6 +1709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "col_profile": _q_col_profile,
         "suggest_constraints": _q_suggest_constraints,
         "metric_anomalies": _q_metric_anomalies,
+        "quarantine": _q_quarantine,
         "pack_contract": _q_pack_contract,
         "embedding_stats": _q_embedding_stats,
         "train_split": _q_train_split,
@@ -2610,6 +2656,32 @@ FROM cur
 LEFT JOIN m USING (part, col, chk)
 LEFT JOIN d2 USING (part, col, chk)
 ORDER BY "partition", "column", "check" """,
+        "quarantine": """
+WITH d AS (
+  SELECT doc_id, text,
+         CASE WHEN doc_id % 17 = 3 THEN NULL ELSE lang END AS lang,
+         CASE WHEN doc_id % 10 = 9 THEN doc_id - 1 ELSE doc_id END AS pk
+  FROM documents
+), g AS (
+  SELECT pk, count(*) AS n, min(doc_id) AS exemplar,
+         count(DISTINCT text) AS nv
+  FROM d GROUP BY pk
+), r AS (
+  SELECT d.doc_id,
+         list_sort(list_filter([
+           CASE WHEN NOT coalesce(length(d.text) > 0, FALSE)
+                THEN 'expr:text_nonempty' END,
+           CASE WHEN d.lang IS NULL THEN 'not_null:lang' END,
+           CASE WHEN g.n > 1 AND d.doc_id <> g.exemplar
+                THEN 'unique:pk' END,
+           CASE WHEN g.nv > 1 THEN 'fd:pk' END
+         ], x -> x IS NOT NULL)) AS reasons
+  FROM d JOIN g USING (pk)
+)
+SELECT doc_id,
+       coalesce(array_to_string(reasons, ','), '') AS reasons,
+       len(reasons) = 0 AS is_clean
+FROM r""",
         "contamination": r"""
 WITH d AS (
   SELECT doc_id,

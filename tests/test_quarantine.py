@@ -1,0 +1,86 @@
+"""Quarantine routing (operators/quarantine.py): per-rule reasons,
+exemplar keeping, fail-closed expr semantics, split round-trip, and
+the no-shuffle plan shape of row-local rules."""
+
+from pyspark.sql import functions as F
+
+from data_check_spark.operators.quarantine import (
+    ExprRule,
+    FDRule,
+    NotNullRule,
+    UniqueRule,
+    route_rows,
+    split,
+)
+
+
+def _pages(spark):
+    rows = [
+        # id, url, text, lang
+        (1, "http://a", "alpha", "en"),
+        (2, "http://b", "beta", "en"),
+        (3, "http://b", "beta", "en"),        # dup url, same text (unique viol)
+        (4, "http://c", "gamma", "fr"),
+        (5, "http://c", "DIFFERENT", "fr"),   # dup url, text varies (fd viol too)
+        (6, "ftp://d", "delta", None),        # bad scheme + null lang
+        (7, "http://e", None, "de"),          # null text -> expr is NULL
+    ]
+    return spark.createDataFrame(rows, "id long, url string, text string, lang string")
+
+
+RULES = [
+    ExprRule("http_scheme", "url LIKE 'http%'"),
+    ExprRule("text_nonempty", "length(text) > 0"),
+    NotNullRule("lang"),
+    UniqueRule("url", id_col="id"),
+    FDRule("url", deps=("text",)),
+]
+
+
+def _reasons(spark):
+    routed = route_rows(_pages(spark), RULES)
+    return {r["id"]: sorted(r["quarantine_reasons"]) for r in routed.collect()}
+
+
+def test_reasons_per_row(spark):
+    got = _reasons(spark)
+    assert got[1] == []
+    assert got[2] == []                       # exemplar of the url-b group
+    assert got[3] == ["unique:url"]           # non-exemplar twin
+    assert got[4] == ["fd:url"]               # fd poisons the WHOLE group,
+    assert got[5] == ["fd:url", "unique:url"]  # exemplar incl.; twin both
+    assert got[6] == ["expr:http_scheme", "not_null:lang"]
+    # NULL text: length(text) is NULL -> fail-closed
+    assert got[7] == ["expr:text_nonempty"]
+
+
+def test_keep_exemplar_false_quarantines_whole_group(spark):
+    rules = [UniqueRule("url", id_col="id", keep_exemplar=False)]
+    routed = route_rows(_pages(spark), rules)
+    got = {r["id"]: list(r["quarantine_reasons"]) for r in routed.collect()}
+    assert got[2] == ["unique:url"] and got[3] == ["unique:url"]
+    assert got[1] == []
+
+
+def test_split_partitions_the_table(spark):
+    routed = route_rows(_pages(spark), RULES).persist()
+    clean, quarantined = split(routed)
+    assert {r["id"] for r in clean.collect()} == {1, 2}
+    assert "quarantine_reasons" not in clean.columns
+    assert quarantined.count() == 5
+    assert clean.count() + quarantined.count() == 7
+    routed.unpersist()
+
+
+def test_row_local_rules_need_no_shuffle(spark):
+    """expr/not_null-only routing must stay a pure projection: no
+    Exchange in the optimized plan."""
+    rules = [ExprRule("nonempty", "length(text) > 0"), NotNullRule("lang")]
+    routed = route_rows(_pages(spark), rules)
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_empty_rules_all_clean(spark):
+    routed = route_rows(_pages(spark), [])
+    assert routed.filter(F.size("quarantine_reasons") > 0).count() == 0
