@@ -185,6 +185,18 @@ def main(argv: list[str] | None = None) -> int:
         "language exceeds FRAC of non-null rows",
     )
     ap.add_argument(
+        "--route-out",
+        default=None,
+        metavar="DIR",
+        help="also run the quarantine router: write every input row to "
+        "DIR/clean or DIR/quarantine (the latter with a "
+        "quarantine_reasons column) per the standard pages rules — "
+        "text/lang not null, url unique (whole duplicate groups "
+        "quarantined: synth/crawl dup rows are byte-identical, so "
+        "there is no deterministic exemplar to keep), url -> "
+        "byte-identical text",
+    )
+    ap.add_argument(
         "--anomaly-gate",
         type=float,
         default=None,
@@ -268,6 +280,30 @@ def main(argv: list[str] | None = None) -> int:
             boot, f"{args.out}/audit/drift_profiles", result.run_id, "drift_profile"
         )
         print("bootstrapped drift profile for the next version")
+    if args.route_out:
+        from data_check_spark.operators.quarantine import (
+            FDRule,
+            NotNullRule,
+            UniqueRule,
+            route_rows,
+            split,
+        )
+
+        routed = route_rows(
+            df,
+            [
+                NotNullRule("text"),
+                NotNullRule("lang"),
+                UniqueRule("url", id_col="warc_ts", keep_exemplar=False),
+                FDRule("url", deps=("text",)),
+            ],
+        ).persist()
+        clean, quarantined = split(routed)
+        clean.write.mode("overwrite").parquet(f"{args.route_out}/clean")
+        quarantined.write.mode("overwrite").parquet(f"{args.route_out}/quarantine")
+        n_q = quarantined.count()
+        routed.unpersist()
+        print(f"routed: {n_q} row(s) quarantined to {args.route_out}/quarantine")
     failed = result.verdicts.filter(~F.col("passed")).count()
     total = result.verdicts.count()
     print(f"run_id={result.run_id} verdicts={total} failed={failed}")

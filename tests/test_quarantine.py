@@ -84,3 +84,36 @@ def test_row_local_rules_need_no_shuffle(spark):
 def test_empty_rules_all_clean(spark):
     routed = route_rows(_pages(spark), [])
     assert routed.filter(F.size("quarantine_reasons") > 0).count() == 0
+
+
+def test_runner_route_out(spark, tmp_path):
+    """--route-out splits the synth corpus: clean has no NULL
+    text/lang and no duplicated urls; quarantine carries reasons;
+    the two sides partition the input exactly."""
+    from data_check_spark.runner import main
+
+    out = str(tmp_path / "run_route")
+    route = str(tmp_path / "routed")
+    main([
+        "--synthesize", "2000",
+        "--out", out,
+        "--partitions", "4",
+        "--route-out", route,
+    ])
+    clean = spark.read.parquet(f"{route}/clean")
+    quar = spark.read.parquet(f"{route}/quarantine")
+    assert clean.count() + quar.count() == 2000
+    assert clean.filter(
+        F.col("text").isNull() | F.col("lang").isNull()
+    ).count() == 0
+    dup_urls = clean.groupBy("url").count().filter(F.col("count") > 1)
+    assert dup_urls.count() == 0
+    # synth plants ~2% dup urls + ~1%/2% null text/lang: dirt exists
+    assert quar.count() > 0
+    assert quar.filter(F.size("quarantine_reasons") == 0).count() == 0
+    reasons = {
+        x
+        for r in quar.select("quarantine_reasons").collect()
+        for x in r["quarantine_reasons"]
+    }
+    assert {"not_null:text", "not_null:lang", "unique:url"} <= reasons
