@@ -116,6 +116,20 @@ def test_global_mode_omits_min_rows_from_suite(spark):
     assert res.verdicts.filter(F.col("check") == "min_rows").count() == 0
 
 
+def test_hll_mode_plan_has_no_expand(spark):
+    """approx=True (the 100 TB default) must keep the profile a plain
+    fused aggregation: exact countDistinct would insert an Expand node
+    (scan output multiplied per distinct-agg); HLL must not."""
+    d = _pages(spark)
+    plan = (
+        suggest_constraints(d, approx=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Expand" not in plan
+
+
 def test_hll_mode_still_finds_unique_key(spark):
     """approx=True resolves the uniqueness threshold to 0.95 so the
     HLL estimate (~2% rsd) still flags genuinely-unique columns."""
