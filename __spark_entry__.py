@@ -1479,6 +1479,33 @@ def _q_quarantine(spark, sf_dir):
     )
 
 
+def _q_quarantine_gopher(spark, sf_dir):
+    """Gopher §A1 quality routing (operators/quarantine.gopher_rules,
+    Rae et al. 2021): the standard pre-training curation gates (word
+    count, mean word length, alphabetic-word fraction, bullet/ellipsis
+    line fractions) as a shuffle-free route_rows pack over documents.
+    The synth corpus's repeat-count spread (1-64 phrase repeats) makes
+    min_words fire on short docs while long ones pass, so both verdict
+    directions are oracle-checked; the DuckDB twin re-derives every
+    metric from the same regex definitions the proven token-stats
+    oracles use, including the fail-closed NULL semantics (NULL text
+    planted via doc_id%23==5)."""
+    from data_check_spark.operators.quarantine import gopher_rules, route_rows
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 23 == 5, F.lit(None).cast("string"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    routed = route_rows(d, gopher_rules())
+    return routed.select(
+        "doc_id",
+        F.array_join("quarantine_reasons", ",").alias("reasons"),
+        (F.size("quarantine_reasons") == 0).alias("is_clean"),
+    )
+
+
 def _q_contamination(spark, sf_dir):
     """Benchmark-contamination counts per train doc (operators/dedup.
     contamination_check): eval = doc_id%10==0, train = the rest; a
@@ -1710,6 +1737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_constraints": _q_suggest_constraints,
         "metric_anomalies": _q_metric_anomalies,
         "quarantine": _q_quarantine,
+        "quarantine_gopher": _q_quarantine_gopher,
         "pack_contract": _q_pack_contract,
         "embedding_stats": _q_embedding_stats,
         "train_split": _q_train_split,
@@ -2677,6 +2705,54 @@ WITH d AS (
            CASE WHEN g.nv > 1 THEN 'fd:pk' END
          ], x -> x IS NOT NULL)) AS reasons
   FROM d JOIN g USING (pk)
+)
+SELECT doc_id,
+       coalesce(array_to_string(reasons, ','), '') AS reasons,
+       len(reasons) = 0 AS is_clean
+FROM r""",
+        "quarantine_gopher": r"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 23 = 5 THEN NULL ELSE text END AS text
+  FROM documents
+), m AS (
+  SELECT doc_id, text,
+         len(regexp_extract_all(text, '\S+')) * 1.0 AS n_tok,
+         length(regexp_replace(text, '\s', '', 'g')) * 1.0
+           / nullif(len(regexp_extract_all(text, '\S+')), 0) AS mwl,
+         len(list_filter(regexp_extract_all(text, '\S+'),
+                         x -> regexp_matches(x, '[A-Za-z]'))) * 1.0
+           / nullif(len(regexp_extract_all(text, '\S+')), 0) AS alpha,
+         list_filter(str_split(text, chr(10)),
+                     l -> length(trim(l)) > 0) AS lines,
+         text IS NOT NULL AS present
+  FROM d
+), m2 AS (
+  SELECT doc_id, n_tok, mwl, alpha, present,
+         len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) * 1.0
+           / nullif(len(lines), 0) AS bullet,
+         len(list_filter(lines, l -> regexp_matches(trim(l), '(\.\.\.|…)$'))) * 1.0
+           / nullif(len(lines), 0) AS ellipsis
+  FROM m
+), r AS (
+  SELECT doc_id,
+         list_sort(list_filter([
+           CASE WHEN NOT coalesce(n_tok >= 50.0, FALSE)
+                THEN 'expr:gopher_min_words' END,
+           CASE WHEN NOT coalesce(n_tok <= 100000.0, FALSE)
+                THEN 'expr:gopher_max_words' END,
+           CASE WHEN NOT coalesce(mwl >= 3.0, FALSE)
+                THEN 'expr:gopher_min_mean_word_len' END,
+           CASE WHEN NOT coalesce(mwl <= 10.0, FALSE)
+                THEN 'expr:gopher_max_mean_word_len' END,
+           CASE WHEN NOT coalesce(alpha >= 0.8, FALSE)
+                THEN 'expr:gopher_alpha_words' END,
+           CASE WHEN NOT coalesce(coalesce(bullet <= 0.9, present), FALSE)
+                THEN 'expr:gopher_bullet_lines' END,
+           CASE WHEN NOT coalesce(coalesce(ellipsis <= 0.3, present), FALSE)
+                THEN 'expr:gopher_ellipsis_lines' END
+         ], x -> x IS NOT NULL)) AS reasons
+  FROM m2
 )
 SELECT doc_id,
        coalesce(array_to_string(reasons, ','), '') AS reasons,

@@ -91,6 +91,10 @@ HEADLINE = [
     "dedup_incremental",
     "col_profile",
     "suite_profile_verdicts",
+    "suggest_constraints",
+    "metric_anomalies",
+    "quarantine",
+    "quarantine_gopher",
 ]
 
 PAGES_N = int(os.environ.get("DCS_BENCH_PAGES_N", "500000"))

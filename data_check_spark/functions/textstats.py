@@ -232,6 +232,46 @@ def word_tokens(text: Column) -> Column:
     return F.filter(F.split(F.lower(text), r"\s+"), lambda t: F.length(t) > 0)
 
 
+def alpha_word_fraction(text: Column) -> Column:
+    """Fraction of whitespace words containing at least one ASCII
+    letter (Gopher §A1's ≥80%-alphabetic-words gate, Rae et al. 2021).
+    NULL for NULL/empty text (0/0) — fail-closed under a ColumnRule.
+    Pure JVM HOF: split once, filter by rlike, two sizes, one divide."""
+    words = F.filter(F.split(text, r"\s+"), lambda t: F.length(t) > 0)
+    alpha = F.filter(words, lambda t: t.rlike("[A-Za-z]"))
+    return F.try_divide(
+        F.size(alpha).cast("double"), F.size(words).cast("double")
+    )
+
+
+def _line_fraction(text: Column, line_pred) -> Column:
+    lines = F.filter(
+        F.split(text, r"\n"), lambda ln: F.length(F.trim(ln)) > 0
+    )
+    hits = F.filter(lines, line_pred)
+    return F.try_divide(
+        F.size(hits).cast("double"), F.size(lines).cast("double")
+    )
+
+
+def bullet_line_fraction(text: Column) -> Column:
+    """Fraction of non-blank lines starting with a bullet marker
+    (-, *, or the Unicode bullet) — Gopher gates docs where >90% of
+    lines are bullets. NULL when the text has no non-blank lines."""
+    return _line_fraction(
+        text, lambda ln: F.trim(ln).rlike("^[-*•]")
+    )
+
+
+def ellipsis_line_fraction(text: Column) -> Column:
+    """Fraction of non-blank lines ending in an ellipsis ('...' or
+    the single-char form) — Gopher gates docs where >30% of lines
+    trail off (truncated scrapes). NULL when no non-blank lines."""
+    return _line_fraction(
+        text, lambda ln: F.trim(ln).rlike("(\\.\\.\\.|…)$")
+    )
+
+
 def word_ngram_array(tokens: Column, n: int) -> Column:
     """Space-joined word n-grams of a token array; empty array when
     the document has fewer than n tokens (the ANSI sequence guard used

@@ -60,6 +60,17 @@ class ExprRule:
 
 
 @dataclass(frozen=True)
+class ColumnRule:
+    """ExprRule's programmatic twin: the predicate is a Column
+    expression instead of a SQL string, so rule packs can reuse the
+    canonical metric definitions (functions/textstats.py) instead of
+    re-deriving them as SQL. Same semantics and reason label
+    (``expr:{name}``): FALSE **or NULL** quarantines (fail-closed)."""
+    name: str
+    predicate: Column
+
+
+@dataclass(frozen=True)
 class NotNullRule:
     column: str
 
@@ -92,8 +103,12 @@ def route_rows(
     out = df
     for i, rule in enumerate(rules):
         tag = f"_qr_{i}"
-        if isinstance(rule, ExprRule):
-            pred = F.expr(rule.predicate_sql)
+        if isinstance(rule, (ExprRule, ColumnRule)):
+            pred = (
+                F.expr(rule.predicate_sql)
+                if isinstance(rule, ExprRule)
+                else rule.predicate
+            )
             fails = ~F.coalesce(pred, F.lit(False))  # NULL predicate fails
             out = out.withColumn(tag, F.when(fails, F.lit(f"expr:{rule.name}")))
         elif isinstance(rule, NotNullRule):
@@ -150,6 +165,96 @@ def route_rows(
     return out.withColumn("quarantine_reasons", reasons).drop(
         *[f"_qr_{i}" for i in range(len(rules))]
     )
+
+
+def gopher_rules(
+    text_col: str = "text",
+    *,
+    min_words: int | None = 50,
+    max_words: int | None = 100_000,
+    min_mean_word_len: float | None = 3.0,
+    max_mean_word_len: float | None = 10.0,
+    min_alpha_word_fraction: float | None = 0.80,
+    min_stopword_ratio: float | None = None,
+    max_bullet_line_fraction: float | None = 0.90,
+    max_ellipsis_line_fraction: float | None = 0.30,
+) -> list:
+    """The Gopher §A1 document-quality gates (Rae et al. 2021,
+    arXiv:2112.11446) as a ``route_rows`` rule pack — the standard
+    pre-training curation filter, built from the canonical metric
+    expressions in functions/textstats.py so the router and the
+    metric queries can never drift apart. Every gate is a pure JVM
+    HOF over one text column: the whole pack routes in a single
+    shuffle-free projection (route_rows' expr path). Pass None to
+    drop a gate; defaults follow the paper except stopword_ratio
+    (opt-in: Gopher's form is "≥2 distinct stop words", ours is a
+    ratio — close but not identical, so it isn't defaulted on).
+    NULL text fails every configured gate (fail-closed)."""
+    from data_check_spark.functions.textstats import (
+        alpha_word_fraction,
+        bullet_line_fraction,
+        ellipsis_line_fraction,
+        mean_word_length,
+        stopword_ratio,
+        token_count,
+    )
+
+    t = F.col(text_col)
+    rules: list = []
+    n_tok = token_count(t).cast("double")
+    if min_words is not None:
+        rules.append(ColumnRule("gopher_min_words", n_tok >= float(min_words)))
+    if max_words is not None:
+        rules.append(ColumnRule("gopher_max_words", n_tok <= float(max_words)))
+    mwl = mean_word_length(t)
+    if min_mean_word_len is not None:
+        rules.append(
+            ColumnRule("gopher_min_mean_word_len", mwl >= float(min_mean_word_len))
+        )
+    if max_mean_word_len is not None:
+        rules.append(
+            ColumnRule("gopher_max_mean_word_len", mwl <= float(max_mean_word_len))
+        )
+    if min_alpha_word_fraction is not None:
+        rules.append(
+            ColumnRule(
+                "gopher_alpha_words",
+                alpha_word_fraction(t) >= float(min_alpha_word_fraction),
+            )
+        )
+    if min_stopword_ratio is not None:
+        rules.append(
+            ColumnRule(
+                "gopher_stopwords",
+                stopword_ratio(t) >= float(min_stopword_ratio),
+            )
+        )
+    if max_bullet_line_fraction is not None:
+        rules.append(
+            ColumnRule(
+                "gopher_bullet_lines",
+                # fraction is NULL when no non-blank lines exist: a
+                # lineless-but-present doc has no bullet problem
+                # (passes); NULL text still fails (fail-closed)
+                F.coalesce(
+                    bullet_line_fraction(t)
+                    <= float(max_bullet_line_fraction),
+                    t.isNotNull(),
+                ),
+            )
+        )
+    if max_ellipsis_line_fraction is not None:
+        rules.append(
+            ColumnRule(
+                "gopher_ellipsis_lines",
+                F.coalesce(
+                    ellipsis_line_fraction(t)
+                    <= float(max_ellipsis_line_fraction),
+                    t.isNotNull(),
+                ),
+            )
+        )
+    return rules
 
 
 def split(routed: DataFrame) -> tuple[DataFrame, DataFrame]:

@@ -86,6 +86,51 @@ def test_empty_rules_all_clean(spark):
     assert routed.filter(F.size("quarantine_reasons") > 0).count() == 0
 
 
+def test_gopher_rules_route(spark):
+    """Gopher §A1 pack: each gate fires on its planted pathology and
+    nothing else; a healthy doc sails through; the whole pack stays a
+    shuffle-free projection."""
+    from data_check_spark.operators.quarantine import gopher_rules
+
+    healthy = "the quick brown fox jumps over the lazy dog " * 10  # 90 words
+    rows = [
+        (1, healthy),
+        (2, "too short"),                                # min_words
+        (3, "ab " * 80),                                 # mean word len < 3
+        (4, ("superlongword" * 3 + " ") * 80),           # mean word len > 10
+        (5, ("12345 67890 ### " * 30)),                  # alpha fraction 0
+        (6, "\n".join("- item " + healthy[:20] for _ in range(30))),  # bullets
+        (7, "\n".join(healthy[:40] + "..." for _ in range(30))),      # ellipsis
+        (8, None),                                       # NULL text
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    routed = route_rows(df, gopher_rules())
+    got = {r["id"]: set(r["quarantine_reasons"]) for r in routed.collect()}
+    assert got[1] == set()
+    assert got[2] == {"expr:gopher_min_words"}
+    assert "expr:gopher_min_mean_word_len" in got[3]
+    assert "expr:gopher_max_mean_word_len" in got[4]
+    assert "expr:gopher_alpha_words" in got[5]
+    assert got[6] == {"expr:gopher_bullet_lines"}
+    assert got[7] == {"expr:gopher_ellipsis_lines"}
+    # NULL text fails every configured gate (fail-closed)
+    assert len(got[8]) == len(gopher_rules())
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_gopher_gate_optout(spark):
+    from data_check_spark.operators.quarantine import gopher_rules
+
+    names = {r.name for r in gopher_rules(min_words=None, max_words=None)}
+    assert "gopher_min_words" not in names and "gopher_max_words" not in names
+    # stopword gate is opt-in
+    assert "gopher_stopwords" not in {r.name for r in gopher_rules()}
+    assert "gopher_stopwords" in {
+        r.name for r in gopher_rules(min_stopword_ratio=0.05)
+    }
+
+
 def test_runner_route_out(spark, tmp_path):
     """--route-out splits the synth corpus: clean has no NULL
     text/lang and no duplicated urls; quarantine carries reasons;
