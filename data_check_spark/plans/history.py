@@ -110,6 +110,25 @@ def metric_anomalies(
     )
 
 
+def last_k_runs(verdicts_audit: DataFrame, k: int) -> DataFrame:
+    """Restrict an audit verdict frame to its k most recent run_ids
+    (by max audit_ts per run) — the standard history window for
+    ``metric_anomalies`` so a years-old regime change doesn't drag
+    the median. Driver-collects only k+ run-id rows (runs, not
+    verdicts — metadata-sized by construction)."""
+    recent = [
+        r["run_id"]
+        for r in (
+            verdicts_audit.groupBy("run_id")
+            .agg(F.max("audit_ts").alias("_ts"))
+            .orderBy(F.col("_ts").desc())
+            .limit(k)
+            .collect()
+        )
+    ]
+    return verdicts_audit.filter(F.col("run_id").isin(recent))
+
+
 def audit_anomalies(
     spark,
     audit_path: str,
@@ -117,6 +136,10 @@ def audit_anomalies(
     **kwargs,
 ) -> DataFrame:
     """Convenience wrapper: read ``{audit_path}/verdicts`` back and run
-    ``metric_anomalies`` for ``current_run_id``."""
+    ``metric_anomalies`` for ``current_run_id``; ``window_runs`` (if
+    given) first trims history to the most recent k runs."""
+    window_runs = kwargs.pop("window_runs", None)
     verdicts = spark.read.parquet(f"{audit_path}/verdicts")
+    if window_runs is not None:
+        verdicts = last_k_runs(verdicts, int(window_runs))
     return metric_anomalies(verdicts, current_run_id, **kwargs)

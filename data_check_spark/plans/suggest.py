@@ -224,6 +224,69 @@ def suggest_constraints(
     return out.orderBy("column", "check_kind", "param")
 
 
+def persist_suggestions(
+    suggestions: DataFrame,
+    audit_path: str,
+    run_id: str,
+    fmt: str = "parquet",
+) -> None:
+    """Append a suggestion frame to ``{audit_path}/suggestions`` —
+    the same stored-baseline pattern as drift profiles / schemas /
+    digests, so onboarding decisions are reviewable and the next run
+    can rebuild its suite from them without re-profiling."""
+    from data_check_spark.plans.audit import write_audit
+
+    write_audit(suggestions, f"{audit_path}/suggestions", run_id, "suggestion", fmt)
+
+
+def suggestions_from_audit(spark: SparkSession, audit_path: str) -> DataFrame:
+    """The LATEST stored suggestion set from
+    ``{audit_path}/suggestions`` (max audit_ts run wins — same
+    convention as schema_from_audit). Raises if nothing is stored."""
+    stored = spark.read.parquet(f"{audit_path}/suggestions")
+    last = stored.orderBy(F.col("audit_ts").desc()).select("run_id").first()
+    if last is None:
+        raise ValueError(f"no stored suggestions under {audit_path}/suggestions")
+    return stored.filter(F.col("run_id") == last["run_id"]).select(
+        *_SUGGESTION_COLS
+    )
+
+
+def suite_from_suggestions(suggestions: DataFrame, *, approx: bool = True):
+    """Assemble a runnable CheckSuite from a (possibly stored and
+    human-edited) suggestion frame — the same assembly rules as
+    ``suggested_suite`` but decoupled from profiling, so a reviewed
+    ``{audit}/suggestions`` row set IS the suite definition. min_rows
+    is honored whenever present (a stored/reviewed floor is assumed
+    to be partition-scoped — the partition-aware suggestion is the
+    one worth persisting)."""
+    from data_check_spark.plans.suite import (
+        CheckSuite,
+        ProfileCheck,
+        StatsCheck,
+        UniquenessCheck,
+    )
+
+    rows = suggestions.select(*_SUGGESTION_COLS).collect()
+    thresholds: dict[str, dict[str, float]] = {}
+    checks: list = []
+    min_rows: float | None = None
+    for r in rows:
+        if r["check_kind"] == "stats":
+            thresholds.setdefault(r["column"], {})[r["param"]] = r["value"]
+        elif r["check_kind"] == "uniqueness":
+            checks.append(UniquenessCheck(key=r["column"]))
+        elif r["check_kind"] == "profile" and r["param"] == "max_distinct":
+            checks.append(ProfileCheck(r["column"], max_distinct=int(r["value"])))
+        elif r["check_kind"] == "table" and r["param"] == "min_rows":
+            min_rows = r["value"]
+    if min_rows is not None and thresholds:
+        thresholds[sorted(thresholds)[0]]["min_rows"] = min_rows
+    if thresholds:
+        checks.insert(0, StatsCheck(thresholds, approx=approx))
+    return CheckSuite(checks)
+
+
 def suggested_suite(
     df: DataFrame,
     columns: list[str] | None = None,
@@ -244,30 +307,9 @@ def suggested_suite(
     table-level floor remains available in the suggestion frame for
     callers that gate volume elsewhere. Runs anywhere a hand-written
     suite runs (audit, resume, partition verdicts)."""
-    from data_check_spark.plans.suite import (
-        CheckSuite,
-        ProfileCheck,
-        StatsCheck,
-        UniquenessCheck,
-    )
-
-    rows = suggest_constraints(
-        df, columns, partition_col=partition_col, **kwargs
-    ).collect()
-    thresholds: dict[str, dict[str, float]] = {}
-    checks: list = []
-    min_rows: float | None = None
-    for r in rows:
-        if r["check_kind"] == "stats":
-            thresholds.setdefault(r["column"], {})[r["param"]] = r["value"]
-        elif r["check_kind"] == "uniqueness":
-            checks.append(UniquenessCheck(key=r["column"]))
-        elif r["check_kind"] == "profile" and r["param"] == "max_distinct":
-            checks.append(ProfileCheck(r["column"], max_distinct=int(r["value"])))
-        elif r["check_kind"] == "table" and r["param"] == "min_rows":
-            min_rows = r["value"]
-    if min_rows is not None and thresholds and partition_col is not None:
-        thresholds[sorted(thresholds)[0]]["min_rows"] = min_rows
-    if thresholds:
-        checks.insert(0, StatsCheck(thresholds, approx=kwargs.get("approx", True)))
-    return CheckSuite(checks)
+    sugg = suggest_constraints(df, columns, partition_col=partition_col, **kwargs)
+    if partition_col is None:
+        sugg = sugg.filter(
+            ~((F.col("check_kind") == "table") & (F.col("param") == "min_rows"))
+        )
+    return suite_from_suggestions(sugg, approx=kwargs.get("approx", True))

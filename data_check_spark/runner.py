@@ -185,6 +185,23 @@ def main(argv: list[str] | None = None) -> int:
         "language exceeds FRAC of non-null rows",
     )
     ap.add_argument(
+        "--suggest-to-audit",
+        action="store_true",
+        help="profile the input (one fused HLL stats pass + a "
+        "count-only per-partition pass) and append the suggested "
+        "constraints to {out}/audit/suggestions for review; a later "
+        "run can build its suite from the stored (possibly "
+        "human-edited) rows via --suite-from-suggestions",
+    )
+    ap.add_argument(
+        "--suite-from-suggestions",
+        action="store_true",
+        help="replace the default pages suite with one assembled from "
+        "the latest stored {out}/audit/suggestions rows; falls back "
+        "to the default suite (with a message) when nothing is "
+        "stored yet",
+    )
+    ap.add_argument(
         "--route-out",
         default=None,
         metavar="DIR",
@@ -245,6 +262,18 @@ def main(argv: list[str] | None = None) -> int:
         lang_min_entropy=args.lang_min_entropy,
         lang_max_mode_share=args.lang_max_mode_share,
     )
+    if args.suite_from_suggestions:
+        from data_check_spark.plans.suggest import (
+            suggestions_from_audit,
+            suite_from_suggestions,
+        )
+
+        try:
+            stored = suggestions_from_audit(spark, f"{args.out}/audit")
+            suite = suite_from_suggestions(stored)
+            print("suite assembled from stored suggestions")
+        except Exception:
+            print("no stored suggestions yet — running the default suite")
     if args.schema_from_audit:
         from data_check_spark.plans.suite import SchemaCheck, schema_from_audit
 
@@ -280,6 +309,15 @@ def main(argv: list[str] | None = None) -> int:
             boot, f"{args.out}/audit/drift_profiles", result.run_id, "drift_profile"
         )
         print("bootstrapped drift profile for the next version")
+    if args.suggest_to_audit:
+        from data_check_spark.plans.suggest import (
+            persist_suggestions,
+            suggest_constraints,
+        )
+
+        sugg = suggest_constraints(df, partition_col="warc_day")
+        persist_suggestions(sugg, f"{args.out}/audit", result.run_id)
+        print(f"suggestions persisted for run {result.run_id}")
     if args.route_out:
         from data_check_spark.operators.quarantine import (
             FDRule,

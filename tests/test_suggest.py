@@ -130,6 +130,65 @@ def test_hll_mode_plan_has_no_expand(spark):
     assert "Expand" not in plan
 
 
+def test_suggestions_persist_and_rebuild(spark, tmp_path):
+    """The stored-baseline loop: persist suggestions to the audit,
+    read the latest set back, rebuild the suite from the stored rows
+    — and a human edit to the stored frame (dropping a rule) is
+    honored by the rebuilt suite."""
+    from data_check_spark.plans.suggest import (
+        persist_suggestions,
+        suggestions_from_audit,
+        suite_from_suggestions,
+    )
+
+    d = _pages(spark)
+    audit = str(tmp_path / "audit")
+    s1 = suggest_constraints(d, partition_col="part", approx=False)
+    persist_suggestions(s1, audit, "run1")
+    # a later, different set: latest must win
+    s2 = suggest_constraints(d, ["id", "cat", "part"], approx=False)
+    persist_suggestions(s2, audit, "run2")
+    stored = suggestions_from_audit(spark, audit)
+    assert {r["column"] for r in stored.collect()} == {"*", "id", "cat", "part"}
+    # human edit: drop the uniqueness rule before assembling
+    edited = stored.filter(F.col("check_kind") != "uniqueness")
+    suite = suite_from_suggestions(edited, approx=False)
+    kinds = {type(c).__name__ for c in suite.checks}
+    assert "UniquenessCheck" not in kinds and "StatsCheck" in kinds
+    res = suite.run(spark, d, "part")
+    assert res.verdicts.filter(F.col("check") == "unique").count() == 0
+
+
+def test_runner_suggestion_loop(spark, tmp_path):
+    """--suggest-to-audit persists the rows; a second run with
+    --suite-from-suggestions assembles its suite from them (verdict
+    set carries the suggested per-column gates instead of the
+    default pages thresholds)."""
+    from data_check_spark.runner import main
+
+    out = str(tmp_path / "run_sugg")
+    base = ["--synthesize", "2000", "--out", out, "--partitions", "4"]
+    main(base + ["--suggest-to-audit"])
+    stored = spark.read.parquet(f"{out}/audit/suggestions")
+    assert stored.filter(F.col("param") == "max_null_rate").count() > 0
+    rc = main(base + ["--reset", "--suite-from-suggestions"])
+    audit = spark.read.parquet(f"{out}/audit/verdicts")
+    runs = [
+        r["run_id"]
+        for r in audit.groupBy("run_id")
+        .agg(F.max("audit_ts").alias("ts"))
+        .orderBy(F.col("ts").desc())
+        .collect()
+    ]
+    second = audit.filter(F.col("run_id") == runs[0])
+    checks = {r["check"] for r in second.select("check").distinct().collect()}
+    # suggested suite gates null rates per column (+ the volume floor)
+    assert "max_null_rate" in checks and "min_rows" in checks
+    # the suggestion-built suite has no referential/drift checks
+    assert "ref_violation_rate" not in checks
+    assert rc in (0, 1)
+
+
 def test_hll_mode_still_finds_unique_key(spark):
     """approx=True resolves the uniqueness threshold to 0.95 so the
     HLL estimate (~2% rsd) still flags genuinely-unique columns."""
