@@ -185,6 +185,16 @@ def main(argv: list[str] | None = None) -> int:
         "language exceeds FRAC of non-null rows",
     )
     ap.add_argument(
+        "--suite-config",
+        default=None,
+        metavar="JSON",
+        help="replace the default pages suite with one built from a "
+        "JSON config file (plans/config.py: {'checks': [{'kind': "
+        "'stats', ...}, ...]}) — the version-controlled declarative "
+        "surface; composes with --schema-from-audit (prepended) like "
+        "the default suite",
+    )
+    ap.add_argument(
         "--suggest-to-audit",
         action="store_true",
         help="profile the input (one fused HLL stats pass + a "
@@ -262,6 +272,11 @@ def main(argv: list[str] | None = None) -> int:
         lang_min_entropy=args.lang_min_entropy,
         lang_max_mode_share=args.lang_max_mode_share,
     )
+    if args.suite_config:
+        from data_check_spark.plans.config import load_suite
+
+        suite = load_suite(args.suite_config)
+        print(f"suite loaded from {args.suite_config}")
     if args.suite_from_suggestions:
         from data_check_spark.plans.suggest import (
             suggestions_from_audit,
