@@ -78,6 +78,38 @@ def test_keys_gate_independently(spark):
     assert got == {"max_null_rate": True, "min_avg_tokens": False}
 
 
+def test_last_k_runs_windows_history(spark):
+    """A years-old regime (metric ~10x today's) must drop out of the
+    baseline once the window excludes it: unwindowed, the current
+    value flags as anomalous against the mixed-regime median; with
+    last_k_runs(5) the old runs vanish and it passes."""
+    import datetime
+
+    from data_check_spark.plans.history import last_k_runs
+
+    rows = []
+    t0 = datetime.datetime(2026, 1, 1)
+    for i, (r, m) in enumerate(
+        [("old1", 1.0), ("old2", 1.1), ("old3", 0.9), ("old4", 1.05),
+         ("old5", 0.95),
+         ("r1", 0.10), ("r2", 0.11), ("r3", 0.09),
+         ("now", 0.105)]
+    ):
+        rows.append(
+            (r, "p0", "lang", "max_null_rate", m,
+             t0 + datetime.timedelta(days=i))
+        )
+    a = spark.createDataFrame(
+        rows, SCHEMA + ", audit_ts timestamp"
+    )
+    unwindowed = metric_anomalies(a, "now", k=3.0, min_rel=0.05).collect()[0]
+    assert not unwindowed["passed"]  # old-regime-dominated median ~1.0
+    windowed = metric_anomalies(
+        last_k_runs(a, 4), "now", k=3.0, min_rel=0.05
+    ).collect()[0]
+    assert windowed["passed"] and windowed["n_history"] == 3
+
+
 def test_runner_anomaly_gate(spark, tmp_path):
     """Four identical synth runs (the synth corpus carries planted
     dirt, so each run's threshold rc is 1 — that's its baseline): the
