@@ -46,6 +46,9 @@ def _variants():
     return {"row_local": row_local, "full": full}
 
 
+VARIANT_NAMES = ("row_local", "full")
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000_000
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
@@ -55,6 +58,16 @@ def main() -> None:
 
     from data_check_spark.operators.quarantine import route_rows
     from data_check_spark.session import get_spark
+
+    jsonl = os.path.join(REPO, "BENCH", "AB_QUARANTINE.jsonl")
+
+    def emit(rec: dict) -> None:
+        # write-as-you-go: a crash after spark.stop() must not lose
+        # an hour of timed runs (it did once — rule Columns need an
+        # active session, so summary code touches VARIANT_NAMES only)
+        with open(jsonl, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        print(json.dumps(rec))
 
     out = []
     for cores in (8, 32):
@@ -81,37 +94,34 @@ def main() -> None:
         c_post = cpu_ceiling(8, 32)
         for name, secs in times.items():
             med = statistics.median(secs)
-            out.append(
-                {
-                    "op": "route_rows",
-                    "variant": name,
-                    "cores": cores,
-                    "n_pages": n,
-                    "sec_median": round(med, 3),
-                    "secs": [round(s, 3) for s in secs],
-                    "pages_per_sec": round(n / med, 1),
-                    "ceiling_pre": round(c_pre, 3),
-                    "ceiling_post": round(c_post, 3),
-                }
-            )
+            rec = {
+                "op": "route_rows",
+                "variant": name,
+                "cores": cores,
+                "n_pages": n,
+                "sec_median": round(med, 3),
+                "secs": [round(s, 3) for s in secs],
+                "pages_per_sec": round(n / med, 1),
+                "ceiling_pre": round(c_pre, 3),
+                "ceiling_post": round(c_post, 3),
+            }
+            out.append(rec)
+            emit(rec)
         spark.stop()
 
     by = {(r["variant"], r["cores"]): r for r in out}
-    for name in _variants():
+    for name in VARIANT_NAMES:
         lo, hi = by[(name, 8)], by[(name, 32)]
         eff = hi["pages_per_sec"] / (4 * lo["pages_per_sec"])
-        rec = {
-            "ab": "quarantine_scaling",
-            "variant": name,
-            "thr_8": lo["pages_per_sec"],
-            "thr_32": hi["pages_per_sec"],
-            "eff_8_32": round(eff, 3),
-        }
-        out.append(rec)
-    with open(os.path.join(REPO, "BENCH", "AB_QUARANTINE.jsonl"), "a") as f:
-        for r in out:
-            f.write(json.dumps(r) + "\n")
-            print(json.dumps(r))
+        emit(
+            {
+                "ab": "quarantine_scaling",
+                "variant": name,
+                "thr_8": lo["pages_per_sec"],
+                "thr_32": hi["pages_per_sec"],
+                "eff_8_32": round(eff, 3),
+            }
+        )
 
 
 if __name__ == "__main__":
