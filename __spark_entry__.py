@@ -1537,6 +1537,47 @@ def _q_crossdoc_ngram(spark, sf_dir):
     return cross_doc_ngram_duplicates(d, "doc_id", "text", n=8)
 
 
+def _lined_pages(spark, sf_dir):
+    """documents is single-line, so a multi-line corpus is PLANTED
+    row-locally for the line-dedup oracles (the fd_violations
+    precedent): a shared header (every doc — normalization exercised
+    via the double space), a 40-char prefix line, a 7-class footer
+    (~1/7 of docs each) and the full text (duplicated only across the
+    synth generator's planted exact-dup groups). The DuckDB twin
+    builds the identical text with the identical expressions."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("About  Us"),
+            F.substring("text", 1, 40),
+            F.concat(F.lit("Footer "), (F.col("doc_id") % 7).cast("string")),
+            F.col("text"),
+        ).alias("text"),
+    )
+
+
+def _q_line_dedup_stats(spark, sf_dir):
+    """CCNet/RefinedWeb corpus-level line dedup, census direction
+    (operators/linededup.line_duplicate_stats): per doc, how many of
+    its line segments recur (normalized) in >= 2 documents. md5 line
+    keys -> DuckDB re-derives every value exactly."""
+    from data_check_spark.operators.linededup import line_duplicate_stats
+
+    return line_duplicate_stats(_lined_pages(spark, sf_dir), "doc_id", "text", min_docs=2)
+
+
+def _q_line_dedup_strip(spark, sf_dir):
+    """CCNet/RefinedWeb corpus-level line dedup, rewrite direction
+    (operators/linededup.strip_duplicate_lines): boilerplate lines
+    removed, survivors rejoined in original order with original
+    bytes. Exact oracle including the reconstructed text_clean."""
+    from data_check_spark.operators.linededup import strip_duplicate_lines
+
+    return strip_duplicate_lines(_lined_pages(spark, sf_dir), "doc_id", "text", min_docs=2)
+
+
 def _q_repetition(spark, sf_dir):
     """Gopher-style within-document repetition metrics (Rae et al.
     2021 §A1.1): duplicate-line / duplicate-n-gram / top-n-gram
@@ -1731,6 +1772,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": _q_heavy_hitters,
         "repetition_metrics": _q_repetition,
         "crossdoc_ngram": _q_crossdoc_ngram,
+        "line_dedup_stats": _q_line_dedup_stats,
+        "line_dedup_strip": _q_line_dedup_strip,
         "contamination": _q_contamination,
         "outlier_counts": _q_outlier_counts,
         "col_profile": _q_col_profile,
@@ -2520,6 +2563,49 @@ SELECT doc_id,
        count(*) FILTER (WHERE docs > 1) AS n_shared_ngrams,
        count(*) AS n_ngrams
 FROM g JOIN pg USING (h) GROUP BY doc_id""",
+        # line-dedup twins: the multi-line corpus is PLANTED with the
+        # exact expressions _lined_pages uses (concat_ws skips NULL
+        # text identically in both engines)
+        "line_dedup_stats": r"""
+WITH src AS (
+  SELECT doc_id,
+         concat_ws(chr(10), 'About  Us', substring(text, 1, 40),
+                   'Footer ' || CAST(doc_id % 7 AS VARCHAR), text) AS t
+  FROM documents
+), nl AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(line), '\s+', ' ', 'g'))) AS h
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(t, '\n')) AS line FROM src)
+  WHERE trim(regexp_replace(lower(line), '\s+', ' ', 'g')) <> ''
+), ph AS (
+  SELECT h, count(DISTINCT doc_id) AS docs FROM nl GROUP BY h
+)
+SELECT doc_id,
+       count(*) AS n_lines,
+       count(*) FILTER (WHERE docs >= 2) AS n_dup_lines
+FROM nl JOIN ph USING (h) GROUP BY doc_id""",
+        "line_dedup_strip": r"""
+WITH src AS (
+  SELECT doc_id,
+         concat_ws(chr(10), 'About  Us', substring(text, 1, 40),
+                   'Footer ' || CAST(doc_id % 7 AS VARCHAR), text) AS t
+  FROM documents
+), arr AS (
+  SELECT doc_id, regexp_split_to_array(t, '\n') AS a FROM src
+), nl AS (
+  SELECT doc_id, pos, line,
+         md5(trim(regexp_replace(lower(line), '\s+', ' ', 'g'))) AS h
+  FROM (SELECT doc_id, unnest(a) AS line,
+               unnest(range(1, len(a) + 1)) AS pos FROM arr)
+  WHERE trim(regexp_replace(lower(line), '\s+', ' ', 'g')) <> ''
+), ph AS (
+  SELECT h, count(DISTINCT doc_id) AS docs FROM nl GROUP BY h
+)
+SELECT doc_id,
+       count(*) AS n_lines,
+       count(*) FILTER (WHERE docs >= 2) AS n_dropped,
+       coalesce(string_agg(line, chr(10) ORDER BY pos)
+                FILTER (WHERE docs < 2), '') AS text_clean
+FROM nl JOIN ph USING (h) GROUP BY doc_id""",
         "embedding_stats": """
 WITH d AS (
   SELECT CASE WHEN vec_id % 97 = 0 THEN NULL ELSE embedding END AS embedding

@@ -95,6 +95,8 @@ HEADLINE = [
     "metric_anomalies",
     "quarantine",
     "quarantine_gopher",
+    "line_dedup_stats",
+    "line_dedup_strip",
 ]
 
 PAGES_N = int(os.environ.get("DCS_BENCH_PAGES_N", "500000"))
