@@ -1587,6 +1587,23 @@ def _q_repetition(spark, sf_dir):
     return repetition_metrics(d, "text")
 
 
+def _q_domain_cap(spark, sf_dir):
+    """Per-domain document quota (functions/splits.cap_per_key): keep
+    at most 5 docs per domain, selected by md5(id:salt) order so the
+    kept set is re-run stable and engine-portable. documents has no
+    domain column, so one is PLANTED row-locally (doc_id % 31 → 31
+    domains, the fd_violations precedent) with the identical
+    construction in the DuckDB twin, which re-derives the exact kept
+    set with a plain row_number() window."""
+    from data_check_spark.functions.splits import cap_per_key
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("d"), (F.col("doc_id") % 31).cast("string")).alias("domain"),
+        "doc_id",
+    )
+    return cap_per_key(d, "domain", cap=5, id_col="doc_id")
+
+
 def _q_train_split(spark, sf_dir):
     """Deterministic md5-bucketed train/val/test assignment
     (functions/splits.py): engine-portable (the DuckDB oracle
@@ -1774,6 +1791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crossdoc_ngram": _q_crossdoc_ngram,
         "line_dedup_stats": _q_line_dedup_stats,
         "line_dedup_strip": _q_line_dedup_strip,
+        "domain_cap": _q_domain_cap,
         "contamination": _q_contamination,
         "outlier_counts": _q_outlier_counts,
         "col_profile": _q_col_profile,
@@ -2583,6 +2601,15 @@ SELECT doc_id,
        count(*) AS n_lines,
        count(*) FILTER (WHERE docs >= 2) AS n_dup_lines
 FROM nl JOIN ph USING (h) GROUP BY doc_id""",
+        "domain_cap": r"""
+SELECT domain, doc_id FROM (
+  SELECT domain, doc_id,
+         row_number() OVER (PARTITION BY domain
+                            ORDER BY md5(CAST(doc_id AS VARCHAR) || ':dcs-cap'),
+                                     doc_id) AS rn
+  FROM (SELECT 'd' || CAST(doc_id % 31 AS VARCHAR) AS domain, doc_id
+        FROM documents))
+WHERE rn <= 5""",
         "line_dedup_strip": r"""
 WITH src AS (
   SELECT doc_id,

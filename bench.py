@@ -97,6 +97,7 @@ HEADLINE = [
     "quarantine_gopher",
     "line_dedup_stats",
     "line_dedup_strip",
+    "domain_cap",
 ]
 
 PAGES_N = int(os.environ.get("DCS_BENCH_PAGES_N", "500000"))

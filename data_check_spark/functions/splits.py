@@ -138,6 +138,58 @@ def temperature_rates(
     return {s: r * scale for s, r in raw.items()}
 
 
+def cap_per_key(
+    df: DataFrame,
+    key_col: str,
+    cap: int,
+    id_col: str,
+    salt: str = "dcs-cap",
+) -> DataFrame:
+    """Deterministic per-key document quota — the web-corpus curation
+    move against SEO farms and aggregator domains that flood a crawl:
+    keep at most ``cap`` rows per ``key_col`` (domain, site, source),
+    chosen as the ``cap`` smallest md5(id:salt) hex digests (ties by
+    id). Like every sampler in this module the selection is a pure
+    function of the row id — re-runs, backfills and late shards keep
+    the SAME representatives with no coordination, and any engine can
+    re-derive the kept set row-by-row (``row_number() OVER ... ORDER
+    BY md5(...)`` in ANSI SQL — the DuckDB oracle does exactly that).
+
+    Scale shape: a single window over a 10^8-row hot domain would pin
+    one task, so selection is two-phase salted top-K: phase 1 windows
+    over (key, md5-first-byte bucket) — a hot key spreads across 256
+    tasks and each bucket keeps at most ``cap`` — phase 2 re-windows
+    the ≤ 256·cap survivors per key. The global top-``cap`` per key is
+    a subset of the per-bucket top-``cap`` union (each global pick is
+    within its own bucket's top-``cap``), so the two-phase result is
+    exactly the single-window result at any parallelism.
+
+    ``id_col`` must be non-null (it is the selection key; NULL
+    ordering differs between engines). NULL ``key_col`` forms its own
+    group like any SQL window partition."""
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    from pyspark.sql import Window
+
+    ordk = F.md5(
+        F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)).cast("binary")
+    )
+    with_ord = df.withColumn("_ordk", ordk)
+    phase1 = Window.partitionBy(
+        F.col(key_col), F.substring("_ordk", 1, 2)
+    ).orderBy(F.col("_ordk"), F.col(id_col))
+    phase2 = Window.partitionBy(F.col(key_col)).orderBy(
+        F.col("_ordk"), F.col(id_col)
+    )
+    return (
+        with_ord.withColumn("_rn1", F.row_number().over(phase1))
+        .filter(F.col("_rn1") <= cap)
+        .withColumn("_rn2", F.row_number().over(phase2))
+        .filter(F.col("_rn2") <= cap)
+        .drop("_ordk", "_rn1", "_rn2")
+    )
+
+
 def split_summary(
     df: DataFrame,
     key_col: str,

@@ -510,3 +510,60 @@ def test_temperature_mix_realized(spark):
     total = sum(got.values())
     for g in sizes:
         assert abs(got[g] / total - w[g] / tw) < 0.05, (g, got)
+
+
+# ------------------------------------------------------------ cap_per_key
+def _single_window_cap(spark, df, key_col, cap, id_col, salt="dcs-cap"):
+    """Reference: the naive one-window formulation the two-phase plan
+    must equal exactly."""
+    from pyspark.sql import Window
+
+    ordk = F.md5(
+        F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)).cast("binary")
+    )
+    w = Window.partitionBy(key_col).orderBy(ordk, F.col(id_col))
+    return df.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= cap
+    ).drop("_rn")
+
+
+def test_cap_per_key_equals_single_window(spark):
+    from data_check_spark.functions.splits import cap_per_key
+
+    rows = [(f"dom{i % 7}", i) for i in range(500)] + [("hot", 1000 + i) for i in range(200)]
+    df = spark.createDataFrame(rows, "domain string, doc_id long")
+    got = sorted(map(tuple, cap_per_key(df, "domain", 11, "doc_id").collect()))
+    want = sorted(
+        map(tuple, _single_window_cap(spark, df, "domain", 11, "doc_id").collect())
+    )
+    assert got == want
+    # exactly cap rows per key when the key has >= cap rows
+    from collections import Counter
+
+    per = Counter(d for d, _ in got)
+    assert per["hot"] == 11 and all(v == 11 for v in per.values())
+
+
+def test_cap_per_key_determinism_and_small_groups(spark):
+    from data_check_spark.functions.splits import cap_per_key
+
+    rows = [("a", 1), ("a", 2), ("b", 3)]
+    df = spark.createDataFrame(rows, "domain string, doc_id long")
+    got = sorted(map(tuple, cap_per_key(df, "domain", 5, "doc_id").collect()))
+    assert got == sorted(rows)  # cap above group size keeps everything
+    # partition-count invariance: same kept set at any parallelism
+    a = sorted(map(tuple, cap_per_key(df.repartition(1), "domain", 1, "doc_id").collect()))
+    b = sorted(map(tuple, cap_per_key(df.repartition(7), "domain", 1, "doc_id").collect()))
+    assert a == b and len(a) == 2
+    with pytest.raises(ValueError):
+        cap_per_key(df, "domain", 0, "doc_id")
+
+
+def test_cap_per_key_hot_key_spreads_phase1(spark):
+    """Plan shape: phase 1 must partition by (key, bucket) — the
+    hot-domain shuffle key — not by key alone."""
+    from data_check_spark.functions.splits import cap_per_key
+
+    df = spark.createDataFrame([("hot", i) for i in range(50)], "domain string, doc_id long")
+    plan = cap_per_key(df, "domain", 3, "doc_id")._jdf.queryExecution().optimizedPlan().toString()
+    assert "substring(_ordk" in plan, plan
