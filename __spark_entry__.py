@@ -1578,6 +1578,25 @@ def _q_line_dedup_strip(spark, sf_dir):
     return strip_duplicate_lines(_lined_pages(spark, sf_dir), "doc_id", "text", min_docs=2)
 
 
+def _q_suite_linedup(spark, sf_dir):
+    """LineDupCheck through the declarative suite: the corpus
+    boilerplate-mass gate (fraction of line segments recurring in
+    >= 2 docs). GENUINE oracle: DuckDB re-derives the verdict row
+    from raw normalized-line counts over the same planted multi-line
+    corpus. Threshold 0.3 deliberately FAILS here (the planted header
+    + footer alone put the mass > 0.5) — exercising the fail-closed
+    verdict direction through the suite."""
+    from data_check_spark.plans.suite import CheckSuite, LineDupCheck
+
+    pages = _lined_pages(spark, sf_dir).withColumn(
+        "part", (F.col("doc_id") % 4).cast("string")
+    )
+    res = CheckSuite(
+        [LineDupCheck(max_dup_line_frac=0.3, dump_violations=False)]
+    ).run(spark, pages, "part")
+    return res.verdicts
+
+
 def _q_repetition(spark, sf_dir):
     """Gopher-style within-document repetition metrics (Rae et al.
     2021 §A1.1): duplicate-line / duplicate-n-gram / top-n-gram
@@ -1792,6 +1811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_stats": _q_line_dedup_stats,
         "line_dedup_strip": _q_line_dedup_strip,
         "domain_cap": _q_domain_cap,
+        "suite_linedup_verdicts": _q_suite_linedup,
         "contamination": _q_contamination,
         "outlier_counts": _q_outlier_counts,
         "col_profile": _q_col_profile,
@@ -2601,6 +2621,27 @@ SELECT doc_id,
        count(*) AS n_lines,
        count(*) FILTER (WHERE docs >= 2) AS n_dup_lines
 FROM nl JOIN ph USING (h) GROUP BY doc_id""",
+        "suite_linedup_verdicts": r"""
+WITH src AS (
+  SELECT doc_id,
+         concat_ws(chr(10), 'About  Us', substring(text, 1, 40),
+                   'Footer ' || CAST(doc_id % 7 AS VARCHAR), text) AS t
+  FROM documents
+), nl AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(line), '\s+', ' ', 'g'))) AS h
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(t, '\n')) AS line FROM src)
+  WHERE trim(regexp_replace(lower(line), '\s+', ' ', 'g')) <> ''
+), ph AS (
+  SELECT h, count(DISTINCT doc_id) AS docs FROM nl GROUP BY h
+), agg AS (
+  SELECT count(*) FILTER (WHERE docs >= 2) AS d, count(*) AS t
+  FROM nl JOIN ph USING (h)
+)
+SELECT '*' AS "partition", 'text' AS "column", 'dup_line_frac' AS "check",
+       round(d * 1.0 / nullif(t, 0), 6) AS metric,
+       0.3 AS threshold,
+       coalesce(round(d * 1.0 / nullif(t, 0), 6) <= 0.3, FALSE) AS passed
+FROM agg""",
         "domain_cap": r"""
 SELECT domain, doc_id FROM (
   SELECT domain, doc_id,

@@ -98,6 +98,7 @@ HEADLINE = [
     "line_dedup_stats",
     "line_dedup_strip",
     "domain_cap",
+    "suite_linedup_verdicts",
 ]
 
 PAGES_N = int(os.environ.get("DCS_BENCH_PAGES_N", "500000"))

@@ -51,6 +51,7 @@ from data_check_spark.plans.suite import (
     FunctionalDependencyCheck,
     KSDigestDriftCheck,
     KSDriftCheck,
+    LineDupCheck,
     NearDupCheck,
     NumericDriftCheck,
     ProfileCheck,
@@ -73,6 +74,7 @@ _KINDS = {
     "profile": ProfileCheck,
     "repetition": RepetitionCheck,
     "neardup": NearDupCheck,
+    "linedup": LineDupCheck,
     "expr": ExprCheck,
     "schema": SchemaCheck,
     "fingerprint": FingerprintCheck,

@@ -324,6 +324,36 @@ class NearDupCheck:
 
 
 @dataclass
+class LineDupCheck:
+    """Corpus-level boilerplate-mass gate (CCNet / RefinedWeb,
+    operators/linededup): verdict metric = the fraction of the
+    corpus's line/sentence segments whose NORMALIZED form recurs in
+    >= ``min_docs`` documents (sum of per-doc dup lines / sum of
+    lines); passes while metric <= max_dup_line_frac. The gate a
+    curation pipeline puts in front of strip_duplicate_lines: when it
+    fires, the table needs boilerplate stripping before training.
+
+    GLOBAL (one verdict row, partition '*'): line frequency crosses
+    partition boundaries by nature, so ``run_resumable`` runs it over
+    the UNFILTERED table like NearDupCheck/drift — a resumed run
+    reports the same verdict as an uninterrupted one.
+
+    Scale: rides line_duplicate_stats — one scan+split+explode pass
+    (AQE stage reuse), shuffle carries (id, 16 B line-hash) only,
+    never text. ``dump_violations`` emits key ``linedup:{text_col}``:
+    the worst per-doc offenders (id, n_lines, n_dup_lines,
+    dup_line_frac) ordered by dup share, capped at violation_limit.
+    """
+    text_col: str = "text"
+    id_col: str = "doc_id"
+    min_docs: int = 2
+    max_dup_line_frac: float = 0.3
+    sep_regex: str = r"\n"
+    dump_violations: bool = True
+    violation_limit: int = 500
+
+
+@dataclass
 class ExprCheck:
     """Deequ-style declarative row-predicate gate (VERDICT r4 #3):
     assert an arbitrary boolean SQL expression holds for (almost)
@@ -677,6 +707,14 @@ class CheckSuite:
             dup = sorted({c for c in nd_cols if nd_cols.count(c) > 1})
             raise ValueError(
                 f"neardup checks must target distinct columns (verdicts and "
+                f"violations are keyed by text_col): duplicates {dup}"
+            )
+
+        ld_cols = [c.text_col for c in self.checks if isinstance(c, LineDupCheck)]
+        if len(set(ld_cols)) != len(ld_cols):
+            dup = sorted({c for c in ld_cols if ld_cols.count(c) > 1})
+            raise ValueError(
+                f"linedup checks must target distinct columns (verdicts and "
                 f"violations are keyed by text_col): duplicates {dup}"
             )
 
@@ -1501,6 +1539,45 @@ class CheckSuite:
                         .orderBy("component", "id")
                         .limit(chk.violation_limit)
                     )
+            elif isinstance(chk, LineDupCheck):
+                from data_check_spark.operators.linededup import line_duplicate_stats
+
+                ld = line_duplicate_stats(
+                    df,
+                    id_col=chk.id_col,
+                    text_col=chk.text_col,
+                    min_docs=chk.min_docs,
+                    sep_regex=chk.sep_regex,
+                )
+                sums = ld.agg(
+                    F.sum("n_dup_lines").alias("_d"), F.sum("n_lines").alias("_t")
+                )
+                m = F.round(F.try_divide(F.col("_d"), F.col("_t")), 6)
+                verdict_frames.append(
+                    sums.select(
+                        F.lit("*").alias("partition"),
+                        F.lit(chk.text_col).alias("column"),
+                        F.lit("dup_line_frac").alias("check"),
+                        m.alias("metric"),
+                        F.lit(float(chk.max_dup_line_frac)).alias("threshold"),
+                        # NULL metric (empty/all-NULL table) fails closed
+                        F.coalesce(
+                            m <= chk.max_dup_line_frac, F.lit(False)
+                        ).alias("passed"),
+                    )
+                )
+                if chk.dump_violations:
+                    share = F.try_divide(F.col("n_dup_lines"), F.col("n_lines"))
+                    violations[f"linedup:{chk.text_col}"] = (
+                        ld.filter(F.col("n_dup_lines") > 0)
+                        .withColumn("dup_line_frac", F.round(share, 6))
+                        .orderBy(
+                            F.desc("dup_line_frac"),
+                            F.desc("n_dup_lines"),
+                            F.col(chk.id_col),
+                        )
+                        .limit(chk.violation_limit)
+                    )
             elif isinstance(chk, SchemaCheck):
                 # driver-side (df.schema is free — ref O2 dry-run);
                 # row filters never change a schema, so the verdict is
@@ -1593,6 +1670,7 @@ class CheckSuite:
             KSDigestDriftCheck,
             CompareCheck,
             NearDupCheck,
+            LineDupCheck,
             ProfileCheck,
         )
         drift_checks = [c for c in self.checks if isinstance(c, _GLOBAL)]
