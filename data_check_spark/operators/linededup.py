@@ -137,12 +137,18 @@ def duplicated_line_hashes(
     every normalized segment present in at least ``min_docs``
     documents. Shuffles (id, hash) pairs only — never segment text.
     Compute once, persist (16 B + count per boilerplate line — tiny
-    next to the corpus), reuse across strip runs; on a crawl
-    increment, union the increment's (hash, n_docs) counts and re-sum
-    rather than rescanning the validated corpus (the
-    minhash_incremental pattern, operators/dedup.py)."""
-    if min_docs < 2:
-        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    next to the corpus), reuse across strip runs.
+
+    Incremental use (the minhash_incremental pattern,
+    operators/dedup.py): persist the UNFILTERED counts with
+    ``min_docs=1``; on a crawl increment, union the increment's
+    (line_hash, n_docs) rows with the stored ones and re-sum per hash
+    — document ids are disjoint across increments, so summed counts
+    equal a full recompute (pytest-asserted) and the validated corpus
+    is never rescanned. ``min_docs=1`` is allowed HERE only (it is
+    the store's retention policy, not a dedup threshold)."""
+    if min_docs < 1:
+        raise ValueError(f"min_docs must be >= 1, got {min_docs}")
     return (
         _pos_lines(df, id_col, text_col, sep_regex, hash_fn)
         .groupBy("_h")

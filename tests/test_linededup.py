@@ -173,3 +173,27 @@ def test_sentence_mode_on_synth_pages(spark):
         # survives must never be a bare repeated phrase sentence
         if r["text_clean"]:
             assert r["text_clean"].startswith("DOC[")
+
+
+def test_vocabulary_incremental_resum_equals_full(spark):
+    """The persistable store contract: min_docs=1 counts from two
+    disjoint-id increments, unioned and re-summed per hash, equal the
+    full-corpus recompute exactly (doc ids never repeat across
+    increments, so doc frequencies add)."""
+    df = _df(spark)
+    old = df.filter(F.col("doc_id") <= 3)
+    new = df.filter(F.col("doc_id") > 3)
+    full = {
+        (r["line_hash"], r["n_docs"])
+        for r in duplicated_line_hashes(df, min_docs=2).collect()
+    }
+    merged = (
+        duplicated_line_hashes(old, min_docs=1)
+        .unionByName(duplicated_line_hashes(new, min_docs=1))
+        .groupBy("line_hash")
+        .agg(F.sum("n_docs").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
+    assert {(r["line_hash"], r["n_docs"]) for r in merged.collect()} == full
+    with pytest.raises(ValueError):
+        duplicated_line_hashes(df, min_docs=0)
