@@ -733,6 +733,68 @@ def _q_dup_clusters(spark, sf_dir):
     return duplicate_clusters(pairs).orderBy("id")
 
 
+def _q_neardup_strip(spark, sf_dir):
+    """The corpus AFTER fuzzy dedup — pairs -> clusters ->
+    strip_duplicates keeps one exemplar (min id) per component plus
+    every unclustered doc (operators/components.py). This is the
+    frame a curation pipeline writes back out. Oracle: DuckDB
+    recomputes components with the recursive CTE over the same
+    exact-Jaccard pair set and anti-joins the non-exemplars; the kept
+    set is a pure function of the pair list, so both engines agree
+    exactly. The anti-join shuffles only 8-byte ids — never text."""
+    from data_check_spark.operators.components import (
+        duplicate_clusters,
+        strip_duplicates,
+    )
+
+    aug = _docs_with_dups(spark, sf_dir)
+    pairs = minhash_lsh_pairs(aug, jaccard_threshold=0.8)
+    clusters = duplicate_clusters(pairs)
+    kept = strip_duplicates(aug, clusters, "doc_id")
+    return kept.select("doc_id", "lang", "n_chars")
+
+
+def _q_encoding_scan(spark, sf_dir):
+    """Encoding-artifact scan (functions/textstats.py): per-doc counts
+    of U+FFFD replacement chars, UTF-8-as-Latin-1 mojibake digraphs
+    and C0 control chars, plus the suspect verdict — the web-crawl
+    decode-quality gate. The raw documents table is clean, so the
+    scars are PLANTED via engine-portable string appends (doc_id
+    modulus classes; chr() built from codepoints on the DuckDB side,
+    \\u escapes on the Spark side) and the oracle recomputes every
+    counter with the same replace-length arithmetic / one shared
+    regex. All JVM string built-ins — no Python worker, fusable into
+    the stats pass at 100 TB."""
+    from data_check_spark.functions.textstats import (
+        control_char_count,
+        encoding_suspect,
+        mojibake_count,
+        replacement_char_count,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 3, F.lit("\ufffd")
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 5, F.lit("\u00c3\u00a9")
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 13 == 6, F.lit("\u0001")
+        ).otherwise(F.lit("")),
+    )
+    p = d.select("doc_id", planted.alias("_t"))
+    return p.select(
+        "doc_id",
+        replacement_char_count(F.col("_t")).alias("n_replacement"),
+        mojibake_count(F.col("_t")).alias("n_mojibake"),
+        control_char_count(F.col("_t")).alias("n_control"),
+        encoding_suspect(F.col("_t")).alias("enc_suspect"),
+    )
+
+
 def _q_cluster_incremental(spark, sf_dir):
     """Incremental cluster maintenance oracle-checked against the
     FULL recompute: the old half's pair set is contracted to stored
@@ -1793,6 +1855,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_diff": _q_schema_diff,
         "minhash_pairs": _q_minhash,
         "dup_clusters": _q_dup_clusters,
+        "neardup_strip": _q_neardup_strip,
+        "encoding_scan": _q_encoding_scan,
         "cluster_incremental": _q_cluster_incremental,
         "suite_neardup_verdicts": _q_suite_neardup,
         "minhash_incremental": _q_minhash_incremental,
@@ -2411,6 +2475,67 @@ sizes AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY componen
 SELECT c.id, c.component, (c.id = c.component) AS is_exemplar, s.cluster_size
 FROM comp c JOIN sizes s USING (component)
 ORDER BY c.id""",
+        # same components CTE as dup_clusters; keep = unclustered OR exemplar
+        "neardup_strip": r"""
+WITH RECURSIVE docs AS (
+  SELECT * FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 10 = 0
+),
+w AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws FROM docs WHERE text IS NOT NULL),
+g AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, len(ws) - 1),
+                                          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+      FROM w WHERE len(ws) >= 3),
+n AS (SELECT doc_id, len(sh) AS n FROM g),
+t AS (SELECT doc_id, unnest(sh) AS tok FROM g),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+j AS (SELECT id_a, id_b,
+             round(inter * 1.0 / nullif(na.n + nb.n - inter, 0), 6) AS jaccard
+      FROM p JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b),
+e AS (SELECT id_a AS a, id_b AS b FROM j WHERE jaccard >= 0.8
+      UNION
+      SELECT id_b AS a, id_a AS b FROM j WHERE jaccard >= 0.8),
+nodes AS (SELECT DISTINCT a AS node FROM e),
+reach AS (
+  SELECT node, node AS r FROM nodes
+  UNION
+  SELECT e.b AS node, reach.r FROM reach JOIN e ON e.a = reach.node
+),
+comp AS (SELECT node AS id, min(r) AS component FROM reach GROUP BY node)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM docs d LEFT JOIN comp c ON c.id = d.doc_id
+WHERE c.id IS NULL OR c.id = c.component""",
+        # planted scars re-derived with the same replace-length
+        # arithmetic; chr() keeps the needles encoding-independent
+        "encoding_scan": r"""
+WITH planted AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 7 = 3 THEN chr(65533) ELSE '' END
+              || CASE WHEN doc_id % 11 = 5 THEN chr(195) || chr(169) ELSE '' END
+              || CASE WHEN doc_id % 13 = 6 THEN chr(1) ELSE '' END AS t
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+    CAST(length(t) - length(replace(t, chr(65533), '')) AS INT) AS n_replacement,
+    CAST((length(t) - length(replace(t, chr(195) || chr(169), ''))) / 2
+       + (length(t) - length(replace(t, chr(195) || chr(168), ''))) / 2
+       + (length(t) - length(replace(t, chr(195) || chr(164), ''))) / 2
+       + (length(t) - length(replace(t, chr(195) || chr(182), ''))) / 2
+       + (length(t) - length(replace(t, chr(195) || chr(188), ''))) / 2
+       + (length(t) - length(replace(t, chr(226) || chr(8364) || chr(8482), ''))) / 3
+       + (length(t) - length(replace(t, chr(226) || chr(8364) || chr(339), ''))) / 3
+       AS INT) AS n_mojibake,
+    CAST(len(regexp_extract_all(t, '[\x00-\x08\x0B\x0C\x0E-\x1F]')) AS INT) AS n_control
+  FROM planted
+)
+SELECT doc_id, n_replacement, n_mojibake, n_control,
+       (n_replacement > 0 OR n_mojibake > 0 OR n_control > 0) AS enc_suspect
+FROM m""",
         # the incremental path must land on the FULL recompute: same
         # components CTE as dup_clusters, labels only
         "cluster_incremental": r"""

@@ -99,6 +99,8 @@ HEADLINE = [
     "line_dedup_strip",
     "domain_cap",
     "suite_linedup_verdicts",
+    "neardup_strip",
+    "encoding_scan",
 ]
 
 PAGES_N = int(os.environ.get("DCS_BENCH_PAGES_N", "500000"))

@@ -384,3 +384,77 @@ def rolling_hash_fingerprint(text: Column, window: int = 16, keep_mod: int = 8) 
     )
     kept = F.array_sort(F.filter(hashes, lambda h: F.pmod(h, F.lit(keep_mod)) == 0))
     return F.xxhash64(F.array_join(F.transform(kept, lambda h: h.cast("string")), ","))
+
+
+# --- Encoding-artifact metrics (web-crawl mojibake detection) -------------
+#
+# Common Crawl text carries three classic encoding scars: U+FFFD
+# replacement characters (decode failures), UTF-8-bytes-read-as-
+# Latin-1/cp1252 digraphs ("mojibake": e.g. 0xC3 0xA9 for é surfacing
+# as the two characters Ã©), and stray C0 control characters. All
+# three counters below are pure string built-ins / one tiny regex —
+# JVM-side, fusable into any stats pass, and (deliberately) free of
+# regex-dialect features so an ANSI oracle reproduces them exactly.
+# Artifact needles are spelled as \u escapes so source-file encoding
+# can never change their identity.
+
+#: UTF-8 read as Latin-1/cp1252: é è ä ö ü as two chars; ' (U+2019)
+#: and " (U+201C) as the three-char â€-digraphs cp1252 yields.
+ENCODING_ARTIFACTS: tuple[str, ...] = (
+    "\u00c3\u00a9",  # 'A tilde'+'copyright-row e' <- e-acute
+    "\u00c3\u00a8",  # <- e-grave
+    "\u00c3\u00a4",  # <- a-umlaut
+    "\u00c3\u00b6",  # <- o-umlaut
+    "\u00c3\u00bc",  # <- u-umlaut
+    "\u00e2\u20ac\u2122",  # <- right single quote (U+2019)
+    "\u00e2\u20ac\u0153",  # <- left double quote (U+201C)
+)
+
+_REPLACEMENT_CHAR = "\ufffd"
+#: C0 controls except tab/newline/carriage-return. \xhh escapes parse
+#: identically in Java regex and RE2, so Spark and DuckDB agree.
+_CONTROL_PATTERN = r"[\x00-\x08\x0B\x0C\x0E-\x1F]"
+
+
+def _occurrences(text: Column, needle: str) -> Column:
+    """Occurrence count of a fixed needle by length arithmetic —
+    (len(t) - len(remove(t, needle))) / len(needle). No regex, so any
+    engine with length/replace reproduces it bit-for-bit. NULL text
+    propagates to NULL."""
+    diff = F.length(text) - F.length(F.replace(text, F.lit(needle)))
+    return (diff / F.lit(len(needle))).cast("int")
+
+
+def replacement_char_count(text: Column) -> Column:
+    """Count of U+FFFD replacement characters (decode failures)."""
+    return _occurrences(text, _REPLACEMENT_CHAR)
+
+
+def mojibake_count(text: Column) -> Column:
+    """Total occurrences of the classic UTF-8-as-Latin-1 digraph
+    artifacts (ENCODING_ARTIFACTS). Each needle is counted by the
+    replace-length trick; the needles are chosen non-overlapping in
+    real text (each starts at a distinct artifact lead char)."""
+    total = None
+    for a in ENCODING_ARTIFACTS:
+        c = _occurrences(text, a)
+        total = c if total is None else total + c
+    return total.cast("int")
+
+
+def control_char_count(text: Column) -> Column:
+    """Count of C0 control characters other than \\t \\n \\r."""
+    return F.when(text.isNull(), F.lit(None).cast("int")).otherwise(
+        F.regexp_count(text, F.lit(_CONTROL_PATTERN)).cast("int")
+    )
+
+
+def encoding_suspect(text: Column) -> Column:
+    """TRUE when any encoding scar is present; SQL three-valued
+    semantics on NULL text (stays NULL) so batch filters and suite
+    predicates treat undecoded rows explicitly."""
+    return (
+        (replacement_char_count(text) > 0)
+        | (mojibake_count(text) > 0)
+        | (control_char_count(text) > 0)
+    )

@@ -183,3 +183,30 @@ def duplicate_clusters(
         (F.col("id") == F.col("component")).alias("is_exemplar"),
         "cluster_size",
     )
+
+
+def strip_duplicates(
+    corpus: DataFrame, clusters: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Materialise the retention step itself: the corpus AFTER fuzzy
+    dedup — every clustered document dropped except its exemplar
+    (min id per component, duplicate_clusters), unclustered rows kept
+    untouched. This is the frame a training pipeline actually writes
+    back out, completing pairs -> clusters -> deduplicated corpus.
+
+    Scale shape: the drop list is one 8-byte id per NON-exemplar
+    clustered doc — strictly smaller than the clustered subset and
+    orders below the corpus — and the anti-join shuffles only
+    (id, id) pairs, never text; with ids already the shuffle key of
+    the cluster stage, AQE converts the probe side to a broadcast
+    when the drop list fits. The kept set is a pure function of the
+    pair list (component minima are order-independent), so re-runs
+    and backfills are stable.
+
+    The reference stops at row diffs (data_check/query/compare.py);
+    this is the beyond-reference curation step those diffs feed.
+    """
+    drops = clusters.filter(~F.col("is_exemplar")).select(
+        F.col("id").alias(id_col)
+    )
+    return corpus.join(drops, on=id_col, how="left_anti")

@@ -157,3 +157,40 @@ def test_chain_mode_clusters_equal_all_pairs_clusters(spark):
     cc_chain = {r["id"]: r["component"]
                 for r in connected_components(chain_p).collect()}
     assert cc_chain == cc_all
+
+
+def test_strip_duplicates_keeps_exemplars_and_unclustered(spark):
+    from data_check_spark.operators.components import strip_duplicates
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    corpus = spark.createDataFrame(
+        [(i, f"t{i}") for i in (1, 2, 3, 10, 11, 99)], "doc_id long, text string"
+    )
+    kept = strip_duplicates(corpus, duplicate_clusters(pairs), "doc_id")
+    assert {r["doc_id"] for r in kept.collect()} == {1, 10, 99}
+    # schema passes through untouched
+    assert kept.columns == ["doc_id", "text"]
+
+
+def test_strip_duplicates_pure_function_of_pairs(spark):
+    """Kept set must not depend on pair orientation or duplication."""
+    from data_check_spark.operators.components import strip_duplicates
+
+    corpus = spark.createDataFrame(
+        [(i, "x") for i in range(6)], "doc_id long, text string"
+    )
+    a = spark.createDataFrame([(4, 2), (2, 0)], "id_a long, id_b long")
+    b = spark.createDataFrame(
+        [(0, 2), (2, 4), (4, 2), (2, 0)], "id_a long, id_b long"
+    )
+    got_a = {
+        r["doc_id"]
+        for r in strip_duplicates(corpus, duplicate_clusters(a)).collect()
+    }
+    got_b = {
+        r["doc_id"]
+        for r in strip_duplicates(corpus, duplicate_clusters(b)).collect()
+    }
+    assert got_a == got_b == {0, 1, 3, 5}

@@ -162,3 +162,44 @@ def test_add_text_metrics_matches_individual_functions(spark, sf_dir):
     # the metric Project (which would re-duplicate the regexes)
     plan = fused._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Project") >= 3
+
+
+def test_encoding_metrics_counts(spark):
+    from data_check_spark.functions.textstats import (
+        control_char_count,
+        encoding_suspect,
+        mojibake_count,
+        replacement_char_count,
+    )
+
+    repl = chr(0xFFFD)
+    moj_e = chr(0xC3) + chr(0xA9)          # e-acute read as Latin-1
+    moj_q1 = chr(0xE2) + chr(0x20AC) + chr(0x2122)  # U+2019 as cp1252
+    moj_q2 = chr(0xE2) + chr(0x20AC) + chr(0x0153)  # U+201C as cp1252
+    rows = [
+        (0, "clean ascii text"),
+        (1, "bad " + repl + " twice " + repl),
+        (2, "caf" + moj_e + " and " + moj_q1 + "quoted" + moj_q2),
+        (3, "ctrl" + chr(1) + "here" + chr(2) + "and tab" + chr(9)
+            + "ok" + chr(10) + "newline"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            replacement_char_count(F.col("text")).alias("nr"),
+            mojibake_count(F.col("text")).alias("nm"),
+            control_char_count(F.col("text")).alias("nc"),
+            encoding_suspect(F.col("text")).alias("sus"),
+        ).collect()
+    }
+    assert (got[0]["nr"], got[0]["nm"], got[0]["nc"], got[0]["sus"]) == (
+        0, 0, 0, False,
+    )
+    assert got[1]["nr"] == 2 and got[1]["sus"] is True
+    assert got[2]["nm"] == 3 and got[2]["nr"] == 0 and got[2]["sus"] is True
+    # tab/newline/CR are not control scars; chr(1) and chr(2) are
+    assert got[3]["nc"] == 2 and got[3]["sus"] is True
+    assert got[4]["nr"] is None and got[4]["sus"] is None
