@@ -1568,6 +1568,42 @@ def _q_quarantine_gopher(spark, sf_dir):
     )
 
 
+def _q_quarantine_encoding(spark, sf_dir):
+    """Decode-quality routing (operators/quarantine.encoding_rules):
+    zero-tolerance gates on U+FFFD / mojibake digraphs / C0 controls,
+    over the same planted scars as ``encoding_scan`` plus fail-closed
+    NULL text (doc_id%23==5). The DuckDB twin re-derives every
+    counter with the shared replace-length arithmetic and rebuilds
+    the sorted reason list with the same fail-closed CASE logic."""
+    from data_check_spark.operators.quarantine import encoding_rules, route_rows
+
+    d = _t(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 3, F.lit("\ufffd")
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 5, F.lit("\u00c3\u00a9")
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 13 == 6, F.lit("\u0001")
+        ).otherwise(F.lit("")),
+    )
+    d = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 23 == 5, F.lit(None).cast("string"))
+        .otherwise(planted)
+        .alias("text"),
+    )
+    routed = route_rows(d, encoding_rules())
+    return routed.select(
+        "doc_id",
+        F.array_join("quarantine_reasons", ",").alias("reasons"),
+        (F.size("quarantine_reasons") == 0).alias("is_clean"),
+    )
+
+
 def _q_contamination(spark, sf_dir):
     """Benchmark-contamination counts per train doc (operators/dedup.
     contamination_check): eval = doc_id%10==0, train = the rest; a
@@ -1883,6 +1919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metric_anomalies": _q_metric_anomalies,
         "quarantine": _q_quarantine,
         "quarantine_gopher": _q_quarantine_gopher,
+        "quarantine_encoding": _q_quarantine_encoding,
         "pack_contract": _q_pack_contract,
         "embedding_stats": _q_embedding_stats,
         "train_split": _q_train_split,
@@ -3032,6 +3069,46 @@ WITH d AS (
                 THEN 'expr:gopher_ellipsis_lines' END
          ], x -> x IS NOT NULL)) AS reasons
   FROM m2
+)
+SELECT doc_id,
+       coalesce(array_to_string(reasons, ','), '') AS reasons,
+       len(reasons) = 0 AS is_clean
+FROM r""",
+        # same planted scars as encoding_scan + fail-closed NULL text
+        "quarantine_encoding": r"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 23 = 5 THEN NULL
+              ELSE text
+                || CASE WHEN doc_id % 7 = 3 THEN chr(65533) ELSE '' END
+                || CASE WHEN doc_id % 11 = 5 THEN chr(195) || chr(169) ELSE '' END
+                || CASE WHEN doc_id % 13 = 6 THEN chr(1) ELSE '' END
+         END AS t
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    length(t) - length(replace(t, chr(65533), '')) AS n_repl,
+    (length(t) - length(replace(t, chr(195) || chr(169), ''))) / 2
+      + (length(t) - length(replace(t, chr(195) || chr(168), ''))) / 2
+      + (length(t) - length(replace(t, chr(195) || chr(164), ''))) / 2
+      + (length(t) - length(replace(t, chr(195) || chr(182), ''))) / 2
+      + (length(t) - length(replace(t, chr(195) || chr(188), ''))) / 2
+      + (length(t) - length(replace(t, chr(226) || chr(8364) || chr(8482), ''))) / 3
+      + (length(t) - length(replace(t, chr(226) || chr(8364) || chr(339), ''))) / 3
+      AS n_moj,
+    len(regexp_extract_all(t, '[\x00-\x08\x0B\x0C\x0E-\x1F]')) AS n_ctl
+  FROM d
+), r AS (
+  SELECT doc_id,
+         list_sort(list_filter([
+           CASE WHEN NOT coalesce(n_repl <= 0, FALSE)
+                THEN 'expr:enc_replacement' END,
+           CASE WHEN NOT coalesce(n_moj <= 0, FALSE)
+                THEN 'expr:enc_mojibake' END,
+           CASE WHEN NOT coalesce(n_ctl <= 0, FALSE)
+                THEN 'expr:enc_control' END
+         ], x -> x IS NOT NULL)) AS reasons
+  FROM m
 )
 SELECT doc_id,
        coalesce(array_to_string(reasons, ','), '') AS reasons,

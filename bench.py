@@ -101,6 +101,7 @@ HEADLINE = [
     "suite_linedup_verdicts",
     "neardup_strip",
     "encoding_scan",
+    "quarantine_encoding",
 ]
 
 PAGES_N = int(os.environ.get("DCS_BENCH_PAGES_N", "500000"))

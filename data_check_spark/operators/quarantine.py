@@ -257,6 +257,51 @@ def gopher_rules(
     return rules
 
 
+def encoding_rules(
+    text_col: str = "text",
+    *,
+    max_replacement_chars: int | None = 0,
+    max_mojibake: int | None = 0,
+    max_control_chars: int | None = 0,
+) -> list:
+    """Decode-quality gates for web-crawl text as a ``route_rows``
+    rule pack: U+FFFD replacement chars (decode failures), UTF-8-as-
+    Latin-1 mojibake digraphs and C0 control chars, built from the
+    canonical counters in functions/textstats.py so the router and
+    the ``encoding_scan`` metrics can never drift apart. Defaults are
+    zero-tolerance (any scar quarantines); raise a threshold to
+    tolerate isolated artifacts, pass None to drop a gate. Pure JVM
+    string built-ins — the whole pack routes in one shuffle-free
+    projection. NULL text fails every configured gate (fail-closed,
+    same contract as gopher_rules)."""
+    from data_check_spark.functions.textstats import (
+        control_char_count,
+        mojibake_count,
+        replacement_char_count,
+    )
+
+    t = F.col(text_col)
+    rules: list = []
+    if max_replacement_chars is not None:
+        rules.append(
+            ColumnRule(
+                "enc_replacement",
+                replacement_char_count(t) <= int(max_replacement_chars),
+            )
+        )
+    if max_mojibake is not None:
+        rules.append(
+            ColumnRule("enc_mojibake", mojibake_count(t) <= int(max_mojibake))
+        )
+    if max_control_chars is not None:
+        rules.append(
+            ColumnRule(
+                "enc_control", control_char_count(t) <= int(max_control_chars)
+            )
+        )
+    return rules
+
+
 def split(routed: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(clean, quarantined) from a ``route_rows`` output. Both share
     the routed plan — persist it (or write it once) before consuming

@@ -162,3 +162,43 @@ def test_runner_route_out(spark, tmp_path):
         for x in r["quarantine_reasons"]
     }
     assert {"not_null:text", "not_null:lang", "unique:url"} <= reasons
+
+
+def test_encoding_rules_route(spark):
+    """Each decode-quality gate fires on its own scar; clean ASCII
+    passes; NULL text fails every configured gate (fail-closed)."""
+    from data_check_spark.operators.quarantine import encoding_rules, route_rows
+
+    rows = [
+        (0, "clean ascii"),
+        (1, "bad " + chr(0xFFFD)),
+        (2, "caf" + chr(0xC3) + chr(0xA9)),
+        (3, "ctrl" + chr(1) + "x"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    routed = route_rows(df, encoding_rules())
+    got = {r["doc_id"]: set(r["quarantine_reasons"]) for r in routed.collect()}
+    assert got[0] == set()
+    assert got[1] == {"expr:enc_replacement"}
+    assert got[2] == {"expr:enc_mojibake"}
+    assert got[3] == {"expr:enc_control"}
+    assert len(got[4]) == len(encoding_rules())
+
+
+def test_encoding_rules_thresholds_and_optout(spark):
+    from data_check_spark.operators.quarantine import encoding_rules, route_rows
+
+    # tolerate one replacement char; drop the control gate entirely
+    rules = encoding_rules(max_replacement_chars=1, max_control_chars=None)
+    assert {r.name for r in rules} == {"enc_replacement", "enc_mojibake"}
+    df = spark.createDataFrame(
+        [(0, "one " + chr(0xFFFD) + " ok"), (1, chr(0xFFFD) * 2)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: set(r["quarantine_reasons"])
+        for r in route_rows(df, rules).collect()
+    }
+    assert got[0] == set()
+    assert got[1] == {"expr:enc_replacement"}
