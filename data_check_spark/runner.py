@@ -224,6 +224,15 @@ def main(argv: list[str] | None = None) -> int:
         "byte-identical text",
     )
     ap.add_argument(
+        "--route-packs",
+        default=None,
+        metavar="PACKS",
+        help="comma list of extra rule packs for --route-out: "
+        "'gopher' (Rae et al. quality gates) and/or 'encoding' "
+        "(decode-scar zero-tolerance); both are row-local and add "
+        "zero shuffles to the routing pass",
+    )
+    ap.add_argument(
         "--anomaly-gate",
         type=float,
         default=None,
@@ -338,19 +347,27 @@ def main(argv: list[str] | None = None) -> int:
             FDRule,
             NotNullRule,
             UniqueRule,
+            encoding_rules,
+            gopher_rules,
             route_rows,
             split,
         )
 
-        routed = route_rows(
-            df,
-            [
-                NotNullRule("text"),
-                NotNullRule("lang"),
-                UniqueRule("url", id_col="warc_ts", keep_exemplar=False),
-                FDRule("url", deps=("text",)),
-            ],
-        ).persist()
+        rules = [
+            NotNullRule("text"),
+            NotNullRule("lang"),
+            UniqueRule("url", id_col="warc_ts", keep_exemplar=False),
+            FDRule("url", deps=("text",)),
+        ]
+        packs = {"gopher": gopher_rules, "encoding": encoding_rules}
+        for pack in filter(None, (args.route_packs or "").split(",")):
+            if pack.strip() not in packs:
+                raise SystemExit(
+                    f"unknown --route-packs entry {pack.strip()!r} "
+                    f"(choose from {sorted(packs)})"
+                )
+            rules.extend(packs[pack.strip()]())
+        routed = route_rows(df, rules).persist()
         clean, quarantined = split(routed)
         clean.write.mode("overwrite").parquet(f"{args.route_out}/clean")
         quarantined.write.mode("overwrite").parquet(f"{args.route_out}/quarantine")

@@ -57,3 +57,43 @@ def test_runner_lang_profile_gate(spark, tmp_path):
     assert prof["profile_mode_share"]["passed"]
     failed = audit.filter(~F.col("passed")).count()
     assert rc == (0 if failed == 0 else 1)
+
+
+def test_runner_route_packs(spark, tmp_path):
+    """--route-packs adds the gopher/encoding packs to the routing
+    pass: synth pages (short template texts) trip gopher_min_words,
+    so the quarantine side must carry expr:gopher_* reasons; the
+    encoding pack adds nothing on clean synth text but must be
+    accepted. Unknown pack names fail loudly."""
+    out = str(tmp_path / "run")
+    route = str(tmp_path / "routed")
+    rc = main([
+        "--synthesize", "500",
+        "--out", out,
+        "--partitions", "2",
+        "--route-out", route,
+        "--route-packs", "gopher,encoding",
+    ])
+    assert rc in (0, 1)
+    quarantined = spark.read.parquet(f"{route}/quarantine")
+    reasons = {
+        x
+        for r in quarantined.select("quarantine_reasons").collect()
+        for x in r[0]
+    }
+    assert any(x.startswith("expr:gopher_") for x in reasons)
+    # synth text is scar-free: encoding gates fire ONLY fail-closed,
+    # i.e. on the planted NULL texts, never on a present text
+    per_row = quarantined.select("quarantine_reasons").collect()
+    for (rs,) in per_row:
+        if any(x.startswith("expr:enc_") for x in rs):
+            assert "not_null:text" in rs
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main([
+            "--synthesize", "100",
+            "--out", str(tmp_path / "run2"),
+            "--route-out", str(tmp_path / "r2"),
+            "--route-packs", "nonsense",
+        ])
