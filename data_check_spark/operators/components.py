@@ -186,7 +186,10 @@ def duplicate_clusters(
 
 
 def strip_duplicates(
-    corpus: DataFrame, clusters: DataFrame, id_col: str = "doc_id"
+    corpus: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    broadcast: bool | str = "auto",
 ) -> DataFrame:
     """Materialise the retention step itself: the corpus AFTER fuzzy
     dedup — every clustered document dropped except its exemplar
@@ -196,17 +199,22 @@ def strip_duplicates(
 
     Scale shape: the drop list is one 8-byte id per NON-exemplar
     clustered doc — strictly smaller than the clustered subset and
-    orders below the corpus — and the anti-join shuffles only
-    (id, id) pairs, never text; with ids already the shuffle key of
-    the cluster stage, AQE converts the probe side to a broadcast
-    when the drop list fits. The kept set is a pure function of the
-    pair list (component minima are order-independent), so re-runs
-    and backfills are stable.
+    orders below the corpus — and rides the same size-aware broadcast
+    policy as the referential check (operators/refint.maybe_broadcast):
+    under the cap the anti-join is a broadcast hash join and the
+    corpus (text included) NEVER shuffles; above it the plan falls
+    back to a hash shuffle on the 8-byte id — unavoidable without
+    pre-bucketed storage, and the honest cost of a billion-row drop
+    list. The kept set is a pure function of the pair list (component
+    minima are order-independent), so re-runs and backfills are
+    stable.
 
     The reference stops at row diffs (data_check/query/compare.py);
     this is the beyond-reference curation step those diffs feed.
     """
+    from data_check_spark.operators.refint import maybe_broadcast
+
     drops = clusters.filter(~F.col("is_exemplar")).select(
         F.col("id").alias(id_col)
     )
-    return corpus.join(drops, on=id_col, how="left_anti")
+    return corpus.join(maybe_broadcast(drops, broadcast), on=id_col, how="left_anti")

@@ -194,3 +194,22 @@ def test_strip_duplicates_pure_function_of_pairs(spark):
         for r in strip_duplicates(corpus, duplicate_clusters(b)).collect()
     }
     assert got_a == got_b == {0, 1, 3, 5}
+
+
+def test_strip_duplicates_broadcasts_small_drop_list(spark):
+    """Under the size cap the anti-join must be a broadcast hash join
+    (corpus side never exchanged), so text never shuffles."""
+    from data_check_spark.operators.components import strip_duplicates
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    corpus = spark.range(100).selectExpr(
+        "id as doc_id", "repeat('x', 50) as text"
+    )
+    out = strip_duplicates(corpus, duplicate_clusters(pairs), "doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    anti_head = plan.split("LeftAnti")[0] + "LeftAnti"
+    assert "BroadcastHashJoin" in anti_head
+    # the corpus (probe) side sits directly under the anti-join with
+    # no Exchange between them
+    probe = plan.split("LeftAnti")[1].split("BroadcastExchange")[0]
+    assert "Exchange" not in probe
