@@ -416,6 +416,50 @@ def _q_langid(spark, sf_dir):
     return d.select("doc_id", lang_guess(F.col("text")).alias("lang_guess"))
 
 
+def _q_token_budget_cut(spark, sf_dir):
+    """Deterministic token-budget corpus cut (functions/splits.
+    budget_cut): keep documents in md5(id:salt) order while the
+    running token total stays <= 20,000 — the "give me ~N tokens of
+    this corpus" sampler a training-mix builder needs. Two-phase at
+    scale (per-hex-prefix sums + one boundary-bucket window; whole
+    buckets kept with no window at all); the DuckDB oracle re-derives
+    the exact kept set with a single global running-sum window, so
+    the phase split is proven equivalent to the global order."""
+    from data_check_spark.functions.splits import budget_cut
+    from data_check_spark.functions.textstats import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    kept = budget_cut(d, 20_000, token_count(F.col("text")), "doc_id")
+    return kept.select(
+        "doc_id",
+        F.coalesce(token_count(F.col("text")), F.lit(0))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+
+
+def _q_lang_mismatch(spark, sf_dir):
+    """Declared-vs-detected language agreement, the standard crawl
+    metadata sanity check: per declared lang, how many docs the
+    n-gram heuristic (functions/textstats.lang_guess, the proven
+    ``langid`` oracle twin) disagrees with. NULL guesses (NULL text)
+    are not mismatches — SQL comparison semantics on both engines;
+    'und' vs a declared code IS one. One scan, one tiny groupBy on
+    the lang code — trivially 100 TB-safe."""
+    d = _t(spark, sf_dir, "documents")
+    g = d.select("lang", lang_guess(F.col("text")).alias("g"))
+    return g.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(F.col("g") != F.col("lang")).alias("n_mismatch"),
+        F.round(
+            F.try_divide(
+                F.count_if(F.col("g") != F.col("lang")), F.count(F.lit(1))
+            ),
+            6,
+        ).alias("mismatch_rate"),
+    )
+
+
 def _q_fingerprint(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", bag_of_words_fingerprint(F.col("text")).alias("fp"))
@@ -1868,6 +1912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _q_token_stats,
         "quality_scores": _q_quality,
         "langid": _q_langid,
+        "lang_mismatch": _q_lang_mismatch,
         "text_metrics": _q_text_metrics,
         "fingerprint": _q_fingerprint,
         "events_hourly": _q_events_hourly,
@@ -1911,6 +1956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_stats": _q_line_dedup_stats,
         "line_dedup_strip": _q_line_dedup_strip,
         "domain_cap": _q_domain_cap,
+        "token_budget_cut": _q_token_budget_cut,
         "suite_linedup_verdicts": _q_suite_linedup,
         "contamination": _q_contamination,
         "outlier_counts": _q_outlier_counts,
@@ -2110,6 +2156,16 @@ WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
         "token_stats": _TOKEN_STATS_ORACLE,
         "quality_scores": _QUALITY_ORACLE,
         "langid": _LANGID_ORACLE,
+        # declared-vs-detected agreement over the same lang_guess twin
+        "lang_mismatch": f"""
+WITH l AS ({_LANGID_ORACLE})
+SELECT d.lang,
+       count(*) AS n_docs,
+       count(*) FILTER (WHERE l.lang_guess <> d.lang) AS n_mismatch,
+       round((count(*) FILTER (WHERE l.lang_guess <> d.lang)) * 1.0
+             / count(*), 6) AS mismatch_rate
+FROM documents d JOIN l ON l.doc_id = d.doc_id
+GROUP BY d.lang""",
         # fused single-pass twin of the three entries above: same
         # expressions, one scan (functions/textstats.add_text_metrics)
         "text_metrics": f"""
@@ -2804,6 +2860,21 @@ SELECT '*' AS "partition", 'text' AS "column", 'dup_line_frac' AS "check",
        0.3 AS threshold,
        coalesce(round(d * 1.0 / nullif(t, 0), 6) <= 0.3, FALSE) AS passed
 FROM agg""",
+        # the two-phase cut must equal ONE global running-sum window
+        "token_budget_cut": r"""
+WITH w AS (
+  SELECT doc_id,
+         md5(CAST(doc_id AS VARCHAR) || ':dcs-budget') AS h,
+         CAST(coalesce(len(regexp_extract_all(text, '\S+')), 0) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY h, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM w
+)
+SELECT doc_id, n_tokens FROM c WHERE cum <= 20000""",
         "domain_cap": r"""
 SELECT domain, doc_id FROM (
   SELECT domain, doc_id,

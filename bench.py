@@ -102,6 +102,8 @@ HEADLINE = [
     "neardup_strip",
     "encoding_scan",
     "quarantine_encoding",
+    "lang_mismatch",
+    "token_budget_cut",
 ]
 
 PAGES_N = int(os.environ.get("DCS_BENCH_PAGES_N", "500000"))

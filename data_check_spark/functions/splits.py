@@ -190,6 +190,82 @@ def cap_per_key(
     )
 
 
+def budget_cut(
+    df: DataFrame,
+    budget: int,
+    weight: Column,
+    id_col: str,
+    salt: str = "dcs-budget",
+    prefix_len: int = 2,
+) -> DataFrame:
+    """Deterministic corpus cut to a global WEIGHT budget — "give me
+    ~N tokens of this corpus": rows are taken in md5(id:salt) hex
+    order (ties by id) while the running weight total stays <= budget.
+    Like every sampler in this module the kept set is a pure function
+    of the row ids and weights — re-runs, backfills and late shards
+    agree with no coordination, smaller budgets nest inside larger
+    ones (same order, shorter prefix), and any engine re-derives the
+    set with one ANSI window (``sum(w) OVER (ORDER BY md5(...), id)``
+    — the DuckDB oracle does exactly that). Weights must be
+    non-negative (token counts, byte sizes); NULL weight counts as 0.
+
+    Scale shape: a single global running-sum window would pin one
+    task, so the cut is two-phase: per-bucket weight sums over the
+    md5 prefix (16^prefix_len buckets; hex order == global order
+    because the prefix dominates the string compare) are prefix-summed
+    on the driver — a 256-row readout at the default, 65,536 at
+    prefix_len=4 for the 10^12-row regime — fully-under-budget
+    buckets are kept whole with NO window at all, and only the ONE
+    boundary bucket (~corpus/16^prefix_len rows) pays a running-sum
+    window. Everything else is a map-side filter on the hex prefix.
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    if prefix_len < 1:
+        raise ValueError(f"prefix_len must be >= 1, got {prefix_len}")
+    from pyspark.sql import Window
+
+    ordk = F.md5(
+        F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)).cast("binary")
+    )
+    d = (
+        df.withColumn("_ordk", ordk)
+        .withColumn("_w", F.coalesce(weight.cast("long"), F.lit(0)))
+        .withColumn("_b", F.substring("_ordk", 1, prefix_len))
+    )
+    # bounded driver readout: one (bucket, sum) row per hex prefix
+    sums = {r["_b"]: r["s"] for r in d.groupBy("_b").agg(F.sum("_w").alias("s")).collect()}
+    base = 0
+    full: list[str] = []
+    boundary: str | None = None
+    for b in sorted(sums):
+        if base + sums[b] <= budget:
+            full.append(b)
+            base += sums[b]
+        else:
+            boundary = b
+            break
+    parts = []
+    if full:
+        parts.append(d.filter(F.col("_b").isin(full)))
+    if boundary is not None:
+        win = Window.orderBy(F.col("_ordk"), F.col(id_col)).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        parts.append(
+            d.filter(F.col("_b") == boundary)
+            .withColumn("_cum", F.sum("_w").over(win) + F.lit(base))
+            .filter(F.col("_cum") <= budget)
+            .drop("_cum")
+        )
+    if not parts:
+        return df.filter(F.lit(False))
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out.drop("_ordk", "_w", "_b")
+
+
 def split_summary(
     df: DataFrame,
     key_col: str,

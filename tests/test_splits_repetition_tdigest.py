@@ -567,3 +567,62 @@ def test_cap_per_key_hot_key_spreads_phase1(spark):
     df = spark.createDataFrame([("hot", i) for i in range(50)], "domain string, doc_id long")
     plan = cap_per_key(df, "domain", 3, "doc_id")._jdf.queryExecution().optimizedPlan().toString()
     assert "substring(_ordk" in plan, plan
+
+
+def _budget_reference(rows, budget, salt="dcs-budget"):
+    """Brute-force greedy cut in md5(id:salt) order, pure python."""
+    import hashlib
+
+    ordered = sorted(
+        rows, key=lambda r: (hashlib.md5(f"{r[0]}:{salt}".encode()).hexdigest(), r[0])
+    )
+    kept, cum = set(), 0
+    for rid, w in ordered:
+        if cum + w <= budget:
+            kept.add(rid)
+            cum += w
+        else:
+            break
+    return kept
+
+
+def test_budget_cut_matches_bruteforce(spark):
+    from data_check_spark.functions.splits import budget_cut
+
+    rows = [(i, (i * 7919) % 50 + 1) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    for budget in (0, 37, 500, 2000, 10**9):
+        got = {
+            r["doc_id"]
+            for r in budget_cut(df, budget, F.col("w"), "doc_id").collect()
+        }
+        assert got == _budget_reference(rows, budget), budget
+
+
+def test_budget_cut_prefix_len_invariant_and_nesting(spark):
+    from data_check_spark.functions.splits import budget_cut
+
+    rows = [(i, (i * 31) % 20 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    k1 = {r["doc_id"] for r in budget_cut(df, 800, F.col("w"), "doc_id", prefix_len=1).collect()}
+    k2 = {r["doc_id"] for r in budget_cut(df, 800, F.col("w"), "doc_id", prefix_len=2).collect()}
+    k3 = {r["doc_id"] for r in budget_cut(df, 800, F.col("w"), "doc_id", prefix_len=3).collect()}
+    assert k1 == k2 == k3
+    # smaller budgets nest inside larger ones
+    small = {r["doc_id"] for r in budget_cut(df, 300, F.col("w"), "doc_id").collect()}
+    assert small <= k2
+
+
+def test_budget_cut_null_weight_counts_zero(spark):
+    from data_check_spark.functions.splits import budget_cut
+
+    df = spark.createDataFrame(
+        [(1, None), (2, 5), (3, None)], "doc_id long, w long"
+    )
+    got = {r["doc_id"] for r in budget_cut(df, 5, F.col("w"), "doc_id").collect()}
+    # every row fits: NULLs weigh nothing, the one real weight is 5
+    assert got == {1, 2, 3}
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        budget_cut(df, -1, F.col("w"), "doc_id")
