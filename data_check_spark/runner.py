@@ -233,6 +233,23 @@ def main(argv: list[str] | None = None) -> int:
         "zero shuffles to the routing pass",
     )
     ap.add_argument(
+        "--dedup-out",
+        default=None,
+        metavar="DIR",
+        help="also run the full fuzzy-dedup lifecycle and write the "
+        "post-dedup corpus to DIR/corpus: MinHash-LSH pairs -> "
+        "connected-component clusters -> keep one exemplar (min url) "
+        "per cluster plus every unclustered row",
+    )
+    ap.add_argument(
+        "--dedup-threshold",
+        type=float,
+        default=0.8,
+        metavar="J",
+        help="Jaccard threshold for --dedup-out pair generation "
+        "(default 0.8)",
+    )
+    ap.add_argument(
         "--anomaly-gate",
         type=float,
         default=None,
@@ -374,6 +391,31 @@ def main(argv: list[str] | None = None) -> int:
         n_q = quarantined.count()
         routed.unpersist()
         print(f"routed: {n_q} row(s) quarantined to {args.route_out}/quarantine")
+    if args.dedup_out:
+        from data_check_spark.operators.components import (
+            duplicate_clusters,
+            strip_duplicates,
+        )
+        from data_check_spark.operators.dedup import minhash_lsh_pairs
+
+        # full fuzzy-dedup lifecycle from spark-submit: pairs ->
+        # clusters -> post-dedup corpus. url is the retention id
+        # (min url per component = keep the lexicographically first
+        # crawl of the template); ids never leave 8 bytes... urls do,
+        # but only for the clustered subset.
+        pairs = minhash_lsh_pairs(
+            df.select(F.col("url").alias("doc_id"), "text"),
+            jaccard_threshold=args.dedup_threshold,
+        )
+        clusters = duplicate_clusters(pairs)
+        kept = strip_duplicates(df, clusters, "url")
+        kept.write.mode("overwrite").parquet(f"{args.dedup_out}/corpus")
+        n_in, n_kept = df.count(), kept.count()
+        print(
+            f"dedup: kept {n_kept}/{n_in} row(s) "
+            f"({n_in - n_kept} near-dup non-exemplars dropped) "
+            f"to {args.dedup_out}/corpus"
+        )
     failed = result.verdicts.filter(~F.col("passed")).count()
     total = result.verdicts.count()
     print(f"run_id={result.run_id} verdicts={total} failed={failed}")

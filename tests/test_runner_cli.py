@@ -97,3 +97,35 @@ def test_runner_route_packs(spark, tmp_path):
             "--route-out", str(tmp_path / "r2"),
             "--route-packs", "nonsense",
         ])
+
+
+def test_runner_dedup_out(spark, tmp_path):
+    """--dedup-out writes the post-dedup corpus: the synth corpus is
+    template-heavy by design, so non-exemplar members must drop and
+    each kept near-dup cluster keeps exactly its min url."""
+    out = str(tmp_path / "run")
+    dd = str(tmp_path / "dedup")
+    rc = main([
+        "--synthesize", "1500",
+        "--out", out,
+        "--partitions", "2",
+        "--dedup-out", dd,
+    ])
+    assert rc in (0, 1)
+    kept = spark.read.parquet(f"{dd}/corpus")
+    n_in = 1500
+    n_kept = kept.count()
+    assert 0 < n_kept < n_in  # template corpus: something must drop
+    # schema is the input schema, untouched
+    assert set(kept.columns) >= {"url", "text", "lang"}
+    # determinism: a second run keeps the same url set
+    rc2 = main([
+        "--synthesize", "1500",
+        "--out", str(tmp_path / "run2"),
+        "--partitions", "4",
+        "--dedup-out", str(tmp_path / "dedup2"),
+    ])
+    kept2 = spark.read.parquet(f"{tmp_path}/dedup2/corpus")
+    assert {r["url"] for r in kept.select("url").collect()} == {
+        r["url"] for r in kept2.select("url").collect()
+    }
