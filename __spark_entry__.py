@@ -1094,6 +1094,29 @@ def _q_suite_verdicts(spark, sf_dir):
     return suite.run(spark, d, "source").verdicts
 
 
+def _q_suite_bytes(spark, sf_dir):
+    """Byte-mass stat gates (operators/stats.py avg_bytes metric):
+    min_/max_avg_bytes threshold the average octet_length of a
+    string/binary column — the content-mass check for html payloads
+    truncated by a bad fetcher. One octet_length per row inside the
+    same fused stats pass; integer byte sums divide once per group on
+    both engines, so the metric is bit-identical."""
+    from data_check_spark.plans.suite import CheckSuite, StatsCheck
+
+    d = _t(spark, sf_dir, "documents")
+    suite = CheckSuite(
+        [
+            StatsCheck(
+                thresholds={
+                    "text": {"min_avg_bytes": 10.0, "max_avg_bytes": 100000.0}
+                },
+                approx=False,
+            )
+        ]
+    )
+    return suite.run(spark, d, "source").verdicts
+
+
 def _q_suite_drift_profile(spark, sf_dir):
     """Profile-based drift (plans/suite.py run(reference_profile=)):
     the reference side is a STORED (kind, key, freq) profile — at
@@ -1943,6 +1966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_incremental": _q_minhash_incremental,
         "dedup_incremental": _q_dedup_incremental,
         "suite_verdicts": _q_suite_verdicts,
+        "suite_bytes_verdicts": _q_suite_bytes,
         "suite_compare_verdicts": _q_suite_compare,
         "suite_expr_verdicts": _q_suite_expr,
         "suite_profile_verdicts": _q_suite_profile,
@@ -2308,6 +2332,30 @@ SELECT c AS "column",
             ELSE 'common' END AS status,
        type_1, type_2
 FROM j""",
+        # avg octet_length: exact integer sums divided once per group
+        "suite_bytes_verdicts": """
+WITH b AS (
+  SELECT CAST(source AS VARCHAR) AS part,
+         avg(octet_length(encode(text))) AS ab
+  FROM documents GROUP BY 1
+),
+v AS (
+  SELECT part, 'text' AS col, 'min_avg_bytes' AS chk, ab AS metric,
+         10.0 AS threshold, coalesce(ab >= 10.0, FALSE) AS passed FROM b
+  UNION ALL
+  SELECT part, 'text', 'max_avg_bytes', ab, 100000.0,
+         coalesce(ab <= 100000.0, FALSE) FROM b
+),
+summary AS (
+  SELECT part, '*' AS col, 'all' AS chk,
+         CAST(count(*) FILTER (WHERE NOT passed) AS DOUBLE) AS metric,
+         0.0 AS threshold,
+         count(*) FILTER (WHERE NOT passed) = 0 AS passed
+  FROM v GROUP BY part
+)
+SELECT part AS "partition", col AS "column", chk AS "check",
+       metric, threshold, passed
+FROM (SELECT * FROM v UNION ALL SELECT * FROM summary)""",
         "suite_verdicts": """
 WITH base AS (
   SELECT CAST(source AS VARCHAR) AS part,

@@ -104,6 +104,7 @@ HEADLINE = [
     "quarantine_encoding",
     "lang_mismatch",
     "token_budget_cut",
+    "suite_bytes_verdicts",
 ]
 
 PAGES_N = int(os.environ.get("DCS_BENCH_PAGES_N", "500000"))

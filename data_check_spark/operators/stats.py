@@ -112,6 +112,13 @@ def _metric_struct(
         )
     else:
         avg_tokens = null_lit("double")
+    if "avg_bytes" in metrics and isinstance(dtype, (T.BinaryType, T.StringType)):
+        # content-mass gate for blob/text columns (e.g. html payloads
+        # truncated by a bad fetcher): one octet_length per row, no
+        # decode, no regex — the cheapest possible content check.
+        avg_bytes = F.avg(F.octet_length(c)).cast("double")
+    else:
+        avg_bytes = null_lit("double")
     return F.struct(
         F.lit(name).alias("column"),
         n.alias("n_rows"),
@@ -123,6 +130,7 @@ def _metric_struct(
         mean.alias("mean"),
         stddev.alias("stddev"),
         avg_tokens.cast("double").alias("avg_tokens"),
+        avg_bytes.alias("avg_bytes"),
         p50.alias("p50"),
         p90.alias("p90"),
         p99.alias("p99"),
@@ -158,6 +166,8 @@ def _needed_metrics(th: dict[str, float]) -> frozenset:
         m.add("n_distinct")
     if "min_avg_tokens" in th or "max_avg_tokens" in th:
         m.add("avg_tokens")
+    if "min_avg_bytes" in th or "max_avg_bytes" in th:
+        m.add("avg_bytes")
     if any(k in th for k in _QUANTILE_KEYS):
         m.add("quantiles")
     return frozenset(m)
@@ -389,6 +399,33 @@ def _verdicts_from_per_part(
                     F.col("avg_tokens").alias("metric"),
                     F.lit(float(th["max_avg_tokens"])).alias("threshold"),
                     (F.col("avg_tokens") <= th["max_avg_tokens"]).alias("passed"),
+                )
+            )
+        if "min_avg_bytes" in th:
+            checks.append(
+                base.select(
+                    "partition",
+                    "column",
+                    F.lit("min_avg_bytes").alias("check"),
+                    F.col("avg_bytes").alias("metric"),
+                    F.lit(float(th["min_avg_bytes"])).alias("threshold"),
+                    # all-NULL column -> NULL avg fails closed
+                    F.coalesce(
+                        F.col("avg_bytes") >= th["min_avg_bytes"], F.lit(False)
+                    ).alias("passed"),
+                )
+            )
+        if "max_avg_bytes" in th:
+            checks.append(
+                base.select(
+                    "partition",
+                    "column",
+                    F.lit("max_avg_bytes").alias("check"),
+                    F.col("avg_bytes").alias("metric"),
+                    F.lit(float(th["max_avg_bytes"])).alias("threshold"),
+                    F.coalesce(
+                        F.col("avg_bytes") <= th["max_avg_bytes"], F.lit(False)
+                    ).alias("passed"),
                 )
             )
         for q in ("p50", "p90", "p99"):

@@ -478,3 +478,31 @@ def test_categorical_profile_one_scan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Generate explode") == 1
     assert "Join" not in plan and "Union" not in plan
+
+
+def test_avg_bytes_gates_binary_and_fail_closed(spark):
+    """min_/max_avg_bytes work on BINARY columns (octet_length, no
+    decode) and an all-NULL column fails closed."""
+    from data_check_spark.operators.stats import partition_stats_verdicts
+
+    rows = [
+        (1, "a", bytearray(b"12345678")),
+        (2, "a", bytearray(b"1234")),
+        (3, "b", None),
+    ]
+    df = spark.createDataFrame(rows, "id long, part string, blob binary")
+    v = partition_stats_verdicts(
+        df,
+        "part",
+        {"blob": {"min_avg_bytes": 5.0, "max_avg_bytes": 100.0}},
+    )
+    got = {
+        (r["partition"], r["check"]): (r["metric"], r["passed"])
+        for r in v.collect()
+        if r["column"] == "blob"
+    }
+    assert got[("a", "min_avg_bytes")] == (6.0, True)
+    assert got[("a", "max_avg_bytes")] == (6.0, True)
+    # partition b: only NULL blobs -> avg NULL -> both gates fail closed
+    assert got[("b", "min_avg_bytes")][1] is False
+    assert got[("b", "max_avg_bytes")][1] is False
