@@ -76,3 +76,66 @@ def test_streaming_route_rejects_stateful_rules(spark, pages_dir):
     with pytest.raises(AnalysisException):
         routed = route_rows(stream, [FDRule("url", deps=("text",))])
         run_to_memory(routed, "routed_should_fail", "append")
+
+
+def test_streaming_route_encoding_pack_matches_batch(spark, tmp_path):
+    """encoding_rules is row-local, so the streaming router must agree
+    with batch row-for-row — including on PLANTED decode scars, not
+    just fail-closed NULLs."""
+    from pyspark.sql.types import (
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from data_check_spark.operators.quarantine import encoding_rules
+
+    d = str(tmp_path / "pages_enc")
+    scar = (
+        F.when(F.col("id") % 5 == 0, F.lit(chr(0xFFFD)))
+        .when(F.col("id") % 5 == 1, F.lit(chr(0xC3) + chr(0xA9)))
+        .when(F.col("id") % 5 == 2, F.lit(chr(1)))
+        .otherwise(F.lit(""))
+    )
+    (
+        spark.range(500)
+        .select(
+            F.concat(F.lit("https://x.test/"), F.col("id")).alias("url"),
+            F.timestamp_seconds(F.lit(1700000000) + F.col("id")).alias("warc_ts"),
+            F.concat(F.lit("body text "), scar).alias("text"),
+        )
+        .repartition(3)
+        .write.mode("overwrite")
+        .parquet(d)
+    )
+    schema = StructType([
+        StructField("url", StringType()),
+        StructField("warc_ts", TimestampType()),
+        StructField("text", StringType()),
+    ])
+    rules = encoding_rules()
+    stream = stream_pages(spark, d, schema=schema)
+    routed = route_rows(stream, rules).select(
+        "url", F.array_join("quarantine_reasons", ",").alias("reasons")
+    )
+    q = run_to_memory(routed, "routed_enc_stream", "append")
+    q.awaitTermination(120)
+    got = sorted(
+        (r["url"], r["reasons"])
+        for r in spark.table("routed_enc_stream").collect()
+    )
+    want = sorted(
+        (r["url"], r["reasons"])
+        for r in route_rows(spark.read.parquet(d), rules)
+        .select("url", F.array_join("quarantine_reasons", ",").alias("reasons"))
+        .collect()
+    )
+    assert got == want and len(got) == 500
+    # every scar class actually fired somewhere
+    fired = {x for _, rs in got for x in rs.split(",") if x}
+    assert fired == {
+        "expr:enc_replacement",
+        "expr:enc_mojibake",
+        "expr:enc_control",
+    }
