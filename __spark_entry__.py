@@ -438,6 +438,36 @@ def _q_token_budget_cut(spark, sf_dir):
     )
 
 
+def _q_text_normalize(spark, sf_dir):
+    """Dedup canonicalization (functions/normalize.py): invisible-char
+    strip (JVM regex) + Unicode NFC (Arrow-batched pandas UDF —
+    Spark has no built-in normalizer). Visually-identical strings
+    that hash differently are PLANTED (decomposed e+U+0301, zero-width
+    space, soft hyphen via doc_id modulus classes) and the oracle
+    re-derives the canonical md5 with DuckDB's utf8proc-backed
+    nfc_normalize — proving Python unicodedata and utf8proc agree
+    byte-for-byte, the invariant the dedup hashers rely on."""
+    from data_check_spark.functions.normalize import canonical_text
+
+    d = _t(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 9 == 2, F.lit("e\u0301")
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 9 == 4, F.lit("\u200bx\u00ad")
+        ).otherwise(F.lit("")),
+    )
+    p = d.select("doc_id", planted.alias("_t"))
+    canon = canonical_text(F.col("_t"))
+    return p.select(
+        "doc_id",
+        F.md5(canon.cast("binary")).alias("canon_hash"),
+        (canon != F.col("_t")).alias("changed"),
+    )
+
+
 def _q_lang_mismatch(spark, sf_dir):
     """Declared-vs-detected language agreement, the standard crawl
     metadata sanity check: per declared lang, how many docs the
@@ -1936,6 +1966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": _q_quality,
         "langid": _q_langid,
         "lang_mismatch": _q_lang_mismatch,
+        "text_normalize": _q_text_normalize,
         "text_metrics": _q_text_metrics,
         "fingerprint": _q_fingerprint,
         "events_hourly": _q_events_hourly,
@@ -2190,6 +2221,24 @@ SELECT d.lang,
              / count(*), 6) AS mismatch_rate
 FROM documents d JOIN l ON l.doc_id = d.doc_id
 GROUP BY d.lang""",
+        # utf8proc NFC must agree with Python unicodedata byte-for-byte
+        "text_normalize": r"""
+WITH p AS (
+  SELECT doc_id,
+         text
+           || CASE WHEN doc_id % 9 = 2 THEN 'e' || chr(769) ELSE '' END
+           || CASE WHEN doc_id % 9 = 4 THEN chr(8203) || 'x' || chr(173) ELSE '' END
+           AS t
+  FROM documents
+),
+c AS (
+  SELECT doc_id, t,
+         nfc_normalize(regexp_replace(
+           t, '[\x{200B}\x{200C}\x{200D}\x{00AD}\x{FEFF}]', '', 'g')) AS canon
+  FROM p
+)
+SELECT doc_id, md5(canon) AS canon_hash, canon <> t AS changed
+FROM c""",
         # fused single-pass twin of the three entries above: same
         # expressions, one scan (functions/textstats.add_text_metrics)
         "text_metrics": f"""

@@ -105,6 +105,7 @@ HEADLINE = [
     "lang_mismatch",
     "token_budget_cut",
     "suite_bytes_verdicts",
+    "text_normalize",
 ]
 
 PAGES_N = int(os.environ.get("DCS_BENCH_PAGES_N", "500000"))

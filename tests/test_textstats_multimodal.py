@@ -203,3 +203,39 @@ def test_encoding_metrics_counts(spark):
     # tab/newline/CR are not control scars; chr(1) and chr(2) are
     assert got[3]["nc"] == 2 and got[3]["sus"] is True
     assert got[4]["nr"] is None and got[4]["sus"] is None
+
+
+def test_canonical_text_collapses_confusables(spark):
+    """Decomposed accents and invisible chars must canonicalize to the
+    same bytes as their clean twins — the invariant the dedup hashers
+    rely on."""
+    from data_check_spark.functions.normalize import (
+        canonical_text,
+        strip_invisible,
+    )
+
+    rows = [
+        (0, "caf" + chr(0xE9)),                      # precomposed
+        (1, "cafe" + chr(0x301)),                    # decomposed
+        (2, "caf" + chr(0x200B) + chr(0xE9)),        # ZWSP inside
+        (3, "caf" + chr(0xE9) + chr(0xAD)),          # soft hyphen
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["c"]
+        for r in df.select(
+            "doc_id", canonical_text(F.col("text")).alias("c")
+        ).collect()
+    }
+    assert got[0] == got[1] == got[2] == got[3] == "caf" + chr(0xE9)
+    assert got[4] is None
+    # strip_invisible alone leaves normalization untouched
+    si = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id", strip_invisible(F.col("text")).alias("s")
+        ).collect()
+    }
+    assert si[1] == "cafe" + chr(0x301)  # still decomposed
+    assert si[2] == "caf" + chr(0xE9)
