@@ -17,6 +17,11 @@ functions) — no Python in the per-row loop.
 * **ngram_jaccard** — exact Jaccard over distinct word n-grams for
   a candidate pair set (verification primitive).
 * **embedding near-dup** — see operators/similarity.py (cosine path).
+
+Hashing is byte-exact: visually-identical strings with different
+bytes (decomposed accents, zero-width injections) do NOT collapse —
+apply ``functions/normalize.canonical_text`` to the text column
+first when the corpus carries them.
 """
 
 from __future__ import annotations
