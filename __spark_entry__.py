@@ -1324,6 +1324,51 @@ def _q_suite_expr(spark, sf_dir):
     return suite.run(spark, d, "source").verdicts
 
 
+def _q_observed(spark, sf_dir):
+    """Zero-extra-scan inline validation (plans/observed.ObservedSuite):
+    the suite's stat thresholds + expr predicates compile into ONE
+    df.observe() CollectMetrics node riding the caller's own action —
+    here a noop write standing in for the write that materializes the
+    table version. No second read of the data; verdict rows follow the
+    batch VERDICT_COLS contract at partition='*'. Exact-only metrics
+    (null rate, row count, byte mass, fail-closed expr ratios) so the
+    DuckDB oracle reproduces every value bit-for-bit; text_short is a
+    deliberately failing gate (both verdict directions exercised).
+
+    ref parity: the reference re-reads the table it just validated
+    (data_processor.py run loop issues fresh queries per check); the
+    observation rides the write instead — the Spark-native upgrade."""
+    from data_check_spark.plans.observed import ObservedSuite
+    from data_check_spark.plans.suite import CheckSuite, ExprCheck, StatsCheck
+
+    d = _t(spark, sf_dir, "documents")
+    suite = CheckSuite(
+        [
+            StatsCheck(
+                thresholds={
+                    "text": {
+                        "max_null_rate": 0.05,
+                        "min_rows": 1.0,
+                        "min_avg_bytes": 10.0,
+                    }
+                },
+            ),
+            ExprCheck(name="nchars_nonneg", predicate_sql="n_chars >= 0",
+                      max_violation_ratio=0.0),
+            ExprCheck(name="lang_known",
+                      predicate_sql="lang IN ('en','de','fr','es')",
+                      max_violation_ratio=0.9),
+            ExprCheck(name="text_short",
+                      predicate_sql="length(text) < n_chars",
+                      max_violation_ratio=0.0),
+        ]
+    )
+    osuite = ObservedSuite(suite)
+    observed, obs = osuite.attach(d)
+    observed.write.format("noop").mode("overwrite").save()
+    return osuite.verdicts(spark, obs)
+
+
 def _q_suite_profile(spark, sf_dir):
     """Declarative categorical-health gates (plans/suite.ProfileCheck)
     riding the fused profile scan: lang must keep >=1 bit of entropy
@@ -2000,6 +2045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suite_bytes_verdicts": _q_suite_bytes,
         "suite_compare_verdicts": _q_suite_compare,
         "suite_expr_verdicts": _q_suite_expr,
+        "observed_verdicts": _q_observed,
         "suite_profile_verdicts": _q_suite_profile,
         "suite_fingerprint": _q_suite_fingerprint,
         "fd_violations": _q_fd_violations,
@@ -2462,6 +2508,44 @@ SELECT '*', 'source', 'profile_max_distinct', CAST(nd AS DOUBLE), 3.0, nd <= 3 F
 UNION ALL
 SELECT '*', 'source', 'profile_min_distinct', CAST(nd AS DOUBLE), 2.0, nd >= 2 FROM sm
 ORDER BY "column", "check" """,
+        "observed_verdicts": """
+WITH b AS (
+  SELECT count(*) AS n_rows,
+         count(*) FILTER (WHERE text IS NULL) AS n_null,
+         avg(octet_length(encode(text))) AS ab,
+         count(*) FILTER (WHERE NOT coalesce(n_chars >= 0, FALSE)) AS x_nonneg,
+         count(*) FILTER (WHERE NOT coalesce(lang IN ('en','de','fr','es'), FALSE)) AS x_lang,
+         count(*) FILTER (WHERE NOT coalesce(length(text) < n_chars, FALSE)) AS x_short
+  FROM documents
+),
+v AS (
+  SELECT '*' AS part, 'text' AS col, 'max_null_rate' AS chk,
+         n_null * 1.0 / n_rows AS metric, 0.05 AS threshold,
+         n_null * 1.0 / n_rows <= 0.05 AS passed FROM b
+  UNION ALL SELECT '*', 'text', 'min_avg_bytes', ab, 10.0,
+         coalesce(ab >= 10.0, FALSE) FROM b
+  UNION ALL SELECT '*', 'text', 'min_rows', CAST(n_rows AS DOUBLE), 1.0,
+         n_rows >= 1 FROM b
+),
+summary AS (
+  SELECT '*' AS part, '*' AS col, 'all' AS chk,
+         CAST(count(*) FILTER (WHERE NOT passed) AS DOUBLE) AS metric,
+         0.0 AS threshold,
+         count(*) FILTER (WHERE NOT passed) = 0 AS passed
+  FROM v
+),
+x AS (
+  SELECT '*' AS part, 'nchars_nonneg' AS col, 'expr' AS chk,
+         x_nonneg * 1.0 / n_rows AS metric, 0.0 AS threshold,
+         x_nonneg * 1.0 / n_rows <= 0.0 AS passed FROM b
+  UNION ALL SELECT '*', 'lang_known', 'expr',
+         x_lang * 1.0 / n_rows, 0.9, x_lang * 1.0 / n_rows <= 0.9 FROM b
+  UNION ALL SELECT '*', 'text_short', 'expr',
+         x_short * 1.0 / n_rows, 0.0, x_short * 1.0 / n_rows <= 0.0 FROM b
+)
+SELECT part AS "partition", col AS "column", chk AS "check",
+       metric, threshold, passed
+FROM (SELECT * FROM v UNION ALL SELECT * FROM summary UNION ALL SELECT * FROM x)""",
         "suite_expr_verdicts": """
 WITH base AS (
   SELECT CAST(source AS VARCHAR) AS part,

@@ -1,0 +1,226 @@
+"""Inline validation via ``DataFrame.observe`` — zero-extra-scan verdicts.
+
+The batch :class:`~data_check_spark.plans.suite.CheckSuite` costs one
+fused scan of the table. This module removes even that one: Spark's
+CollectMetrics node (``DataFrame.observe``) accumulates aggregate
+expressions ON THE SIDE of whatever action the caller was already
+running — typically the write that materializes the table version
+being validated. At 10^12 documents that means validation reads ZERO
+extra bytes: the metrics ride the write job's own scan with per-task
+partial aggregation (CollectMetrics is accumulator-backed — it adds
+no shuffle, no extra stage, and no second pass to the plan).
+
+Scope contract
+--------------
+CollectMetrics is a GLOBAL aggregate (one metrics row per action), so
+verdicts come out ``partition='*'`` — the inline path is the global
+fast gate, mirroring the batch suite's global drift/profile verdicts.
+Per-partition verdict rows still need the batch suite's
+``groupBy(partition)`` pass. Check kinds that reduce to one global
+aggregate ride along:
+
+* :class:`StatsCheck` — every threshold metric the fused batch pass
+  computes (null rate, row count, min/max, HLL distinct, mean/stddev,
+  avg_tokens/avg_bytes, approx-percentile p50/p90/p99) is an
+  aggregate expression, so the SAME ``_metric_struct`` the batch scan
+  uses compiles directly into the observation. Identical metric
+  semantics by construction, not by re-implementation.
+* :class:`ExprCheck` — one ``count_if`` of the fail-closed violation
+  predicate (FALSE-or-NULL rows violate) plus one shared row count,
+  exactly the batch suite's fused ``_xn``/``_x_{name}`` aggregates.
+
+Kinds that need a shuffle (uniqueness, functional dependency,
+referential, drift-vs-reference, near-dup…) cannot be expressed as
+CollectMetrics aggregates; the constructor rejects them loudly rather
+than silently skipping a declared check.
+
+Streaming twin: ``attach`` with ``streaming=True`` uses a NAMED
+observation (``df.observe("data_check", …)``), whose metrics surface
+in every ``StreamingQueryProgress.observedMetrics`` epoch;
+``verdicts`` accepts that plain dict, so a streaming job gets the
+same verdict rows per micro-batch with the same zero-extra-scan
+property.
+
+ref parity: the reference validates after the table lands — a second
+full read of data it just wrote (data_processor.py run loop). Riding
+the write is the Spark-native upgrade: same verdict-row contract
+(VERDICT_COLS) at write time, for free.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from data_check_spark.operators.stats import (
+    _metric_struct,
+    _needed_metrics,
+    _verdicts_from_per_part,
+)
+
+# per-column metric struct fields, matching operators/stats._metric_struct
+_PER_PART_SCHEMA = (
+    "partition string, column string, n_rows bigint, n_null bigint, "
+    "null_rate double, n_distinct bigint, min_value string, "
+    "max_value string, mean double, stddev double, avg_tokens double, "
+    "avg_bytes double, p50 double, p90 double, p99 double"
+)
+_STRUCT_FIELDS = (
+    "column", "n_rows", "n_null", "null_rate", "n_distinct", "min_value",
+    "max_value", "mean", "stddev", "avg_tokens", "avg_bytes",
+    "p50", "p90", "p99",
+)
+
+
+@dataclass
+class ObservedSuite:
+    """Compile a CheckSuite's aggregate-expressible checks into one
+    ``df.observe`` call; turn the observed metrics back into the
+    batch suite's verdict rows.
+
+    Usage (batch)::
+
+        osuite = ObservedSuite(suite)
+        df, obs = osuite.attach(df)
+        df.write.parquet(path)              # the user's OWN action
+        verdicts = osuite.verdicts(spark, obs)   # zero extra scans
+
+    Usage (streaming)::
+
+        df = osuite.attach(df, streaming=True)
+        ... start the query ...
+        verdicts = osuite.verdicts(
+            spark, query.lastProgress["observedMetrics"][osuite.name])
+    """
+    suite: "object"  # CheckSuite (duck-typed: .checks)
+    name: str = "data_check"
+    _thresholds: dict = field(init=False, default_factory=dict)
+    _expr_checks: list = field(init=False, default_factory=list)
+    _approx: bool = field(init=False, default=True)
+
+    def __post_init__(self) -> None:
+        from data_check_spark.plans.suite import ExprCheck, StatsCheck
+
+        for chk in self.suite.checks:
+            if isinstance(chk, StatsCheck):
+                overlap = set(self._thresholds) & set(chk.thresholds)
+                if overlap:
+                    raise ValueError(
+                        f"duplicate stat thresholds for columns {sorted(overlap)}"
+                    )
+                self._thresholds.update(chk.thresholds)
+                self._approx = chk.approx
+                if not chk.approx and any(
+                    "min_distinct" in th for th in chk.thresholds.values()
+                ):
+                    # countDistinct is a DISTINCT aggregate — Spark
+                    # rejects it in observed metrics
+                    # (INVALID_OBSERVED_METRICS...DISTINCT_UNSUPPORTED)
+                    raise ValueError(
+                        "exact distinct (approx=False + min_distinct) is a "
+                        "DISTINCT aggregate and cannot ride an observation; "
+                        "use approx=True (HLL) or the batch suite"
+                    )
+                if chk.exact_distinct:
+                    # the two-key exact-distinct pre-aggregation is a
+                    # shuffle — not expressible as an observation
+                    raise ValueError(
+                        "StatsCheck.exact_distinct needs a shuffle and cannot "
+                        "ride an observation; use approx (HLL) distinct here "
+                        "or the batch suite"
+                    )
+            elif isinstance(chk, ExprCheck):
+                if any(c.name == chk.name for c in self._expr_checks):
+                    raise ValueError(f"duplicate expr check name {chk.name!r}")
+                self._expr_checks.append(chk)
+            else:
+                raise ValueError(
+                    f"{type(chk).__name__} needs its own shuffle/scan and "
+                    "cannot ride an observation — run it in the batch suite"
+                )
+        if not self._thresholds and not self._expr_checks:
+            raise ValueError("no observable checks in suite")
+
+    # ------------------------------------------------------------------
+    def _metric_exprs(self, df: DataFrame) -> list[Column]:
+        types = {f.name: f.dataType for f in df.schema.fields}
+        missing = [c for c in self._thresholds if c not in types]
+        if missing:
+            raise ValueError(f"thresholded columns not in frame: {missing}")
+        exprs: list[Column] = []
+        if self._thresholds:
+            structs = [
+                # the SAME struct the batch fused pass aggregates —
+                # trimmed to the metrics this column's thresholds need
+                _metric_struct(c, types[c], self._approx, _needed_metrics(th))
+                for c, th in self._thresholds.items()
+            ]
+            exprs.append(F.array(*structs).alias("_m"))
+        if self._expr_checks:
+            exprs.append(F.count(F.lit(1)).alias("_xn"))
+            exprs.extend(
+                F.count_if(
+                    ~F.coalesce(F.expr(c.predicate_sql), F.lit(False))
+                ).alias(f"_x_{c.name}")
+                for c in self._expr_checks
+            )
+        return exprs
+
+    def attach(
+        self, df: DataFrame, streaming: bool = False
+    ) -> tuple[DataFrame, Observation] | DataFrame:
+        """Return ``df`` with the suite's metrics attached as a
+        CollectMetrics node. Batch: ``(df, Observation)`` — read the
+        observation after the caller's first action on ``df``.
+        Streaming: just ``df`` (named observation; metrics arrive in
+        every ``StreamingQueryProgress.observedMetrics[self.name]``).
+        """
+        exprs = self._metric_exprs(df)
+        if streaming:
+            return df.observe(self.name, *exprs)
+        obs = Observation(self.name)
+        return df.observe(obs, *exprs), obs
+
+    # ------------------------------------------------------------------
+    def verdicts(self, spark: SparkSession, metrics) -> DataFrame:
+        """Verdict rows (VERDICT_COLS contract, ``partition='*'``)
+        from an ``Observation`` or a plain observed-metrics dict.
+
+        Pure driver math over the handful of observed values — the
+        ONLY Spark work is materializing ≤ (|columns|·|thresholds| +
+        |expr checks| + 1) literal rows. Stats thresholds reuse the
+        batch ``_verdicts_from_per_part`` (identical pass/fail
+        semantics, including fail-closed NULL handling and the
+        ``column='*'``/``check='all'`` summary row); expr verdicts
+        mirror the batch suite's driver-side ratio rows.
+        """
+        if isinstance(metrics, Observation):
+            metrics = metrics.get
+        frames: list[DataFrame] = []
+        if self._thresholds:
+            rows = []
+            for m in metrics["_m"]:
+                d = m.asDict() if hasattr(m, "asDict") else dict(m)
+                rows.append(tuple([("*")] + [d[f] for f in _STRUCT_FIELDS]))
+            per_part = spark.createDataFrame(rows, _PER_PART_SCHEMA)
+            frames.append(_verdicts_from_per_part(per_part, self._thresholds))
+        if self._expr_checks:
+            n = metrics["_xn"]
+            erows = []
+            for chk in self._expr_checks:
+                ratio = metrics[f"_x_{chk.name}"] / n if n else None
+                erows.append((
+                    "*", chk.name, "expr",
+                    ratio, float(chk.max_violation_ratio),
+                    ratio is not None and ratio <= chk.max_violation_ratio,
+                ))
+            frames.append(spark.createDataFrame(
+                erows,
+                "partition string, column string, check string, "
+                "metric double, threshold double, passed boolean",
+            ))
+        out = frames[0]
+        for f_ in frames[1:]:
+            out = out.unionByName(f_)
+        return out
