@@ -56,6 +56,7 @@ from data_check_spark.operators.fingerprint import (
     partition_fingerprint,
 )
 from data_check_spark.operators.multimodal import extract_media_metadata
+from data_check_spark.operators.bloom import referential_violations_bloom
 from data_check_spark.operators.refint import referential_violations
 from data_check_spark.operators.rowdiff import (
     column_match_ratios,
@@ -262,6 +263,24 @@ def _q_refint_hashed(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     dim = _t(spark, sf_dir, "part").filter(F.col("p_partkey") % 10 != 4)
     return referential_violations(li, "l_partkey", dim, "p_partkey", hash_keys=True)
+
+
+def _q_refint_bloom(spark, sf_dir):
+    """Bloom-gated referential check, exact mode (operators/bloom.py):
+    the dimension's keys become a broadcast Bloom bitmap (~1.8 MB per
+    1M keys at fpp 1e-3, vs ~80 MB of raw urls — broadcastable where
+    the key set is not); bloom-NEGATIVE fact keys are CERTIFIED
+    violations caught map-only, and the bloom-positive residue
+    anti-joins the dimension so the union is byte-equal to the plain
+    anti-join — which is exactly what the DuckDB oracle computes.
+    The zero-shuffle fail-fast mode (exact=False: flagged ⊆ exact,
+    precision 1.0, expected recall ≥ 1-fpp, deterministic across
+    parallelism) is contract-tested in tests/test_bloom.py."""
+    li = _t(spark, sf_dir, "lineitem")
+    dim = _t(spark, sf_dir, "part").filter(F.col("p_partkey") % 10 != 4)
+    return referential_violations_bloom(
+        li, "l_partkey", dim, "p_partkey", fpp=1e-3, exact=True
+    )
 
 
 def _q_psi_lang(spark, sf_dir):
@@ -1997,6 +2016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unique_violations": _q_unique,
         "refint_violations": _q_refint,
         "refint_hashed": _q_refint_hashed,
+        "refint_bloom": _q_refint_bloom,
         "stats_documents": _stats_documents,
         "psi_lang": _q_psi_lang,
         "psi_nchars": _q_psi_nchars,
@@ -2180,6 +2200,11 @@ FROM lineitem
 WHERE l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_partkey % 10 <> 4)
 GROUP BY l_partkey""",
         "refint_hashed": """
+SELECT l_partkey AS ref_key, count(*) AS n_rows
+FROM lineitem
+WHERE l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_partkey % 10 <> 4)
+GROUP BY l_partkey""",
+        "refint_bloom": """
 SELECT l_partkey AS ref_key, count(*) AS n_rows
 FROM lineitem
 WHERE l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_partkey % 10 <> 4)

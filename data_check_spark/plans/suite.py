@@ -132,6 +132,19 @@ class ReferentialCheck:
     # strings; 8-byte hash keys + an independent pre-aggregated refint
     # scan measured faster at both parallelism levels)
     derived_from_key: str | None = None
+    # 'join' (default): exact anti-join of the per-key aggregate —
+    # that aggregate's shuffle carries every DISTINCT fact key, which
+    # for a url-keyed fact table is the whole key set. 'bloom': the
+    # fail-fast gate (operators/bloom.py) — dim keys become a
+    # broadcast Bloom bitmap, bloom-negative fact rows are CERTIFIED
+    # violations caught map-only, and only violating rows enter the
+    # census shuffle (mass ∝ violations, not table size). Verdict
+    # semantics under 'bloom': a FAIL is certain (precision 1.0, every
+    # flagged key truly absent); a PASS may miss an expected `fpp`
+    # fraction of violating keys — the gate direction a fail-fast
+    # check wants. hash_keys/broadcast are ignored in bloom mode.
+    mode: str = "join"
+    fpp: float = 1e-3
 
 
 @dataclass
@@ -944,6 +957,33 @@ class CheckSuite:
 
                     fk = F.expr(chk.fact_key) if isinstance(chk.fact_key, str) else chk.fact_key()
                     dim = chk.dim(spark)
+                    if chk.mode not in ("join", "bloom"):
+                        raise ValueError(
+                            f"referential check {chk.name}: mode must be "
+                            f"'join' or 'bloom', got {chk.mode!r}"
+                        )
+                    if chk.mode == "bloom":
+                        from data_check_spark.operators.bloom import (
+                            bloom_member_probe,
+                            build_key_bloom,
+                        )
+
+                        bitmap, m_bits, k_hashes = build_key_bloom(
+                            dim, chk.dim_key, chk.fpp
+                        )
+                        member = bloom_member_probe(spark, bitmap, m_bits, k_hashes)
+                        # map-only classification; only certified
+                        # violations reach the census shuffle
+                        per_key = (
+                            df.filter(~member(fk))
+                            .groupBy(part_s.alias("partition"), fk.alias("ref_key"))
+                            .agg(F.count(F.lit(1)).alias("n"))
+                            .persist(StorageLevel.MEMORY_AND_DISK)
+                        )
+                        cached.append(per_key)
+                        ref_perkey[id(chk)] = per_key
+                        futs[f"ref_{id(chk)}"] = pool.submit(per_key.count)
+                        continue
                     if chk.hash_keys:
                         dim_side = dim.filter(
                             F.col(chk.dim_key).isNotNull()
