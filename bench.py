@@ -106,6 +106,7 @@ HEADLINE = [
     "token_budget_cut",
     "suite_bytes_verdicts",
     "text_normalize",
+    "refint_bloom",
 ]
 
 PAGES_N = int(os.environ.get("DCS_BENCH_PAGES_N", "500000"))

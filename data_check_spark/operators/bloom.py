@@ -33,28 +33,55 @@ the exact violation set (never a false alarm) and misses an expected
   above the broadcast ceiling (shuffle join), that shrinks the
   shuffled probe side by the violation fraction.
 
+Hashing: Kirsch-Mitzenmacher double hashing — position_i =
+(a + i·b) mod m with a = xxhash64(key, 0) mod m and
+b = 1 + (xxhash64(key, 1) mod (m-1)) — which preserves the
+asymptotic fpp of k independent hashes (Kirsch & Mitzenmacher,
+ESA'06) and means BOTH sides derive all k positions from two 8-byte
+hashes. The probe therefore ships only (h1, h2) = 16 B/row through
+Arrow (not k positions). The a/b reduction keeps every intermediate
+below (k+1)·m < 2^63, so the arithmetic is exact (and ANSI-safe — no
+wrap-around) and bit-identical between JVM longs and numpy int64.
+xxhash64 is total (a NULL input is "skip", never a NULL output), so
+the hash columns carry no NULLs and cross Arrow as clean int64 — a
+nullable column would arrive as float64 and corrupt 64-bit hashes
+beyond 2^53. NULL keys are handled OUTSIDE the probe (a when()
+wrapper), never inside it.
+
 Scale design:
-* bitmap built DISTRIBUTED: one scan of the dimension explodes each
-  key to its k bit positions, a groupBy(word-index) with map-side
-  partial ``bit_or`` reduces to at most m/64 (word, bits) rows, the
-  driver collects only those words (m/64 longs — 1/64th of the bit
-  count in rows, a few MB for million-key snapshots). Nothing
-  key-shaped ever reaches the driver.
+* bitmap built DISTRIBUTED, two plans:
+  - ``positions`` (sparse regime, default for small dims): one scan
+    explodes each key to its k (word, bit) contributions, a
+    groupBy(word) with map-side partial ``bit_or`` reduces to at most
+    m/64 rows, fetched to the driver as ONE Arrow frame.
+  - ``blocks`` (dense regime, k·n ≫ m/64): each partition builds its
+    full local bitmap in numpy (mapInPandas) and emits fixed-size
+    binary blocks; an applyInPandas groupBy(block) ORs them — the
+    shuffle carries (#blocks × #partitions) rows instead of k·n, and
+    the driver assembles the final m/8 bytes from #blocks rows.
+  ``method='auto'`` picks by comparing k·n against the word count.
 * the bitmap ships to executors once per job via
   ``SparkContext.broadcast`` (not closure capture, which would
   re-pickle it per task batch).
-* the probe is ONE Arrow-batched pandas UDF over a JVM-computed
-  array of k positions per row: numpy gathers the k words and tests
-  the k bits for a whole batch at once — no per-row Python.
+* the probe is ONE Arrow-batched pandas UDF over (h1, h2): numpy
+  derives the k positions, gathers the k words and tests the k bits
+  for a whole batch at once — no per-row Python.
+* the built filter is reusable: ``KeyBloom`` is a plain value
+  (bitmap + sizes) — build once per dimension snapshot, pass it to
+  any number of ``referential_violations_bloom(..., bloom=...)``
+  calls / suite runs, the production amortization (a snapshot
+  changes far less often than the fact table is validated).
 * NULL fact keys are certified violations on every path (xxhash64
   treats NULL as "skip input", which would alias NULL to the hash of
-  the seed alone, so positions are gated on ``isNotNull`` and the
-  probe maps a NULL position array to False).
+  the seed alone, so hashes are gated on ``isNotNull`` and the probe
+  maps NULL hashes to False).
 """
 
 from __future__ import annotations
 
 import math
+from dataclasses import dataclass
+from typing import Iterator
 
 import numpy as np
 import pandas as pd
@@ -68,6 +95,8 @@ from .refint import maybe_broadcast
 # hold or broadcast; callers with genuinely larger dimensions should
 # raise fpp or fall back to the shuffle anti-join
 MAX_BITMAP_BYTES = 256 << 20
+# blocks build: one emitted row covers this many bitmap bytes
+_BLOCK_BYTES = 1 << 20
 
 
 def bloom_parameters(n_keys: int, fpp: float) -> tuple[int, int]:
@@ -84,31 +113,50 @@ def bloom_parameters(n_keys: int, fpp: float) -> tuple[int, int]:
     return m, k
 
 
+@dataclass(frozen=True)
+class KeyBloom:
+    """A built key filter: int64 bitmap words + sizing. Reusable
+    across any number of probes (build once per dimension snapshot)."""
+
+    bitmap: np.ndarray  # int64[m_bits // 64]
+    m_bits: int
+    k_hashes: int
+
+
+def _hash_pair(key: Column) -> tuple[Column, Column]:
+    """(h1, h2) raw double-hash base pair. xxhash64 is total — NULL
+    inputs are skipped, not propagated — so these columns are NEVER
+    NULL (a NULL key yields the seed hash; callers must gate NULL
+    keys separately, see bloom_member_probe / the build's isNotNull
+    prefilter)."""
+    return F.xxhash64(key, F.lit(0)), F.xxhash64(key, F.lit(1))
+
+
+def _ab(h1: Column, h2: Column, m_bits: int) -> tuple[Column, Column]:
+    """(a, b) reduced double-hash pair: a ∈ [0, m), b ∈ [1, m-1] —
+    every a + i·b stays below (k+1)·m < 2^63 (ANSI-safe, numpy-exact)."""
+    a = F.pmod(h1, F.lit(m_bits))
+    b = F.lit(1) + F.pmod(h2, F.lit(m_bits - 1))
+    return a, b
+
+
 def _positions(key: Column, m_bits: int, k_hashes: int) -> Column:
-    """array<long> of the key's k bit positions; NULL when the key is
-    NULL (xxhash64 skips NULL inputs, which would otherwise alias
-    NULL to xxhash64(i) — a value a real key can hash to)."""
-    pos = F.array(
-        *[
-            F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m_bits))
-            for i in range(k_hashes)
-        ]
+    """array<long> of the key's k bit positions (JVM-side, for the
+    build plans). Caller must prefilter NULL keys."""
+    a, b = _ab(*_hash_pair(key), m_bits)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k_hashes - 1)),
+        lambda i: F.pmod(a + i.cast("long") * b, F.lit(m_bits)),
     )
-    return F.when(key.isNotNull(), pos)
 
 
-def build_key_bloom(
+def _resolve_size(
     dim: DataFrame,
     dim_key: str,
-    fpp: float = 1e-3,
-    n_keys: int | None = None,
-    max_bitmap_bytes: int = MAX_BITMAP_BYTES,
-) -> tuple[np.ndarray, int, int]:
-    """(bitmap words int64[m/64], m_bits, k_hashes) for the dimension's
-    key set. ``n_keys`` sizes the filter; when omitted it is taken as
-    the dimension ROW count (one tiny count job on the slim key
-    projection) — an overestimate under duplicate keys, which only
-    makes the filter larger (lower fpp), never under-sized."""
+    fpp: float,
+    n_keys: int | None,
+    max_bitmap_bytes: int,
+) -> tuple[DataFrame, int, int]:
     keys = dim.select(F.col(dim_key).alias("_k")).filter(F.col("_k").isNotNull())
     if n_keys is None:
         n_keys = keys.count()
@@ -119,7 +167,13 @@ def build_key_bloom(
             f"fpp={fpp} (cap {max_bitmap_bytes}); raise fpp or use the "
             "shuffle anti-join (referential_violations)"
         )
-    words = (
+    return keys, m_bits, k_hashes
+
+
+def _build_positions(keys: DataFrame, m_bits: int, k_hashes: int) -> np.ndarray:
+    """Sparse build: explode to (word, bit) contributions, partial
+    bit_or per word, fetch the ≤ m/64 word rows as one Arrow frame."""
+    pdf = (
         keys.select(F.explode(_positions(F.col("_k"), m_bits, k_hashes)).alias("_pos"))
         .select(
             (F.col("_pos") / 64).cast("long").alias("_word"),
@@ -127,38 +181,134 @@ def build_key_bloom(
         )
         .groupBy("_word")
         .agg(F.bit_or("_bit").alias("_bits"))
-        .collect()
+        .toPandas()
     )
     bitmap = np.zeros(m_bits // 64, dtype=np.int64)
-    for r in words:
-        bitmap[r["_word"]] = r["_bits"]
-    return bitmap, m_bits, k_hashes
+    if len(pdf):
+        bitmap[pdf["_word"].to_numpy()] = pdf["_bits"].to_numpy()
+    return bitmap
 
 
-def bloom_member_probe(
-    spark: SparkSession, bitmap: np.ndarray, m_bits: int, k_hashes: int
-):
+def _build_blocks(keys: DataFrame, m_bits: int, k_hashes: int) -> np.ndarray:
+    """Dense build: per-partition full numpy bitmaps → fixed-size
+    binary blocks → OR per block id. Shuffle mass is
+    (#blocks × #partitions) rows of _BLOCK_BYTES, independent of key
+    count; right when k·n dwarfs the word count."""
+    n_bytes = m_bits // 8
+    n_blocks = (n_bytes + _BLOCK_BYTES - 1) // _BLOCK_BYTES
+    kk = np.arange(k_hashes, dtype=np.int64)
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        local = np.zeros(m_bits // 64, dtype=np.uint64)
+        seen = False
+        for b in batches:
+            h1 = b["_h1"].to_numpy(dtype=np.int64)
+            h2 = b["_h2"].to_numpy(dtype=np.int64)
+            if not len(h1):
+                continue
+            seen = True
+            a = h1 % np.int64(m_bits)
+            bb = 1 + h2 % np.int64(m_bits - 1)
+            pos = (a[:, None] + kk[None, :] * bb[:, None]) % np.int64(m_bits)
+            np.bitwise_or.at(
+                local, pos >> 6, np.uint64(1) << (pos & 63).astype(np.uint64)
+            )
+        if seen:
+            raw = local.tobytes()  # little-endian words, m/8 bytes
+            yield pd.DataFrame(
+                {
+                    "_block": np.arange(n_blocks, dtype=np.int64),
+                    "_bytes": [
+                        raw[i * _BLOCK_BYTES : (i + 1) * _BLOCK_BYTES]
+                        for i in range(n_blocks)
+                    ],
+                }
+            )
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = None
+        for raw in pdf["_bytes"]:
+            a = np.frombuffer(raw, dtype=np.uint8)
+            acc = a.copy() if acc is None else np.bitwise_or(acc, a)
+        return pd.DataFrame(
+            {"_block": pdf["_block"].iloc[:1], "_bytes": [acc.tobytes()]}
+        )
+
+    h1, h2 = _hash_pair(F.col("_k"))
+    parts = keys.select(h1.alias("_h1"), h2.alias("_h2")).mapInPandas(
+        partial, "_block long, _bytes binary"
+    )
+    merged = parts.groupBy("_block").applyInPandas(merge, "_block long, _bytes binary")
+    out = bytearray(n_bytes)
+    for r in merged.collect():  # ≤ n_blocks rows of _BLOCK_BYTES each
+        off = r["_block"] * _BLOCK_BYTES
+        out[off : off + len(r["_bytes"])] = r["_bytes"]
+    return np.frombuffer(bytes(out), dtype=np.int64)
+
+
+def build_key_bloom(
+    dim: DataFrame,
+    dim_key: str,
+    fpp: float = 1e-3,
+    n_keys: int | None = None,
+    max_bitmap_bytes: int = MAX_BITMAP_BYTES,
+    method: str = "auto",
+) -> KeyBloom:
+    """Build the dimension's key filter. ``n_keys`` sizes it; when
+    omitted it is taken as the dimension ROW count (one tiny count job
+    on the slim key projection) — an overestimate under duplicate
+    keys, which only makes the filter larger (lower fpp), never
+    under-sized. ``method``: 'positions' | 'blocks' | 'auto' (pick
+    'blocks' once the k·n contributions exceed 4× the word count —
+    the point where shipping whole partial bitmaps beats shipping
+    per-key contributions)."""
+    keys, m_bits, k_hashes = _resolve_size(dim, dim_key, fpp, n_keys, max_bitmap_bytes)
+    if method == "auto":
+        est_n = n_keys if n_keys is not None else 0
+        method = (
+            "blocks"
+            if est_n and est_n * k_hashes > 4 * (m_bits // 64)
+            else "positions"
+        )
+    if method == "positions":
+        bitmap = _build_positions(keys, m_bits, k_hashes)
+    elif method == "blocks":
+        bitmap = _build_blocks(keys, m_bits, k_hashes)
+    else:
+        raise ValueError(f"method must be 'positions', 'blocks' or 'auto', got {method!r}")
+    return KeyBloom(bitmap, m_bits, k_hashes)
+
+
+def bloom_member_probe(spark: SparkSession, bloom: KeyBloom):
     """Callable(key: Column) -> boolean Column: True iff all k of the
     key's bits are set ("maybe member"); False is a certificate of
-    absence. NULL keys probe False. The bitmap rides an explicit
-    SparkContext broadcast (one transfer per executor)."""
-    bc = spark.sparkContext.broadcast(bitmap)
+    absence. NULL keys probe False. Only the 16-byte (h1, h2) hash
+    pair crosses Arrow; positions/words/bits are batch numpy. The
+    bitmap rides an explicit SparkContext broadcast (one transfer per
+    executor)."""
+    bc = spark.sparkContext.broadcast(bloom.bitmap)
+    m_bits, k_hashes = bloom.m_bits, bloom.k_hashes
+    kk = np.arange(k_hashes, dtype=np.int64)
 
     @F.pandas_udf(BooleanType())
-    def _probe(pos: pd.Series) -> pd.Series:
+    def _probe(h1s: pd.Series, h2s: pd.Series) -> pd.Series:
         bm = bc.value
-        out = np.zeros(len(pos), dtype=bool)
-        mask = pos.notna().to_numpy()
-        if mask.any():
-            arr = np.stack([np.asarray(p, dtype=np.int64) for p in pos[mask]])
-            words = bm[arr >> 6]
-            out[mask] = ((words >> (arr & 63)) & 1).all(axis=1)
-        return pd.Series(out)
+        h1 = h1s.to_numpy(dtype=np.int64)  # never NULL: xxhash64 is total
+        h2 = h2s.to_numpy(dtype=np.int64)
+        if not len(h1):
+            return pd.Series(np.zeros(0, dtype=bool))
+        a = h1 % np.int64(m_bits)
+        b = 1 + h2 % np.int64(m_bits - 1)
+        pos = (a[:, None] + kk[None, :] * b[:, None]) % np.int64(m_bits)
+        words = bm[pos >> 6]
+        return pd.Series(((words >> (pos & 63)) & 1).all(axis=1))
 
     def member(key: Column) -> Column:
-        return F.coalesce(
-            _probe(_positions(key, m_bits, k_hashes)), F.lit(False)
-        )
+        # NULL keys short-circuit OUTSIDE the UDF: xxhash64(NULL, i)
+        # is the seed hash (a real long), so the probe result for a
+        # NULL key is meaningless and is overridden to False here
+        h1, h2 = _hash_pair(key)
+        return F.when(key.isNull(), F.lit(False)).otherwise(_probe(h1, h2))
 
     return member
 
@@ -174,6 +324,7 @@ def referential_violations_bloom(
     broadcast: bool | str = "auto",
     limit: int | None = None,
     n_keys: int | None = None,
+    bloom: KeyBloom | None = None,
 ) -> DataFrame:
     """Fact rows whose key is absent from ``dim``, via a Bloom bitmap
     of the dimension keys. Output shape mirrors
@@ -192,11 +343,17 @@ def referential_violations_bloom(
     the dimension, so the union equals ``referential_violations``
     byte-for-byte — the bitmap acts as a join pre-filter that keeps
     certain violations out of the shuffle entirely.
+
+    ``bloom``: a prebuilt ``KeyBloom`` (see ``build_key_bloom``) —
+    build once per dimension snapshot, reuse across every validation
+    run against it; when omitted, built here (count + build jobs on
+    the dim side, the right default for one-shot use).
     """
     spark = fact.sparkSession
     k = F.col(fact_key) if isinstance(fact_key, str) else fact_key
-    bitmap, m_bits, k_hashes = build_key_bloom(dim, dim_key, fpp, n_keys=n_keys)
-    member = bloom_member_probe(spark, bitmap, m_bits, k_hashes)
+    if bloom is None:
+        bloom = build_key_bloom(dim, dim_key, fpp, n_keys=n_keys)
+    member = bloom_member_probe(spark, bloom)
 
     slim = fact.select(k.alias("ref_key"), *(keep_columns or []))
     flagged = slim.withColumn("_maybe", member(F.col("ref_key")))

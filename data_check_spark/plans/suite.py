@@ -968,10 +968,8 @@ class CheckSuite:
                             build_key_bloom,
                         )
 
-                        bitmap, m_bits, k_hashes = build_key_bloom(
-                            dim, chk.dim_key, chk.fpp
-                        )
-                        member = bloom_member_probe(spark, bitmap, m_bits, k_hashes)
+                        bloom = build_key_bloom(dim, chk.dim_key, chk.fpp)
+                        member = bloom_member_probe(spark, bloom)
                         # map-only classification; only certified
                         # violations reach the census shuffle
                         per_key = (

@@ -51,8 +51,8 @@ def test_build_cap_raises(spark, frames):
 
 def test_member_probe_no_false_negatives(spark, frames):
     fact, dim = frames
-    bitmap, m, k = build_key_bloom(dim, "url", fpp=1e-3)
-    member = bloom_member_probe(spark, bitmap, m, k)
+    bloom = build_key_bloom(dim, "url", fpp=1e-3)
+    member = bloom_member_probe(spark, bloom)
     # every true dim key must probe True (no false negatives)
     misses = dim.filter(~member(F.col("url"))).count()
     assert misses == 0
@@ -186,3 +186,31 @@ def test_suite_bloom_mode_invalid_mode(spark):
     )
     with pytest.raises(ValueError, match="mode"):
         suite.run(spark, pages, "warc_day")
+
+
+def test_blocks_build_equals_positions_build(spark, frames):
+    """The dense-regime blocks build (per-partition numpy bitmaps OR'd
+    by block) must produce the identical bitmap to the sparse
+    positions build — same hashes, same bits, different shuffle plan."""
+    _, dim = frames
+    b1 = build_key_bloom(dim.repartition(5), "url", fpp=1e-2, method="positions")
+    b2 = build_key_bloom(dim.repartition(5), "url", fpp=1e-2, method="blocks")
+    assert (b1.m_bits, b1.k_hashes) == (b2.m_bits, b2.k_hashes)
+    assert (b1.bitmap == b2.bitmap).all()
+    with pytest.raises(ValueError, match="method"):
+        build_key_bloom(dim, "url", method="bogus")
+
+
+def test_prebuilt_bloom_reuse(spark, frames):
+    """A prebuilt KeyBloom passed via bloom= skips the build jobs and
+    yields the same flagged set as the build-inline path."""
+    fact, dim = frames
+    bloom = build_key_bloom(dim, "url", fpp=1e-3)
+    inline = referential_violations_bloom(fact, "page_url", dim, "url", fpp=1e-3)
+    reused = referential_violations_bloom(
+        fact, "page_url", dim, "url", bloom=bloom
+    )
+    skey = lambda t: ((t[0] is None, t[0] or ""), t[1])
+    assert sorted(map(tuple, inline.collect()), key=skey) == sorted(
+        map(tuple, reused.collect()), key=skey
+    )
