@@ -145,6 +145,12 @@ class ReferentialCheck:
     # check wants. hash_keys/broadcast are ignored in bloom mode.
     mode: str = "join"
     fpp: float = 1e-3
+    # bloom mode amortization: a prebuilt operators/bloom.KeyBloom
+    # (Python API) or a .npz path from KeyBloom.save (declarable in
+    # JSON config) — built once per dimension snapshot, every
+    # validation run against that snapshot then skips the build jobs
+    bloom: object | None = None
+    bloom_path: str | None = None
 
 
 @dataclass
@@ -964,11 +970,17 @@ class CheckSuite:
                         )
                     if chk.mode == "bloom":
                         from data_check_spark.operators.bloom import (
+                            KeyBloom,
                             bloom_member_probe,
                             build_key_bloom,
                         )
 
-                        bloom = build_key_bloom(dim, chk.dim_key, chk.fpp)
+                        if chk.bloom is not None:
+                            bloom = chk.bloom
+                        elif chk.bloom_path is not None:
+                            bloom = KeyBloom.load(chk.bloom_path)
+                        else:
+                            bloom = build_key_bloom(dim, chk.dim_key, chk.fpp)
                         member = bloom_member_probe(spark, bloom)
                         # map-only classification; only certified
                         # violations reach the census shuffle

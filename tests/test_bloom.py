@@ -214,3 +214,57 @@ def test_prebuilt_bloom_reuse(spark, frames):
     assert sorted(map(tuple, inline.collect()), key=skey) == sorted(
         map(tuple, reused.collect()), key=skey
     )
+
+
+def test_keybloom_save_load_roundtrip(spark, frames, tmp_path):
+    """save/load roundtrip is exact, and a suite ReferentialCheck
+    pointed at the stored filter (bloom_path) flags the same set as
+    the inline build."""
+    from data_check_spark.operators.bloom import KeyBloom
+
+    fact, dim = frames
+    bloom = build_key_bloom(dim, "url", fpp=1e-3)
+    p = str(tmp_path / "dim_urls")
+    bloom.save(p)
+    back = KeyBloom.load(p)
+    assert (back.m_bits, back.k_hashes) == (bloom.m_bits, bloom.k_hashes)
+    assert (back.bitmap == bloom.bitmap).all()
+
+    inline = referential_violations_bloom(fact, "page_url", dim, "url", fpp=1e-3)
+    stored = referential_violations_bloom(
+        fact, "page_url", dim, "url", bloom=back
+    )
+    skey = lambda t: ((t[0] is None, t[0] or ""), t[1])
+    assert sorted(map(tuple, inline.collect()), key=skey) == sorted(
+        map(tuple, stored.collect()), key=skey
+    )
+
+
+def test_suite_bloom_path(spark, tmp_path):
+    """ReferentialCheck(mode='bloom', bloom_path=...) loads the stored
+    filter instead of building (same verdicts as the inline build)."""
+    import dataclasses
+
+    from data_check_spark.plans.suite import CheckSuite, ReferentialCheck
+    from data_check_spark.sources.synth import domain_of, synth_domains, synth_pages
+
+    pages = synth_pages(spark, 500).withColumn("warc_day", F.to_date("warc_ts"))
+    chk = ReferentialCheck(
+        name="dom",
+        fact_key=lambda: domain_of(F.col("url")),
+        dim=synth_domains,
+        dim_key="domain",
+        mode="bloom",
+        fpp=1e-4,
+    )
+    bloom = build_key_bloom(synth_domains(spark), "domain", fpp=1e-4)
+    p = str(tmp_path / "domains.npz")
+    bloom.save(p)
+    r_inline = CheckSuite([chk]).run(spark, pages, "warc_day")
+    r_stored = CheckSuite(
+        [dataclasses.replace(chk, bloom_path=p)]
+    ).run(spark, pages, "warc_day")
+    v1 = sorted(map(tuple, r_inline.violations["refint:dom"].collect()))
+    v2 = sorted(map(tuple, r_stored.violations["refint:dom"].collect()))
+    assert v1 == v2
+    r_inline.unpersist(); r_stored.unpersist()
