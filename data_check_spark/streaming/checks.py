@@ -213,6 +213,67 @@ _DEDUP_OUT = StructType(
         StructField("state_size", LongType()),
     ]
 )
+def streaming_refint_bloom(
+    pages: DataFrame,
+    bloom,
+    key_col: str = "url",
+    ts_col: str = "warc_ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    max_violation_rows: int = 0,
+    emit: str = "verdicts",
+) -> DataFrame:
+    """Referential gate on a STREAM via the Bloom bitmap of a
+    dimension snapshot (operators/bloom.KeyBloom — build once in
+    batch, probe forever). An anti-join per micro-batch would
+    re-shuffle the dimension keys every trigger; the bloom probe is a
+    STATELESS per-row projection (one Arrow-batched pandas UDF over
+    the 16-byte hash pair), so it composes with any downstream
+    streaming aggregation and costs no state.
+
+    Verdict semantics are the batch bloom gate's (operators/bloom.py):
+    a flagged row's key is CERTAINLY absent from the snapshot
+    (precision 1.0), a clean window may hide an expected fpp fraction
+    of violating keys — the fail-fast direction. The flagged set is
+    fixed-seed deterministic, so a batch re-run over the same rows
+    flags the identical keys (pytest-asserted streaming/batch twin in
+    tests/test_streaming_bloom.py).
+
+    ``emit='verdicts'``: one row per closed event-time window —
+    (window_start, window_end, n_rows, n_violations, threshold,
+    passed) in append mode once the watermark passes (bounded state:
+    one aggregate row per open window, same shape as
+    streaming_stat_verdicts).
+    ``emit='violations'``: the certified-violation ROWS as a map-only
+    append stream (no watermark, no state) — route to quarantine
+    storage while the verdict stream gates the pipeline."""
+    from data_check_spark.operators.bloom import bloom_member_probe
+
+    member = bloom_member_probe(pages.sparkSession, bloom)
+    viol = ~member(F.col(key_col))
+    if emit == "violations":
+        return pages.filter(viol)
+    if emit != "verdicts":
+        raise ValueError(f"emit must be 'verdicts' or 'violations', got {emit!r}")
+    nv = F.col("n_violations")
+    return (
+        pages.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_if(viol).alias("n_violations"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_rows",
+            "n_violations",
+            F.lit(float(max_violation_rows)).alias("threshold"),
+            (nv <= F.lit(max_violation_rows)).alias("passed"),
+        )
+    )
+
+
 def streaming_sessions(
     events: DataFrame,
     key_col: str,
