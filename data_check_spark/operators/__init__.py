@@ -2,6 +2,12 @@ from data_check_spark.operators.schema_diff import schema_diff, common_columns  
 from data_check_spark.operators.stats import column_stats, partition_stats_verdicts  # noqa: F401
 from data_check_spark.operators.unique import uniqueness_violations, uniqueness_check  # noqa: F401
 from data_check_spark.operators.refint import referential_violations  # noqa: F401
+from data_check_spark.operators.bloom import (  # noqa: F401
+    KeyBloom,
+    build_key_bloom,
+    bloom_member_probe,
+    referential_violations_bloom,
+)
 from data_check_spark.operators.rowdiff import (  # noqa: F401
     pk_census,
     exclusive_rows,
