@@ -1489,6 +1489,54 @@ def _q_url_canon(spark, sf_dir):
     )
 
 
+def _q_html_extract(spark, sf_dir):
+    """HTML → text extraction invariant (functions/html.html_to_text):
+    the BASELINE.json input_hint check that the text column IS the
+    extraction of the html BINARY payload. documents has no html
+    column, so a realistic page — title, style block, script block
+    (with `<` and a fake tag inside), comment, entity-escaped body —
+    is PLANTED row-locally from (doc_id, lang, text), cast through
+    BINARY, extracted back, and compared against the independently
+    predicted text (title + whitespace-collapsed body). The DuckDB
+    twin rebuilds the page, round-trips it through encode()/decode()
+    (the BLOB leg), and re-derives the extraction via
+    html_to_text_sql — the engine-portability contract (functions/
+    urls, functions/splits pattern). Output: per-row extracted text +
+    invariant verdict for doc_id < 400."""
+    from data_check_spark.functions.html import html_to_text_from_binary
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    body = F.substring("text", 1, 160)
+    esc = F.replace(
+        F.replace(
+            F.replace(body, F.lit("&"), F.lit("&amp;")),
+            F.lit("<"), F.lit("&lt;"),
+        ),
+        F.lit(">"), F.lit("&gt;"),
+    )
+    page = F.concat(
+        F.lit("<html><head><title>"), F.coalesce(F.col("lang"), F.lit("")),
+        F.lit('</title><style>p{margin:0}</style>'
+              '<script>if(1<2){var x="<p>"}</script></head><body><!-- id '),
+        F.col("doc_id").cast("string"),
+        F.lit(" --><p>"), esc, F.lit("</p></body></html>"),
+    )
+    expected = F.trim(
+        F.regexp_replace(
+            F.concat(F.coalesce(F.col("lang"), F.lit("")), F.lit(" "), body),
+            "[ \t\n\f\r]+", " ",
+        )
+    )
+    extracted = html_to_text_from_binary(page.cast("binary"))
+    return d.select(
+        "doc_id",
+        extracted.alias("extracted"),
+        (
+            (extracted.isNull() & expected.isNull()) | (extracted == expected)
+        ).alias("matches_expected"),
+    )
+
+
 def _q_heavy_hitters(spark, sf_dir):
     """Exact top-k heavy hitters (operators/topk.heavy_hitters): the
     hot-key diagnostic feeding the engine's skew defenses (uniqueness
@@ -2071,6 +2119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_violations": _q_fd_violations,
         "suite_fd_verdicts": _q_suite_fd,
         "url_canon": _q_url_canon,
+        "html_extract": _q_html_extract,
         "heavy_hitters": _q_heavy_hitters,
         "repetition_metrics": _q_repetition,
         "crossdoc_ngram": _q_crossdoc_ngram,
@@ -2164,6 +2213,7 @@ FROM documents"""
 
 
 def oracle_sql() -> dict[str, str]:
+    from data_check_spark.functions.html import html_to_text_sql
     from data_check_spark.functions.urls import canonical_url_sql
 
     eps = "0.000001"
@@ -2659,6 +2709,29 @@ WITH raw AS (
 c AS (SELECT url, {canonical_url_sql('url')} AS url_canon FROM raw)
 SELECT url_canon, count(*) AS n_rows, count(DISTINCT url) AS n_raw_forms
 FROM c GROUP BY url_canon""",
+        "html_extract": f"""
+WITH raw AS (
+  SELECT doc_id, lang, substr(text, 1, 160) AS body,
+         '<html><head><title>' || coalesce(lang, '')
+         || '</title><style>p{{margin:0}}</style>'
+         || '<script>if(1<2){{var x="<p>"}}</script></head><body><!-- id '
+         || CAST(doc_id AS VARCHAR) || ' --><p>'
+         || replace(replace(replace(substr(text, 1, 160),
+                    '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+         || '</p></body></html>' AS page
+  FROM documents WHERE doc_id < 400
+),
+e AS (
+  SELECT doc_id,
+         {html_to_text_sql("decode(encode(page))")} AS extracted,
+         trim(regexp_replace(coalesce(lang, '') || ' ' || body,
+              '[ \t\n\f\r]+', ' ', 'g')) AS expected
+  FROM raw
+)
+SELECT doc_id, extracted,
+       ((extracted IS NULL AND expected IS NULL)
+        OR extracted = expected) AS matches_expected
+FROM e""",
         "heavy_hitters": """
 SELECT event_type, user_id, n, rank FROM (
   SELECT event_type, user_id, count(*) AS n,

@@ -33,6 +33,14 @@ from data_check_spark.plans.suite import (
 from data_check_spark.sources.synth import domain_of, synth_domains, synth_pages, synth_pages_v2
 
 
+# expected-extraction expression for the SYNTH corpus (synth_pages
+# embeds the text's 64-char prefix in the html payload); a real corpus
+# whose text column IS the full extraction passes plain "text"
+SYNTH_EXTRACT_EXPECTED_SQL = (
+    "trim(regexp_replace(substring(text, 1, 64), '[ \t\n\f\r]+', ' '))"
+)
+
+
 def default_pages_suite(
     with_drift: bool,
     with_repetition: bool = False,
@@ -40,6 +48,7 @@ def default_pages_suite(
     neardup_gate: float | None = None,
     lang_min_entropy: float | None = None,
     lang_max_mode_share: float | None = None,
+    extract_expected_sql: str | None = None,
 ) -> CheckSuite:
     """The standard web-pages validation suite. ``with_repetition``
     adds the Gopher boilerplate gate (one extra scan of (partition,
@@ -118,6 +127,24 @@ def default_pages_suite(
                 max_mode_share=lang_max_mode_share,
             )
         )
+    if extract_expected_sql is not None:
+        from data_check_spark.functions.html import html_to_text_sql
+        from data_check_spark.plans.suite import ExprCheck
+
+        # the input_hint invariant as a row predicate: the text column
+        # must BE the extraction of the html payload (NULL html rows
+        # are exempt — nothing to extract). Rides the fused stats pass
+        # (zero extra scans); violating urls dump under
+        # expr:html_text_invariant.
+        checks.append(
+            ExprCheck(
+                "html_text_invariant",
+                "html IS NULL OR "
+                + html_to_text_sql("CAST(html AS STRING)", "spark")
+                + " = (" + extract_expected_sql + ")",
+                id_col="url",
+            )
+        )
     if neardup_gate is not None:
         from data_check_spark.plans.suite import NearDupCheck
 
@@ -183,6 +210,19 @@ def main(argv: list[str] | None = None) -> int:
         metavar="FRAC",
         help="add a ProfileCheck on lang: fail when any single "
         "language exceeds FRAC of non-null rows",
+    )
+    ap.add_argument(
+        "--extract-check",
+        nargs="?",
+        const=SYNTH_EXTRACT_EXPECTED_SQL,
+        default=None,
+        metavar="EXPECTED_SQL",
+        help="add the html→text extraction invariant (functions/html): "
+        "every non-NULL html payload's extraction must equal "
+        "EXPECTED_SQL (a Spark-SQL expression over the row; pass "
+        "'text' when the text column is the full extraction). With "
+        "no value, uses the synth-corpus form (64-char text prefix). "
+        "Rides the fused stats pass — zero extra scans",
     )
     ap.add_argument(
         "--suite-config",
@@ -297,6 +337,7 @@ def main(argv: list[str] | None = None) -> int:
         neardup_gate=args.neardup_gate,
         lang_min_entropy=args.lang_min_entropy,
         lang_max_mode_share=args.lang_max_mode_share,
+        extract_expected_sql=args.extract_check,
     )
     if args.suite_config:
         from data_check_spark.plans.config import load_suite

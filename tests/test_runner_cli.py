@@ -129,3 +129,43 @@ def test_runner_dedup_out(spark, tmp_path):
     assert {r["url"] for r in kept.select("url").collect()} == {
         r["url"] for r in kept2.select("url").collect()
     }
+
+
+def test_runner_extract_check(spark, tmp_path):
+    """--extract-check wires the html→text extraction invariant
+    (functions/html) into the default suite as an ExprCheck: the
+    synth corpus satisfies its default expected form (64-char text
+    prefix) on every partition, and a deliberately-wrong expected
+    expression fails with the violating urls dumped."""
+    out = str(tmp_path / "run_extract")
+    rc = main([
+        "--synthesize", "2000",
+        "--out", out,
+        "--partitions", "4",
+        "--extract-check",
+    ])
+    audit = spark.read.parquet(f"{out}/audit/verdicts")
+    inv = audit.filter(
+        (F.col("check") == "expr") & (F.col("column") == "html_text_invariant")
+    ).collect()
+    assert len(inv) > 0 and all(r["passed"] for r in inv)
+    failed = audit.filter(~F.col("passed")).count()
+    assert rc == (0 if failed == 0 else 1)
+
+    out2 = str(tmp_path / "run_extract_bad")
+    rc2 = main([
+        "--synthesize", "2000",
+        "--out", out2,
+        "--partitions", "4",
+        "--extract-check", "'never this'",
+    ])
+    assert rc2 == 1
+    audit2 = spark.read.parquet(f"{out2}/audit/verdicts")
+    inv2 = audit2.filter(
+        (F.col("check") == "expr") & (F.col("column") == "html_text_invariant")
+    ).collect()
+    # NULL-html rows are exempt, so a partition of only-NULL html could
+    # pass; with 2000 rows every warc-day partition has non-NULL html
+    assert len(inv2) > 0 and not any(r["passed"] for r in inv2)
+    viol = spark.read.parquet(f"{out2}/audit/violations/expr_html_text_invariant")
+    assert viol.count() > 0
