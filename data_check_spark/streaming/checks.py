@@ -89,6 +89,93 @@ def streaming_stat_verdicts(
     )
 
 
+def streaming_expr_verdicts(
+    pages: DataFrame,
+    predicates: dict[str, str],
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    max_violation_ratio: float | dict[str, float] = 0.0,
+) -> DataFrame:
+    """Streaming twin of the batch ``ExprCheck`` (plans/suite.py): the
+    same declarative row predicates — e.g. the html→text extraction
+    invariant (functions/html), ``url LIKE 'http%'`` — gated per
+    event-time window instead of per partition, with IDENTICAL
+    fail-closed semantics (a row violates when its predicate is FALSE
+    **or NULL**) and the identical metric (violation count / window
+    row count, unrounded double division), so batch and streaming
+    verdict rows are value-interchangeable on the same data (tested).
+
+    ``max_violation_ratio``: one threshold for all checks, or a
+    per-name dict (missing names default 0.0).
+
+    Output (long form, one row per window × check):
+    (window_start, window_end, check_name, n_rows, violation_ratio,
+    threshold, passed).
+
+    Scale: ONE fused windowed aggregation — one ``count_if`` per
+    predicate riding a single shared groupBy(window), the streaming
+    analogue of the batch fused stats pass (zero extra scans per
+    added check); the melt to long form explodes the SMALL aggregate
+    rows (|windows| × |checks|), never the input. Watermark bounds
+    state so this runs forever."""
+    if not predicates:
+        raise ValueError("predicates must be a non-empty {name: sql} dict")
+    names = list(predicates)
+    # fail-closed violation — EXACTLY the batch ExprCheck expression
+    # (plans/suite.py expr_viol): NOT coalesce(pred, FALSE)
+    viol = {
+        n: ~F.coalesce(F.expr(p), F.lit(False)) for n, p in predicates.items()
+    }
+
+    def thr(n: str) -> float:
+        if isinstance(max_violation_ratio, dict):
+            return float(max_violation_ratio.get(n, 0.0))
+        return float(max_violation_ratio)
+
+    agg = (
+        pages.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("_xn"),
+            *[F.count_if(viol[n]).alias(f"_x_{n}") for n in names],
+        )
+    )
+    melted = agg.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        F.col("_xn").alias("n_rows"),
+        F.explode(
+            F.map_from_arrays(
+                F.array(*[F.lit(n) for n in names]),
+                F.array(
+                    *[
+                        F.struct(
+                            F.try_divide(
+                                F.col(f"_x_{n}").cast("double"),
+                                F.col("_xn").cast("double"),
+                            ).alias("ratio"),
+                            F.lit(thr(n)).alias("threshold"),
+                        )
+                        for n in names
+                    ]
+                ),
+            )
+        ).alias("check_name", "_v"),
+    )
+    ratio = F.col("_v.ratio")
+    threshold = F.col("_v.threshold")
+    return melted.select(
+        "window_start",
+        "window_end",
+        "check_name",
+        "n_rows",
+        ratio.alias("violation_ratio"),
+        threshold.alias("threshold"),
+        # fail closed like batch: an unevaluable ratio fails
+        (ratio.isNotNull() & (ratio <= threshold)).alias("passed"),
+    )
+
+
 def reference_freqs_from(ref_df: DataFrame, col: str = "lang") -> dict:
     """Derive the static reference distribution streaming_psi_verdicts
     consumes from a batch reference snapshot — the SAME frequencies

@@ -464,3 +464,60 @@ def test_streaming_psi_from_stored_profile_matches_table(spark, pages_dir):
     assert got.keys() == want.keys()
     for k, v in want.items():
         assert got[k] == pytest.approx(v, abs=1e-12)
+
+
+def test_streaming_expr_verdicts_match_batch(spark, pages_dir):
+    """streaming_expr_verdicts is value-interchangeable with the batch
+    ExprCheck on the same rows: same fail-closed violation counts,
+    same unrounded ratio, same pass/fail — exercised with the html →
+    text extraction invariant (functions/html) plus a lang-not-null
+    predicate, windowed by day vs partitioned by day."""
+    from data_check_spark.functions.html import html_to_text_sql
+    from data_check_spark.plans.suite import CheckSuite, ExprCheck
+    from data_check_spark.runner import SYNTH_EXTRACT_EXPECTED_SQL
+    from data_check_spark.streaming.checks import streaming_expr_verdicts
+
+    preds = {
+        "html_text_invariant": (
+            "html IS NULL OR "
+            + html_to_text_sql("CAST(html AS STRING)", "spark")
+            + " = (" + SYNTH_EXTRACT_EXPECTED_SQL + ")"
+        ),
+        "lang_not_null": "lang IS NOT NULL",
+    }
+    thresholds = {"html_text_invariant": 0.0, "lang_not_null": 0.05}
+
+    stream = stream_pages(spark, pages_dir)
+    q = run_to_memory(
+        streaming_expr_verdicts(
+            stream, preds, window="1 day", max_violation_ratio=thresholds
+        ),
+        "expr_verdicts",
+        "complete",
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r["window_start"].date()), r["check_name"]): r
+        for r in spark.table("expr_verdicts").collect()
+    }
+
+    batch_df = spark.read.parquet(pages_dir).withColumn(
+        "part", F.date_format("warc_ts", "yyyy-MM-dd")
+    )
+    suite = CheckSuite(
+        [ExprCheck(n, p, max_violation_ratio=thresholds[n]) for n, p in preds.items()]
+    )
+    batch = suite.run(spark, batch_df, "part").verdicts.filter(
+        F.col("check") == "expr"
+    ).collect()
+
+    assert len(batch) == len(got) > 0
+    for b in batch:
+        g = got[(b["partition"], b["column"])]
+        assert g["violation_ratio"] == b["metric"]  # unrounded, bit-equal
+        assert g["threshold"] == b["threshold"]
+        assert g["passed"] == b["passed"]
+    # the synth corpus satisfies the invariant everywhere
+    assert all(
+        r["passed"] for (d, n), r in got.items() if n == "html_text_invariant"
+    )
