@@ -36,6 +36,15 @@ early; an unclosed ``<script>`` leaves its body as text. Real parsers
 in this container — the regex subset is the deliberate JVM-side
 trade, and the limits are symmetric across engines.
 
+Invalid-UTF-8 caveat (the ONE decode-leg asymmetry, pinned by test):
+Spark's ``CAST(binary AS STRING)`` lossily replaces each invalid byte
+with U+FFFD and extraction proceeds; DuckDB's ``decode()`` raises
+instead. The oracle twin only ever decodes well-formed pages, so
+parity holds there; on a real crawl, route mojibake rows FIRST with
+the zero-tolerance U+FFFD rule (operators/quarantine encoding pack —
+it catches exactly the rows Spark's lossy decode would scar) and run
+the extraction invariant on the clean side.
+
 Engine-portable by construction (contract shared with functions/urls
 and functions/splits): every pattern lives in the Java∩RE2 regex
 subset — inline ``(?is)`` flags, lazy ``.*?``, no backreferences, no

@@ -145,3 +145,16 @@ def test_pages_invariant_exprcheck(spark):
         (F.col("check") == "expr") & (F.col("column") == "always_off")
     ).collect()
     assert len(rows2) == 4 and not any(r["passed"] for r in rows2)
+
+
+def test_invalid_utf8_decode_is_lossy_not_fatal(spark):
+    """Pins the documented decode-leg asymmetry: Spark's binary→string
+    cast replaces invalid bytes with U+FFFD and extraction proceeds
+    (DuckDB's decode() would raise — the oracle only decodes
+    well-formed pages); the scarred rows are exactly what the
+    quarantine encoding pack's zero-tolerance U+FFFD rule routes."""
+    df = spark.createDataFrame(
+        [(1, b"<p>ok \xff\xfe bad</p>")], "i int, h binary"
+    )
+    [r] = df.select(html_to_text_from_binary("h").alias("t")).collect()
+    assert r["t"] == "ok �� bad"
