@@ -2049,6 +2049,30 @@ def _q_changed_partitions(spark, sf_dir):
     ).orderBy("partition")
 
 
+def _q_lm_scores(spark, sf_dir):
+    """CCNet-style bigram-LM quality scores, self-trained
+    (operators/lm.bigram_lm_scores): add-one-smoothed p(w2|w1) per
+    bigram, per-doc mean quantized to 1e-9 via exact integer HALF_UP
+    — no libm anywhere in the compared columns, so DuckDB re-derives
+    every value bit-exactly. No reference counterpart (the reference
+    has no text modeling); lineage is Wenzek et al. CCNet."""
+    from data_check_spark.operators.lm import bigram_lm_scores
+
+    return bigram_lm_scores(_t(spark, sf_dir, "documents"))
+
+
+def _q_lm_scores_crosstrain(spark, sf_dir):
+    """The real CCNet deployment shape: LM trained on a REFERENCE
+    corpus (even doc_ids), scoring a TARGET corpus (odd doc_ids) —
+    exercises the unseen-bigram/OOV smoothing path (n_unseen > 0)
+    that self-training can never reach."""
+    from data_check_spark.operators.lm import bigram_lm, bigram_lm_scores
+
+    d = _t(spark, sf_dir, "documents")
+    lm = bigram_lm(d.filter(F.col("doc_id") % 2 == 0))
+    return bigram_lm_scores(d.filter(F.col("doc_id") % 2 == 1), lm=lm)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full check-suite verdicts over sf0.001 documents."""
     return _q_suite_verdicts(spark, "/root/testdata/sf0.001")
@@ -2123,6 +2147,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": _q_heavy_hitters,
         "repetition_metrics": _q_repetition,
         "crossdoc_ngram": _q_crossdoc_ngram,
+        "lm_scores": _q_lm_scores,
+        "lm_scores_crosstrain": _q_lm_scores_crosstrain,
         "line_dedup_stats": _q_line_dedup_stats,
         "line_dedup_strip": _q_line_dedup_strip,
         "domain_cap": _q_domain_cap,
@@ -3098,6 +3124,63 @@ SELECT doc_id,
        count(*) FILTER (WHERE docs > 1) AS n_shared_ngrams,
        count(*) AS n_ngrams
 FROM g JOIN pg USING (h) GROUP BY doc_id""",
+        # bigram-LM twins: the scored columns are pure integer
+        # arithmetic (HALF_UP quantization by `div`, exact sums) so
+        # DuckDB re-derives them bit-exactly — HUGEINT mirrors the
+        # Spark side's decimal(38,0) overflow headroom
+        "lm_scores": r"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws FROM documents
+), b AS (
+  SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+      i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS p
+    FROM w WHERE len(ws) >= 2)
+), cbg AS (SELECT w1, w2, count(*) AS c_bg FROM b GROUP BY w1, w2),
+cw1 AS (SELECT w1, count(*) AS c_w1 FROM b GROUP BY w1),
+v AS (SELECT count(DISTINCT w2) AS v FROM b),
+q AS (
+  SELECT b.doc_id, cbg.c_bg,
+         CAST((2 * CAST(COALESCE(cbg.c_bg, 0) + 1 AS HUGEINT) * 1000000000
+               + (COALESCE(cw1.c_w1, 0) + v.v))
+              // (2 * (COALESCE(cw1.c_w1, 0) + v.v)) AS BIGINT) AS q
+  FROM b LEFT JOIN cbg USING (w1, w2) LEFT JOIN cw1 USING (w1) CROSS JOIN v
+)
+SELECT doc_id,
+       count(*) AS n_bigrams,
+       count(*) FILTER (WHERE c_bg IS NULL) AS n_unseen,
+       count(*) FILTER (WHERE COALESCE(c_bg, 0) <= 1) AS n_rare,
+       CAST((2 * sum(q) + count(*)) // (2 * count(*)) AS DOUBLE) / 1000000000 AS mean_p
+FROM q GROUP BY doc_id""",
+        "lm_scores_crosstrain": r"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws FROM documents
+), btrain AS (
+  SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+      i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS p
+    FROM w WHERE len(ws) >= 2 AND doc_id % 2 = 0)
+), bscore AS (
+  SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+      i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS p
+    FROM w WHERE len(ws) >= 2 AND doc_id % 2 = 1)
+), cbg AS (SELECT w1, w2, count(*) AS c_bg FROM btrain GROUP BY w1, w2),
+cw1 AS (SELECT w1, count(*) AS c_w1 FROM btrain GROUP BY w1),
+v AS (SELECT count(DISTINCT w2) AS v FROM btrain),
+q AS (
+  SELECT b.doc_id, cbg.c_bg,
+         CAST((2 * CAST(COALESCE(cbg.c_bg, 0) + 1 AS HUGEINT) * 1000000000
+               + (COALESCE(cw1.c_w1, 0) + v.v))
+              // (2 * (COALESCE(cw1.c_w1, 0) + v.v)) AS BIGINT) AS q
+  FROM bscore b LEFT JOIN cbg USING (w1, w2) LEFT JOIN cw1 USING (w1) CROSS JOIN v
+)
+SELECT doc_id,
+       count(*) AS n_bigrams,
+       count(*) FILTER (WHERE c_bg IS NULL) AS n_unseen,
+       count(*) FILTER (WHERE COALESCE(c_bg, 0) <= 1) AS n_rare,
+       CAST((2 * sum(q) + count(*)) // (2 * count(*)) AS DOUBLE) / 1000000000 AS mean_p
+FROM q GROUP BY doc_id""",
         # line-dedup twins: the multi-line corpus is PLANTED with the
         # exact expressions _lined_pages uses (concat_ws skips NULL
         # text identically in both engines)
