@@ -2073,6 +2073,27 @@ def _q_lm_scores_crosstrain(spark, sf_dir):
     return bigram_lm_scores(d.filter(F.col("doc_id") % 2 == 1), lm=lm)
 
 
+def _q_shard_manifest(spark, sf_dir):
+    """Deterministic shard-export manifest (operators/export.
+    shard_manifest): md5-bucket shard assignment (the splits
+    convention) + per-shard row count and the two-lane DECIMAL
+    content fingerprint (the partition_fingerprint machinery). The
+    DuckDB oracle re-derives every shard id and fingerprint digit —
+    the export-verification claim, checked end-to-end. Lanes ship as
+    digit strings (DECIMAL(38,0) loses precision through DuckDB's
+    pandas fetch)."""
+    from data_check_spark.operators.export import shard_manifest
+
+    d = _t(spark, sf_dir, "documents")
+    m = shard_manifest(d, "doc_id", 8)
+    return m.select(
+        "shard",
+        "n_rows",
+        F.col("fp_lo").cast("string").alias("fp_lo"),
+        F.col("fp_hi").cast("string").alias("fp_hi"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full check-suite verdicts over sf0.001 documents."""
     return _q_suite_verdicts(spark, "/root/testdata/sf0.001")
@@ -2149,6 +2170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crossdoc_ngram": _q_crossdoc_ngram,
         "lm_scores": _q_lm_scores,
         "lm_scores_crosstrain": _q_lm_scores_crosstrain,
+        "shard_manifest": _q_shard_manifest,
         "line_dedup_stats": _q_line_dedup_stats,
         "line_dedup_strip": _q_line_dedup_strip,
         "domain_cap": _q_domain_cap,
@@ -3181,6 +3203,19 @@ SELECT doc_id,
        count(*) FILTER (WHERE COALESCE(c_bg, 0) <= 1) AS n_rare,
        CAST((2 * sum(q) + count(*)) // (2 * count(*)) AS DOUBLE) / 1000000000 AS mean_p
 FROM q GROUP BY doc_id""",
+        # shard-export manifest twin: md5-bucket shard ids (the
+        # train_split md5 convention) + the partition_fingerprint
+        # lane machinery, re-derived per shard
+        "shard_manifest": f"""
+WITH h AS (
+  SELECT CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':dcs-shard'), 1, 15)) AS BIGINT) % 8 AS INT) AS shard,
+         md5(concat_ws('|', {', '.join(_fp_enc_sql(c) for c in ['doc_id', 'text', 'lang', 'source', 'n_chars'])})) AS h
+  FROM documents
+)
+SELECT shard, COUNT(*) AS n_rows,
+       CAST(CAST(SUM(CAST(('0x' || substring(h, 1, 15)) AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS fp_lo,
+       CAST(CAST(SUM(CAST(('0x' || substring(h, 16, 15)) AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS fp_hi
+FROM h GROUP BY shard""",
         # line-dedup twins: the multi-line corpus is PLANTED with the
         # exact expressions _lined_pages uses (concat_ws skips NULL
         # text identically in both engines)
