@@ -1989,6 +1989,42 @@ def _q_tdigest(spark, sf_dir):
 _FP_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate", "o_orderpriority"]
 
 
+# the CCNet cross-trained LM oracle: train on the even half, score
+# the odd half. Shared verbatim by lm_scores_crosstrain AND
+# lm_scores_incremental — the incremental query trains two quarter-
+# corpus LMs and merges them, so agreeing with THIS whole-even-corpus
+# SQL is exactly the merge-correctness claim.
+_LM_CROSSTRAIN_SQL = r"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws FROM documents
+), btrain AS (
+  SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+      i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS p
+    FROM w WHERE len(ws) >= 2 AND doc_id % 2 = 0)
+), bscore AS (
+  SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+      i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS p
+    FROM w WHERE len(ws) >= 2 AND doc_id % 2 = 1)
+), cbg AS (SELECT w1, w2, count(*) AS c_bg FROM btrain GROUP BY w1, w2),
+cw1 AS (SELECT w1, count(*) AS c_w1 FROM btrain GROUP BY w1),
+v AS (SELECT count(DISTINCT w2) AS v FROM btrain),
+q AS (
+  SELECT b.doc_id, cbg.c_bg,
+         CAST((2 * CAST(COALESCE(cbg.c_bg, 0) + 1 AS HUGEINT) * 1000000000
+               + (COALESCE(cw1.c_w1, 0) + v.v))
+              // (2 * (COALESCE(cw1.c_w1, 0) + v.v)) AS BIGINT) AS q
+  FROM bscore b LEFT JOIN cbg USING (w1, w2) LEFT JOIN cw1 USING (w1) CROSS JOIN v
+)
+SELECT doc_id,
+       count(*) AS n_bigrams,
+       count(*) FILTER (WHERE c_bg IS NULL) AS n_unseen,
+       count(*) FILTER (WHERE COALESCE(c_bg, 0) <= 1) AS n_rare,
+       CAST((2 * sum(q) + count(*)) // (2 * count(*)) AS DOUBLE) / 1000000000 AS mean_p
+FROM q GROUP BY doc_id"""
+
+
 def _fp_enc_sql(col: str) -> str:
     """DuckDB twin of fingerprint.py's injective length-prefix
     encoding, over the string-cast column."""
@@ -2070,6 +2106,30 @@ def _q_lm_scores_crosstrain(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     lm = bigram_lm(d.filter(F.col("doc_id") % 2 == 0))
+    return bigram_lm_scores(d.filter(F.col("doc_id") % 2 == 1), lm=lm)
+
+
+def _q_lm_scores_incremental(spark, sf_dir):
+    """Incremental LM lifecycle (operators/lm.merge_bigram_lm): two
+    shard-trained LMs (doc_id % 4 == 0 and % 4 == 2) merged by
+    count-sum, scoring the odd docs. GENUINE oracle: the DuckDB twin
+    trains on the WHOLE even corpus in one pass — the results agree
+    only if merged shard counts are exactly the whole-corpus counts
+    (and the re-derived |V| matches), which is the incremental-path
+    correctness claim."""
+    from data_check_spark.operators.lm import (
+        bigram_lm,
+        bigram_lm_scores,
+        merge_bigram_lm,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    lm = merge_bigram_lm(
+        [
+            bigram_lm(d.filter(F.col("doc_id") % 4 == 0)),
+            bigram_lm(d.filter(F.col("doc_id") % 4 == 2)),
+        ]
+    )
     return bigram_lm_scores(d.filter(F.col("doc_id") % 2 == 1), lm=lm)
 
 
@@ -2170,6 +2230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crossdoc_ngram": _q_crossdoc_ngram,
         "lm_scores": _q_lm_scores,
         "lm_scores_crosstrain": _q_lm_scores_crosstrain,
+        "lm_scores_incremental": _q_lm_scores_incremental,
         "shard_manifest": _q_shard_manifest,
         "line_dedup_stats": _q_line_dedup_stats,
         "line_dedup_strip": _q_line_dedup_strip,
@@ -3174,35 +3235,10 @@ SELECT doc_id,
        count(*) FILTER (WHERE COALESCE(c_bg, 0) <= 1) AS n_rare,
        CAST((2 * sum(q) + count(*)) // (2 * count(*)) AS DOUBLE) / 1000000000 AS mean_p
 FROM q GROUP BY doc_id""",
-        "lm_scores_crosstrain": r"""
-WITH w AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws FROM documents
-), btrain AS (
-  SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM (
-    SELECT doc_id, unnest(list_transform(range(1, len(ws)),
-      i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS p
-    FROM w WHERE len(ws) >= 2 AND doc_id % 2 = 0)
-), bscore AS (
-  SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM (
-    SELECT doc_id, unnest(list_transform(range(1, len(ws)),
-      i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS p
-    FROM w WHERE len(ws) >= 2 AND doc_id % 2 = 1)
-), cbg AS (SELECT w1, w2, count(*) AS c_bg FROM btrain GROUP BY w1, w2),
-cw1 AS (SELECT w1, count(*) AS c_w1 FROM btrain GROUP BY w1),
-v AS (SELECT count(DISTINCT w2) AS v FROM btrain),
-q AS (
-  SELECT b.doc_id, cbg.c_bg,
-         CAST((2 * CAST(COALESCE(cbg.c_bg, 0) + 1 AS HUGEINT) * 1000000000
-               + (COALESCE(cw1.c_w1, 0) + v.v))
-              // (2 * (COALESCE(cw1.c_w1, 0) + v.v)) AS BIGINT) AS q
-  FROM bscore b LEFT JOIN cbg USING (w1, w2) LEFT JOIN cw1 USING (w1) CROSS JOIN v
-)
-SELECT doc_id,
-       count(*) AS n_bigrams,
-       count(*) FILTER (WHERE c_bg IS NULL) AS n_unseen,
-       count(*) FILTER (WHERE COALESCE(c_bg, 0) <= 1) AS n_rare,
-       CAST((2 * sum(q) + count(*)) // (2 * count(*)) AS DOUBLE) / 1000000000 AS mean_p
-FROM q GROUP BY doc_id""",
+        "lm_scores_crosstrain": _LM_CROSSTRAIN_SQL,
+        # merged shard-trained counts == whole-even-corpus counts, so
+        # the incremental query shares the crosstrain oracle verbatim
+        "lm_scores_incremental": _LM_CROSSTRAIN_SQL,
         # shard-export manifest twin: md5-bucket shard ids (the
         # train_split md5 convention) + the partition_fingerprint
         # lane machinery, re-derived per shard

@@ -102,6 +102,49 @@ def bigram_lm(
     }
 
 
+def merge_bigram_lm(lms: list[dict[str, DataFrame]]) -> dict[str, DataFrame]:
+    """Merge trained LMs (the incremental-corpus path, same shape as
+    the minhash signature store / HLL sketch union): bigram and head
+    counts are additive — union + groupBy-sum, associative at any
+    fan-in — and the next-token vocabulary is re-derived as the
+    DISTINCT w2 of the merged bigram table (|V| itself is NOT
+    additive across shards; deriving it from c_bg is exact). A
+    month's new crawl trains its own counts, merges with the stored
+    model, and never re-scans validated months."""
+    if not lms:
+        raise ValueError("merge_bigram_lm needs at least one LM")
+    c_bg = lms[0]["c_bg"]
+    c_w1 = lms[0]["c_w1"]
+    for lm in lms[1:]:
+        c_bg = c_bg.unionByName(lm["c_bg"])
+        c_w1 = c_w1.unionByName(lm["c_w1"])
+    c_bg = c_bg.groupBy("w1", "w2").agg(F.sum("c_bg").alias("c_bg"))
+    return {
+        "c_bg": c_bg,
+        "c_w1": c_w1.groupBy("w1").agg(F.sum("c_w1").alias("c_w1")),
+        "v": c_bg.agg(F.count_distinct("w2").alias("v")),
+    }
+
+
+def save_bigram_lm(lm: dict[str, DataFrame], out_dir: str, mode: str = "error") -> None:
+    """Persist a trained LM as parquet (c_bg/, c_w1/) — the frozen
+    reference model CCNet deploys. ``v`` is re-derived on load, so a
+    stored model and a merged-then-stored model are interchangeable."""
+    base = out_dir.rstrip("/")
+    lm["c_bg"].write.mode(mode).parquet(base + "/c_bg")
+    lm["c_w1"].write.mode(mode).parquet(base + "/c_w1")
+
+
+def load_bigram_lm(spark, in_dir: str) -> dict[str, DataFrame]:
+    base = in_dir.rstrip("/")
+    c_bg = spark.read.parquet(base + "/c_bg")
+    return {
+        "c_bg": c_bg,
+        "c_w1": spark.read.parquet(base + "/c_w1"),
+        "v": c_bg.agg(F.count_distinct("w2").alias("v")),
+    }
+
+
 def bigram_lm_scores(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -9,7 +9,14 @@ import math
 import pytest
 from pyspark.sql import functions as F
 
-from data_check_spark.operators.lm import bigram_frame, bigram_lm, bigram_lm_scores
+from data_check_spark.operators.lm import (
+    bigram_frame,
+    bigram_lm,
+    bigram_lm_scores,
+    load_bigram_lm,
+    merge_bigram_lm,
+    save_bigram_lm,
+)
 
 DOCS = [
     (1, "the cat sat on the mat"),
@@ -106,6 +113,46 @@ def test_tokenizer_convention(spark):
     df = spark.createDataFrame([(5, "  The   CAT\tsat  ")], "doc_id bigint, text string")
     got = [(r["w1"], r["w2"]) for r in bigram_frame(df).collect()]
     assert got == [("the", "cat"), ("cat", "sat")]
+
+
+def test_merged_shard_lms_equal_whole_corpus_lm(spark):
+    """merge(lm(A), lm(B)) must score identically to lm(A ∪ B) —
+    additive counts plus |V| re-derived from the merged bigrams."""
+    docs = [(i, f"w{i % 5} common w{i % 3} tail w{i % 7}") for i in range(60)]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    whole = bigram_lm(df)
+    merged = merge_bigram_lm(
+        [bigram_lm(df.filter(F.col("doc_id") % 2 == 0)),
+         bigram_lm(df.filter(F.col("doc_id") % 2 == 1))]
+    )
+    target = spark.createDataFrame(
+        [(100, "common tail w2 unseen pair")], "doc_id bigint, text string"
+    )
+    [a] = bigram_lm_scores(target, lm=whole).collect()
+    [b] = bigram_lm_scores(target, lm=merged).collect()
+    assert a.asDict() == b.asDict()
+    [va] = whole["v"].collect()
+    [vb] = merged["v"].collect()
+    assert va["v"] == vb["v"]
+
+
+def test_save_load_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, f"alpha w{i % 4} beta w{i % 3}") for i in range(40)],
+        "doc_id bigint, text string",
+    )
+    lm = bigram_lm(df)
+    save_bigram_lm(lm, str(tmp_path / "lm"))
+    loaded = load_bigram_lm(spark, str(tmp_path / "lm"))
+    target = spark.createDataFrame([(9, "alpha w1 beta w2")], "doc_id bigint, text string")
+    [a] = bigram_lm_scores(target, lm=lm).collect()
+    [b] = bigram_lm_scores(target, lm=loaded).collect()
+    assert a.asDict() == b.asDict()
+
+
+def test_merge_empty_raises(spark):
+    with pytest.raises(ValueError):
+        merge_bigram_lm([])
 
 
 def test_quantization_is_partitioning_independent(spark):
