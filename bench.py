@@ -107,6 +107,9 @@ HEADLINE = [
     "suite_bytes_verdicts",
     "text_normalize",
     "refint_bloom",
+    # round-5-final additions (same comparability note)
+    "lm_scores",
+    "shard_manifest",
 ]
 
 PAGES_N = int(os.environ.get("DCS_BENCH_PAGES_N", "500000"))

@@ -25,3 +25,16 @@ from data_check_spark.operators.components import (  # noqa: F401
     connected_components,
     duplicate_clusters,
 )
+from data_check_spark.operators.lm import (  # noqa: F401
+    bigram_lm,
+    bigram_lm_scores,
+    merge_bigram_lm,
+    save_bigram_lm,
+    load_bigram_lm,
+)
+from data_check_spark.operators.export import (  # noqa: F401
+    shard_id,
+    shard_manifest,
+    export_shards,
+    verify_export,
+)
