@@ -1989,6 +1989,29 @@ def _q_tdigest(spark, sf_dir):
 _FP_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate", "o_orderpriority"]
 
 
+# the self-trained CCNet LM: shared CTE prefix (tokenize → bigrams →
+# counts → vocabulary → per-bigram exact-integer quantized smoothed
+# probability) reused by lm_scores (per-doc scores) and
+# suite_lm_verdicts (the corpus fluency verdict row)
+_LM_SELF_SQL_CTES = r"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws FROM documents
+), b AS (
+  SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+      i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS p
+    FROM w WHERE len(ws) >= 2)
+), cbg AS (SELECT w1, w2, count(*) AS c_bg FROM b GROUP BY w1, w2),
+cw1 AS (SELECT w1, count(*) AS c_w1 FROM b GROUP BY w1),
+v AS (SELECT count(DISTINCT w2) AS v FROM b),
+q AS (
+  SELECT b.doc_id, cbg.c_bg,
+         CAST((2 * CAST(COALESCE(cbg.c_bg, 0) + 1 AS HUGEINT) * 1000000000
+               + (COALESCE(cw1.c_w1, 0) + v.v))
+              // (2 * (COALESCE(cw1.c_w1, 0) + v.v)) AS BIGINT) AS q
+  FROM b LEFT JOIN cbg USING (w1, w2) LEFT JOIN cw1 USING (w1) CROSS JOIN v
+)"""
+
 # the CCNet cross-trained LM oracle: train on the even half, score
 # the odd half. Shared verbatim by lm_scores_crosstrain AND
 # lm_scores_incremental — the incremental query trains two quarter-
@@ -2133,6 +2156,28 @@ def _q_lm_scores_incremental(spark, sf_dir):
     return bigram_lm_scores(d.filter(F.col("doc_id") % 2 == 1), lm=lm)
 
 
+def _q_suite_lm(spark, sf_dir):
+    """LMCheck through the declarative suite: the CCNet corpus
+    fluency gate — fraction of docs whose exact-integer-quantized
+    mean bigram probability falls outside [0.032, 1.0] must stay
+    under 0.4. GENUINE oracle: DuckDB re-trains the same whole-corpus
+    LM and re-derives the verdict row bit-for-bit (mean_p is
+    libm-free, so the only rounding is the shared round(ratio, 6)
+    convention). The band's low edge sits inside the observed mean_p
+    distribution so both verdict directions stay reachable as sf
+    changes — the oracle recomputes whatever the truth is."""
+    from data_check_spark.plans.suite import CheckSuite, LMCheck
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "part", (F.col("doc_id") % 4).cast("string")
+    )
+    res = CheckSuite(
+        [LMCheck(min_mean_p=0.032, max_mean_p=1.0, max_outlier_frac=0.4,
+                 dump_violations=False)]
+    ).run(spark, d, "part")
+    return res.verdicts
+
+
 def _q_shard_manifest(spark, sf_dir):
     """Deterministic shard-export manifest (operators/export.
     shard_manifest): md5-bucket shard assignment (the splits
@@ -2231,6 +2276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_scores": _q_lm_scores,
         "lm_scores_crosstrain": _q_lm_scores_crosstrain,
         "lm_scores_incremental": _q_lm_scores_incremental,
+        "suite_lm_verdicts": _q_suite_lm,
         "shard_manifest": _q_shard_manifest,
         "line_dedup_stats": _q_line_dedup_stats,
         "line_dedup_strip": _q_line_dedup_strip,
@@ -3211,24 +3257,7 @@ FROM g JOIN pg USING (h) GROUP BY doc_id""",
         # arithmetic (HALF_UP quantization by `div`, exact sums) so
         # DuckDB re-derives them bit-exactly — HUGEINT mirrors the
         # Spark side's decimal(38,0) overflow headroom
-        "lm_scores": r"""
-WITH w AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws FROM documents
-), b AS (
-  SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM (
-    SELECT doc_id, unnest(list_transform(range(1, len(ws)),
-      i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS p
-    FROM w WHERE len(ws) >= 2)
-), cbg AS (SELECT w1, w2, count(*) AS c_bg FROM b GROUP BY w1, w2),
-cw1 AS (SELECT w1, count(*) AS c_w1 FROM b GROUP BY w1),
-v AS (SELECT count(DISTINCT w2) AS v FROM b),
-q AS (
-  SELECT b.doc_id, cbg.c_bg,
-         CAST((2 * CAST(COALESCE(cbg.c_bg, 0) + 1 AS HUGEINT) * 1000000000
-               + (COALESCE(cw1.c_w1, 0) + v.v))
-              // (2 * (COALESCE(cw1.c_w1, 0) + v.v)) AS BIGINT) AS q
-  FROM b LEFT JOIN cbg USING (w1, w2) LEFT JOIN cw1 USING (w1) CROSS JOIN v
-)
+        "lm_scores": _LM_SELF_SQL_CTES + r"""
 SELECT doc_id,
        count(*) AS n_bigrams,
        count(*) FILTER (WHERE c_bg IS NULL) AS n_unseen,
@@ -3239,6 +3268,23 @@ FROM q GROUP BY doc_id""",
         # merged shard-trained counts == whole-even-corpus counts, so
         # the incremental query shares the crosstrain oracle verbatim
         "lm_scores_incremental": _LM_CROSSTRAIN_SQL,
+        # LMCheck verdict twin: the same self-trained CTEs reduced to
+        # the one '*' verdict row the suite emits
+        "suite_lm_verdicts": _LM_SELF_SQL_CTES + r""",
+s AS (
+  SELECT doc_id,
+         CAST((2 * sum(q) + count(*)) // (2 * count(*)) AS DOUBLE) / 1000000000 AS mean_p
+  FROM q GROUP BY doc_id
+), agg AS (
+  SELECT count(*) FILTER (WHERE mean_p < 0.032 OR mean_p > 1.0) AS d,
+         count(*) AS t
+  FROM s
+)
+SELECT '*' AS "partition", 'text' AS "column", 'lm_outlier_frac' AS "check",
+       round(d * 1.0 / nullif(t, 0), 6) AS metric,
+       0.4 AS threshold,
+       coalesce(round(d * 1.0 / nullif(t, 0), 6) <= 0.4, FALSE) AS passed
+FROM agg""",
         # shard-export manifest twin: md5-bucket shard ids (the
         # train_split md5 convention) + the partition_fingerprint
         # lane machinery, re-derived per shard

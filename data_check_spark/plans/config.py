@@ -52,6 +52,7 @@ from data_check_spark.plans.suite import (
     KSDigestDriftCheck,
     KSDriftCheck,
     LineDupCheck,
+    LMCheck,
     NearDupCheck,
     NumericDriftCheck,
     ProfileCheck,
@@ -75,6 +76,7 @@ _KINDS = {
     "repetition": RepetitionCheck,
     "neardup": NearDupCheck,
     "linedup": LineDupCheck,
+    "lm": LMCheck,
     "expr": ExprCheck,
     "schema": SchemaCheck,
     "fingerprint": FingerprintCheck,

@@ -373,6 +373,40 @@ class LineDupCheck:
 
 
 @dataclass
+class LMCheck:
+    """CCNet-style corpus fluency gate (operators/lm): self-trained
+    add-one bigram LM, each document scored by its mean smoothed
+    p(w2|w1) (``mean_p``, the exact-integer-quantized score). Verdict
+    metric = the fraction of scored documents whose mean_p falls
+    OUTSIDE [min_mean_p, max_mean_p] — below the band is the
+    surprising/garbled tail, above it the boilerplate head; passes
+    while metric <= max_outlier_frac.
+
+    GLOBAL (one verdict row, partition '*'): the LM is trained on the
+    whole corpus, so ``run_resumable`` runs it over the UNFILTERED
+    table like NearDupCheck/LineDupCheck — a resumed run reports the
+    same verdict as an uninterrupted one. Documents with < 2 tokens
+    are not scored (and not counted) — gate emptiness separately with
+    a StatsCheck/ExprCheck.
+
+    Deterministic: mean_p never touches libm (operators/lm module
+    doc), so the metric is bit-identical at any parallelism and the
+    verdict row is oracle-comparable (query ``suite_lm_verdicts``).
+
+    ``dump_violations`` emits key ``lm:{text_col}``: the out-of-band
+    documents (id, n_bigrams, n_unseen, n_rare, mean_p), most
+    anomalous first (distance from the band), capped at
+    violation_limit."""
+    text_col: str = "text"
+    id_col: str = "doc_id"
+    min_mean_p: float = 0.0
+    max_mean_p: float = 1.0
+    max_outlier_frac: float = 0.05
+    dump_violations: bool = True
+    violation_limit: int = 500
+
+
+@dataclass
 class ExprCheck:
     """Deequ-style declarative row-predicate gate (VERDICT r4 #3):
     assert an arbitrary boolean SQL expression holds for (almost)
@@ -734,6 +768,14 @@ class CheckSuite:
             dup = sorted({c for c in ld_cols if ld_cols.count(c) > 1})
             raise ValueError(
                 f"linedup checks must target distinct columns (verdicts and "
+                f"violations are keyed by text_col): duplicates {dup}"
+            )
+
+        lm_cols = [c.text_col for c in self.checks if isinstance(c, LMCheck)]
+        if len(set(lm_cols)) != len(lm_cols):
+            dup = sorted({c for c in lm_cols if lm_cols.count(c) > 1})
+            raise ValueError(
+                f"lm checks must target distinct columns (verdicts and "
                 f"violations are keyed by text_col): duplicates {dup}"
             )
 
@@ -1589,6 +1631,44 @@ class CheckSuite:
                         .orderBy("component", "id")
                         .limit(chk.violation_limit)
                     )
+            elif isinstance(chk, LMCheck):
+                from data_check_spark.operators.lm import bigram_lm_scores
+
+                scores = bigram_lm_scores(
+                    df.select(chk.id_col, chk.text_col),
+                    id_col=chk.id_col,
+                    text_col=chk.text_col,
+                )
+                outside = (F.col("mean_p") < chk.min_mean_p) | (
+                    F.col("mean_p") > chk.max_mean_p
+                )
+                sums = scores.agg(
+                    F.count_if(outside).alias("_d"), F.count(F.lit(1)).alias("_t")
+                )
+                m = F.round(F.try_divide(F.col("_d"), F.col("_t")), 6)
+                verdict_frames.append(
+                    sums.select(
+                        F.lit("*").alias("partition"),
+                        F.lit(chk.text_col).alias("column"),
+                        F.lit("lm_outlier_frac").alias("check"),
+                        m.alias("metric"),
+                        F.lit(float(chk.max_outlier_frac)).alias("threshold"),
+                        # NULL metric (no scorable docs) fails closed
+                        F.coalesce(
+                            m <= chk.max_outlier_frac, F.lit(False)
+                        ).alias("passed"),
+                    )
+                )
+                if chk.dump_violations:
+                    dist = F.greatest(
+                        F.lit(chk.min_mean_p) - F.col("mean_p"),
+                        F.col("mean_p") - F.lit(chk.max_mean_p),
+                    )
+                    violations[f"lm:{chk.text_col}"] = (
+                        scores.filter(outside)
+                        .orderBy(F.desc(dist), F.col(chk.id_col))
+                        .limit(chk.violation_limit)
+                    )
             elif isinstance(chk, LineDupCheck):
                 from data_check_spark.operators.linededup import line_duplicate_stats
 
@@ -1721,6 +1801,7 @@ class CheckSuite:
             CompareCheck,
             NearDupCheck,
             LineDupCheck,
+            LMCheck,
             ProfileCheck,
         )
         drift_checks = [c for c in self.checks if isinstance(c, _GLOBAL)]
