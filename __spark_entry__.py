@@ -2156,6 +2156,27 @@ def _q_lm_scores_incremental(spark, sf_dir):
     return bigram_lm_scores(d.filter(F.col("doc_id") % 2 == 1), lm=lm)
 
 
+def _q_source_mix(spark, sf_dir):
+    """Training-mix construction (operators/mixing.source_mix):
+    sources src0/src1/src2 reweighted 5:3:2 with up to 3 epochs of
+    repetition — the binding source (src0) runs 3 full epochs, the
+    others land fractional rates (1.8, 1.2) realized as md5-bucket
+    decisions. GENUINE oracle: DuckDB re-derives the availability
+    counts, the mix plan (same HALF_UP expression structure — integer
+    weights make the normalization exact in both engines), and every
+    per-(row, epoch) keep decision; sum(doc_id) witnesses membership,
+    not just counts."""
+    from data_check_spark.operators.mixing import source_mix
+
+    d = _t(spark, sf_dir, "documents")
+    out = source_mix(
+        d, "doc_id", "source", {"src0": 5, "src1": 3, "src2": 2}, max_epochs=3.0
+    )
+    return out.groupBy("source", "epoch").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("doc_id").alias("id_sum")
+    )
+
+
 def _q_suite_lm(spark, sf_dir):
     """LMCheck through the declarative suite: the CCNet corpus
     fluency gate — fraction of docs whose exact-integer-quantized
@@ -2277,6 +2298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_scores_crosstrain": _q_lm_scores_crosstrain,
         "lm_scores_incremental": _q_lm_scores_incremental,
         "suite_lm_verdicts": _q_suite_lm,
+        "source_mix": _q_source_mix,
         "shard_manifest": _q_shard_manifest,
         "line_dedup_stats": _q_line_dedup_stats,
         "line_dedup_strip": _q_line_dedup_strip,
@@ -3268,6 +3290,31 @@ FROM q GROUP BY doc_id""",
         # merged shard-trained counts == whole-even-corpus counts, so
         # the incremental query shares the crosstrain oracle verbatim
         "lm_scores_incremental": _LM_CROSSTRAIN_SQL,
+        # training-mix twin: DuckDB re-derives availability, the
+        # HALF_UP-quantized plan (identical expression structure to
+        # mixing.mix_plan), and each (row, epoch) md5-bucket decision
+        "source_mix": r"""
+WITH avail AS (
+  SELECT source, count(*) AS n FROM documents GROUP BY source
+), w(source, wn) AS (VALUES ('src0', 5), ('src1', 3), ('src2', 2)),
+t AS (
+  SELECT min(a.n * 3.0 / (w.wn / 10.0)) AS t
+  FROM avail a JOIN w ON a.source = w.source
+), plan AS (
+  SELECT a.source,
+         CAST(floor(t.t * (w.wn / 10.0) / a.n * 256 + 0.5) AS BIGINT) AS q
+  FROM avail a JOIN w ON a.source = w.source CROSS JOIN t
+), p2 AS (SELECT source, q // 256 AS nf, q % 256 AS bd FROM plan),
+j AS (
+  SELECT d.doc_id, d.source, p2.nf, p2.bd,
+         CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || ':dcs-mix'), 1, 2)) AS BIGINT) AS bkt
+  FROM documents d JOIN p2 ON d.source = p2.source
+), e AS (
+  SELECT doc_id, source, nf, bd, bkt, unnest(range(0, nf + 1)) AS epoch FROM j
+)
+SELECT source, epoch, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM e WHERE epoch < nf OR bkt < bd
+GROUP BY source, epoch""",
         # LMCheck verdict twin: the same self-trained CTEs reduced to
         # the one '*' verdict row the suite emits
         "suite_lm_verdicts": _LM_SELF_SQL_CTES + r""",

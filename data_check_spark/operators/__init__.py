@@ -38,3 +38,8 @@ from data_check_spark.operators.export import (  # noqa: F401
     export_shards,
     verify_export,
 )
+from data_check_spark.operators.mixing import (  # noqa: F401
+    mix_plan,
+    apply_mix,
+    source_mix,
+)
