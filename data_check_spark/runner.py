@@ -290,6 +290,58 @@ def main(argv: list[str] | None = None) -> int:
         "(default 0.8)",
     )
     ap.add_argument(
+        "--mix-out",
+        default=None,
+        metavar="DIR",
+        help="also build the training mix and write it to DIR/corpus "
+        "(with an epoch column): sources reweighted to --mix-weights "
+        "proportions with up to --mix-epochs repetitions "
+        "(operators/mixing — deterministic md5-bucket decisions, "
+        "re-run stable). Input is the post-dedup corpus when "
+        "--dedup-out ran, else the raw input",
+    )
+    ap.add_argument(
+        "--mix-weights",
+        default=None,
+        metavar="JSON",
+        help='target proportions for --mix-out, e.g. \'{"en": 5, '
+        '"de": 3, "fr": 2}\' keyed by --mix-by values; integer '
+        "weights keep the plan math engine-exact",
+    )
+    ap.add_argument(
+        "--mix-by",
+        default="lang",
+        metavar="COL",
+        help="source column for --mix-out (default lang: language-mix "
+        "targets)",
+    )
+    ap.add_argument(
+        "--mix-epochs",
+        type=float,
+        default=1.0,
+        metavar="F",
+        help="max repetition factor for --mix-out (default 1.0 = "
+        "downsample only)",
+    )
+    ap.add_argument(
+        "--shard-out",
+        default=None,
+        metavar="DIR",
+        help="also export the final corpus (mixed > deduped > raw, "
+        "whichever ran last) as DIR/shard=K/ parquet with "
+        "deterministic md5-bucket shard assignment keyed by url, "
+        "plus the per-shard fingerprint manifest at DIR/_manifest; "
+        "the written files are re-read and re-fingerprinted — the "
+        "export is proven on disk (operators/export)",
+    )
+    ap.add_argument(
+        "--shards",
+        type=int,
+        default=16,
+        metavar="N",
+        help="shard count for --shard-out (default 16)",
+    )
+    ap.add_argument(
         "--anomaly-gate",
         type=float,
         default=None,
@@ -456,6 +508,44 @@ def main(argv: list[str] | None = None) -> int:
             f"dedup: kept {n_kept}/{n_in} row(s) "
             f"({n_in - n_kept} near-dup non-exemplars dropped) "
             f"to {args.dedup_out}/corpus"
+        )
+    # corpus-construction stages chain: raw -> (deduped) -> (mixed) ->
+    # (sharded); each stage reads the previous stage's WRITTEN output
+    # so a stage failure never ships a half-built successor
+    corpus_path = f"{args.dedup_out}/corpus" if args.dedup_out else None
+    if args.mix_out:
+        import json as _json
+
+        from data_check_spark.operators.mixing import source_mix
+
+        if not args.mix_weights:
+            raise SystemExit("--mix-out requires --mix-weights")
+        weights = _json.loads(args.mix_weights)
+        src_df = spark.read.parquet(corpus_path) if corpus_path else df
+        mixed = source_mix(
+            src_df, "url", args.mix_by, weights, max_epochs=args.mix_epochs
+        )
+        mixed.write.mode("overwrite").parquet(f"{args.mix_out}/corpus")
+        n_src, n_mix = src_df.count(), (
+            spark.read.parquet(f"{args.mix_out}/corpus").count()
+        )
+        print(
+            f"mix: {n_mix} row(s) from {n_src} "
+            f"({args.mix_by} reweighted to {weights}, "
+            f"max_epochs={args.mix_epochs}) to {args.mix_out}/corpus"
+        )
+        corpus_path = f"{args.mix_out}/corpus"
+    if args.shard_out:
+        from data_check_spark.operators.export import export_shards
+
+        src_df = spark.read.parquet(corpus_path) if corpus_path else df
+        manifest_df = export_shards(
+            src_df, args.shard_out, "url", args.shards, mode="overwrite"
+        )
+        n_rows = sum(r["n_rows"] for r in manifest_df.collect())
+        print(
+            f"shards: {n_rows} row(s) across {args.shards} shard(s) "
+            f"to {args.shard_out} (manifest verified on disk)"
         )
     failed = result.verdicts.filter(~F.col("passed")).count()
     total = result.verdicts.count()

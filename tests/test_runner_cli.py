@@ -131,6 +131,41 @@ def test_runner_dedup_out(spark, tmp_path):
     }
 
 
+def test_runner_mix_and_shard_out(spark, tmp_path):
+    """--mix-out + --shard-out chain the corpus-construction stages:
+    the mix reads the raw input (no --dedup-out here), reweights lang
+    proportions with repetition (fi/el are the synth corpus's two most
+    common languages), and the shard export writes a
+    verified manifest over the MIXED corpus."""
+    out = str(tmp_path / "run_mix")
+    rc = main([
+        "--synthesize", "1500",
+        "--out", out,
+        "--partitions", "4",
+        "--mix-out", f"{out}/mix",
+        "--mix-weights", '{"fi": 2, "el": 1}',
+        "--mix-epochs", "2.0",
+        "--shard-out", f"{out}/shards",
+        "--shards", "4",
+    ])
+    assert rc in (0, 1)  # suite verdicts decide the exit code
+    mixed = spark.read.parquet(f"{out}/mix/corpus")
+    langs = {r["lang"] for r in mixed.select("lang").distinct().collect()}
+    assert langs == {"fi", "el"}  # unweighted languages dropped
+    assert "epoch" in mixed.columns
+    # binding source repeats: some rows carry epoch 1
+    assert mixed.filter(F.col("epoch") == 1).count() > 0
+    # ~2:1 proportions (each source within one 1/256-quantum per row)
+    n_hi = mixed.filter(F.col("lang") == "fi").count()
+    n_lo = mixed.filter(F.col("lang") == "el").count()
+    assert 1.6 < n_hi / n_lo < 2.4
+    # shards: verified manifest + partition dirs over the mixed corpus
+    man = spark.read.parquet(f"{out}/shards/_manifest")
+    assert man.count() == 4
+    back = spark.read.parquet(f"{out}/shards")
+    assert back.count() == mixed.count()
+
+
 def test_runner_extract_check(spark, tmp_path):
     """--extract-check wires the html→text extraction invariant
     (functions/html) into the default suite as an ExprCheck: the
