@@ -45,6 +45,13 @@ shuffle otherwise, same policy as ReferentialCheck). Token strings
 can be replaced by xxhash64((w1,w2)) join keys at extreme scale (the
 crossdoc_ngram option); kept as strings here so the DuckDB oracle
 re-derives every value.
+
+Doc-id width dominates the bigram frame (O(tokens) rows each
+carrying the id): keying by a ~36-char url string instead of an
+8-byte int64 triples the checkpoint footprint — measured at 1M docs
+× ~134 tokens, the url-keyed run OOMs a 32 GB single-JVM heap while
+the xxhash64(url)-keyed run fits (scripts/ab_lm.py). At production
+scale map urls to int64 ids before scoring and join the scores back.
 """
 
 from __future__ import annotations
