@@ -329,6 +329,26 @@ def kmeans_centroids(
     return c
 
 
+def centroids_to_df(spark, centroids: np.ndarray) -> DataFrame:
+    """Persistable form of a trained coarse quantizer: one row per
+    cell (cell int, centroid array<double>). Write it as parquet next
+    to the audit tables and the IVF index is FROZEN — later query
+    batches (or another engine) reuse the identical cells without
+    retraining, the same lifecycle as the LM count store and the
+    bloom filter's persisted form."""
+    return spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    )
+
+
+def centroids_from_df(df: DataFrame) -> np.ndarray:
+    rows = df.orderBy("cell").collect()
+    if [r["cell"] for r in rows] != list(range(len(rows))):
+        raise ValueError("centroid frame must carry cells 0..n-1 exactly once")
+    return np.asarray([r["centroid"] for r in rows], dtype=np.float64)
+
+
 def _cell_udfs(centroids: np.ndarray, n_probe: int):
     """(assign_udf, probe_udf): nearest cell per vector / n_probe
     nearest cells per query — one matmul per Arrow batch each."""
@@ -365,6 +385,7 @@ def ivf_topk(
     round_to: int = 6,
     max_sample: int = 20_000,
     sample_mod: int | None | str = "auto",
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF approximate top-k → (query_id, neighbor_id, cosine, rank).
     Candidates = vectors whose cell is among the query's n_probe
@@ -374,10 +395,19 @@ def ivf_topk(
     copy of a query is always a candidate (recall 1.0 on planted
     copies — the driver contract). NULL vectors are filtered on both
     sides — they cannot be assigned a cell (a single NULL makes the
-    Arrow batch a ragged object array and fails the stage)."""
-    cents = kmeans_centroids(
-        embeddings, dim, n_centroids, id_col, vec_col, max_sample,
-        sample_mod=sample_mod,
+    Arrow batch a ragged object array and fails the stage).
+
+    Pass ``centroids`` (from a stored frame via centroids_from_df) to
+    reuse a FROZEN quantizer instead of retraining — train once per
+    corpus version, serve every later query batch from the stored
+    index; ``n_centroids`` is then taken from the matrix."""
+    cents = (
+        centroids
+        if centroids is not None
+        else kmeans_centroids(
+            embeddings, dim, n_centroids, id_col, vec_col, max_sample,
+            sample_mod=sample_mod,
+        )
     )
     assign_cell, probe_cells = _cell_udfs(cents, n_probe)
     c = embeddings.filter(F.col(vec_col).isNotNull()).select(

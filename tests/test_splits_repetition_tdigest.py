@@ -626,3 +626,44 @@ def test_budget_cut_null_weight_counts_zero(spark):
 
     with _p.raises(ValueError):
         budget_cut(df, -1, F.col("w"), "doc_id")
+
+
+def test_ivf_frozen_centroids_roundtrip(spark, tmp_path):
+    """The IVF freeze lifecycle: train once, persist the quantizer as
+    parquet (centroids_to_df), reload (centroids_from_df), and serve
+    ivf_topk from the stored index — results identical to the
+    self-trained run (training is deterministic, so frozen == fresh),
+    with NO retraining job. A malformed stored frame is rejected."""
+    import pytest as _pytest
+
+    from data_check_spark.operators.similarity import (
+        centroids_from_df,
+        centroids_to_df,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    rng = np.random.RandomState(11)
+    x = _clustered_vectors(rng, 600, 8, 6)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(len(x))],
+        "vec_id long, embedding array<float>",
+    ).repartition(4)
+    q = df.filter("vec_id < 6")
+
+    cents = kmeans_centroids(df, dim=8, n_centroids=8)
+    path = str(tmp_path / "ivf_index")
+    centroids_to_df(spark, cents).write.parquet(path)
+    loaded = centroids_from_df(spark.read.parquet(path))
+    assert np.allclose(loaded, cents)
+
+    fresh = [tuple(r) for r in ivf_topk(df, q, dim=8, k=3, n_centroids=8, n_probe=3).collect()]
+    frozen = [
+        tuple(r)
+        for r in ivf_topk(df, q, dim=8, k=3, n_probe=3, centroids=loaded).collect()
+    ]
+    assert fresh == frozen and len(frozen) > 0
+
+    bad = centroids_to_df(spark, cents).filter("cell <> 3")
+    with _pytest.raises(ValueError, match="0..n-1"):
+        centroids_from_df(bad)
