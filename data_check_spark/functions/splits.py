@@ -26,6 +26,16 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def key_md5(key: Column, salt: str) -> Column:
+    """THE engine-portable key-hashing convention every deterministic
+    row decision derives from — splits, stratified sampling, training
+    mix (operators/mixing), shard export (operators/export):
+    ``md5(key ':' salt)`` over the binary-cast string concat. DuckDB
+    twin: ``md5(CAST(k AS VARCHAR) || ':salt')``. One definition so
+    the convention the oracles re-derive cannot drift per operator."""
+    return F.md5(F.concat(key.cast("string"), F.lit(":" + salt)).cast("binary"))
+
+
 def split_thresholds(fractions: dict[str, float]) -> list[tuple[str, str]]:
     """[(label, upper-bound 2-hex-char string)] with cumulative
     quantized bounds; last label absorbs the remainder."""
@@ -46,7 +56,7 @@ def split_label(key: Column, fractions: dict[str, float], salt: str = "dcs") -> 
     """Split-label column from a row key: md5-bucketed, quantized to
     1/256. Rows past the last cumulative bound get NULL (holdout) —
     with fractions summing to 1.0 every row is labeled."""
-    bucket = F.substring(F.md5(F.concat(key.cast("string"), F.lit(":" + salt)).cast("binary")), 1, 2)
+    bucket = F.substring(key_md5(key, salt), 1, 2)
     expr = F.lit(None).cast("string")
     for label, bound in reversed(split_thresholds(fractions)):
         expr = F.when(bucket < F.lit(bound), F.lit(label)).otherwise(expr)
@@ -89,11 +99,7 @@ def stratified_sample(
     for s, r in {**rates, "<default>": default_rate}.items():
         if r < 0:
             raise ValueError(f"negative rate for stratum {s!r}")
-    bucket = F.substring(
-        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(":" + salt)).cast("binary")),
-        1,
-        2,
-    )
+    bucket = F.substring(key_md5(F.col(key_col), salt), 1, 2)
 
     def bound(rate: float) -> str:
         b = min(256, round(rate * 256))

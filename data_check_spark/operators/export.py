@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from data_check_spark.functions.splits import key_md5
 from data_check_spark.operators.fingerprint import lane_sum_aggs, row_hash
 
 
@@ -44,9 +45,9 @@ def shard_id(key: Column, num_shards: int, salt: str = "dcs-shard") -> Column:
     is a primary key)."""
     if num_shards < 1:
         raise ValueError(f"num_shards must be >= 1, got {num_shards}")
-    h = F.md5(F.concat(key.cast("string"), F.lit(":" + salt)).cast("binary"))
     return F.pmod(
-        F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint"), F.lit(num_shards)
+        F.conv(F.substring(key_md5(key, salt), 1, 15), 16, 10).cast("bigint"),
+        F.lit(num_shards),
     ).cast("int")
 
 
@@ -97,14 +98,41 @@ def export_shards(
     a downstream reader runs the same check (shard_manifest over the
     read-back frame vs the stored _manifest is a two-line audit).
     """
+    if "shard" in df.columns:
+        raise ValueError(
+            "input already has a 'shard' column — export_shards emits its "
+            "own shard assignment and partitionBy('shard') would silently "
+            "replace the existing values; rename or drop it first"
+        )
+    if mode == "append":
+        raise ValueError(
+            "mode='append' would desync the manifest: the stored _manifest "
+            "describes ONE export, while appended files accumulate — the "
+            "reader-side audit would then always fail. Export increments to "
+            "separate directories (or re-export the union)"
+        )
     cols = cols or df.columns
-    manifest = shard_manifest(df, key_col, num_shards, cols, salt)
+    spark = df.sparkSession
+    # ONE manifest scan: collect the <= num_shards rows and rebuild a
+    # tiny local frame, so verification, the stored _manifest and the
+    # returned frame are all the SAME computed values (a lazy manifest
+    # would re-scan the source per use — three full scans at 10^12
+    # docs — and could store a manifest verification never saw)
+    lazy = shard_manifest(df, key_col, num_shards, cols, salt)
+    rows = lazy.collect()
+    if any(r["shard"] is None for r in rows):
+        raise ValueError(
+            f"NULL {key_col!r} keys in the export input: a NULL key has no "
+            f"shard (see shard_id) — gate the key with NotNullCheck/"
+            f"UniqueCheck upstream"
+        )
+    manifest = spark.createDataFrame(rows, lazy.schema)
     sharded = df.withColumn("shard", shard_id(F.col(key_col), num_shards, salt))
     sharded.repartition(num_shards, F.col("shard")).write.partitionBy("shard").mode(
         mode
     ).parquet(out_dir)
     if verify:
-        verify_export(df.sparkSession, out_dir, manifest, cols)
+        verify_export(spark, out_dir, manifest, cols)
     manifest.write.mode("overwrite").parquet(out_dir.rstrip("/") + "/_manifest")
     return manifest
 

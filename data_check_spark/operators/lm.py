@@ -92,6 +92,16 @@ def bigram_frame(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     )
 
 
+def _lm_from_frame(b: DataFrame) -> dict[str, DataFrame]:
+    """The model definition, in ONE place (self-training in
+    bigram_lm_scores shares it, so the two paths cannot drift)."""
+    return {
+        "c_bg": b.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bg")),
+        "c_w1": b.groupBy("w1").agg(F.count(F.lit(1)).alias("c_w1")),
+        "v": b.agg(F.count_distinct("w2").alias("v")),
+    }
+
+
 def bigram_lm(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", checkpoint: bool = True
 ) -> dict[str, DataFrame]:
@@ -102,11 +112,7 @@ def bigram_lm(
     b = bigram_frame(df, id_col, text_col)
     if checkpoint:
         b = b.localCheckpoint(eager=False)
-    return {
-        "c_bg": b.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bg")),
-        "c_w1": b.groupBy("w1").agg(F.count(F.lit(1)).alias("c_w1")),
-        "v": b.agg(F.count_distinct("w2").alias("v")),
-    }
+    return _lm_from_frame(b)
 
 
 def merge_bigram_lm(lms: list[dict[str, DataFrame]]) -> dict[str, DataFrame]:
@@ -177,12 +183,10 @@ def bigram_lm_scores(
                    (keep them OUT of hash-compared outputs).
     """
     if lm is None:
+        # checkpoint unconditionally: self-training reads the frame
+        # four times (three model aggs + the scoring join)
         b = bigram_frame(df, id_col, text_col).localCheckpoint(eager=False)
-        lm = {
-            "c_bg": b.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bg")),
-            "c_w1": b.groupBy("w1").agg(F.count(F.lit(1)).alias("c_w1")),
-            "v": b.agg(F.count_distinct("w2").alias("v")),
-        }
+        lm = _lm_from_frame(b)
     else:
         b = bigram_frame(df, id_col, text_col)
 

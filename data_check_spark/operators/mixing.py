@@ -42,6 +42,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from data_check_spark.functions.splits import key_md5
+
 
 def mix_plan(
     avail: dict[str, int],
@@ -57,15 +59,24 @@ def mix_plan(
     1/256-quantum per source of the ideal T·w_s."""
     if max_epochs < 1.0:
         raise ValueError(f"max_epochs must be >= 1.0, got {max_epochs}")
+    negative = [s for s, w in weights.items() if w < 0]
+    if negative:
+        raise ValueError(f"negative weights for sources: {negative}")
     wsum = sum(weights.values())
     if not weights or wsum <= 0:
         raise ValueError("weights must be non-empty with positive sum")
-    missing = [s for s in weights if avail.get(s, 0) <= 0]
+    # zero-weight sources are a legal "document the exclusion" idiom:
+    # their plan is (0, 0) regardless of availability, so only
+    # positively-weighted sources need rows
+    missing = [s for s, w in weights.items() if w > 0 and avail.get(s, 0) <= 0]
     if missing:
         raise ValueError(f"weighted sources with no available rows: {missing}")
     t = min(avail[s] * max_epochs / (w / wsum) for s, w in weights.items() if w > 0)
     plan: dict[str, tuple[int, int]] = {}
     for s, w in weights.items():
+        if w <= 0:  # documented exclusion: emits nothing
+            plan[s] = (0, 0)
+            continue
         rate = t * (w / wsum) / avail[s]  # <= max_epochs by construction
         # HALF_UP (floor(x+0.5)), not Python's banker's round — an SQL
         # twin re-deriving the plan computes the identical q as long
@@ -87,7 +98,17 @@ def apply_mix(
     column plus ``epoch`` (0-based copy index). Map-only — explode to
     n_full+1 candidates, keep candidate c when c < n_full, and the
     fractional candidate c == n_full when the row's md5 bucket clears
-    the source's bound. Sources absent from the plan emit nothing."""
+    the source's bound. Sources absent from the plan emit nothing.
+    Rejects inputs already carrying an ``epoch`` (or temporary)
+    column — the output column would silently shadow it."""
+    for c in ("epoch", "_nf", "_bd"):
+        if c in df.columns:
+            raise ValueError(
+                f"input already has a {c!r} column — apply_mix emits "
+                f"'epoch' (and uses _nf/_bd internally); rename or drop "
+                f"it first (re-mixing a mixed corpus compounds rates: "
+                f"drop the old epoch and re-plan from the raw sources)"
+            )
     nf = F.lit(None).cast("int")
     bd = F.lit(None).cast("int")
     for s, (n_full, bound) in plan.items():
@@ -95,17 +116,7 @@ def apply_mix(
         nf = F.when(cond, F.lit(n_full)).otherwise(nf)
         bd = F.when(cond, F.lit(bound)).otherwise(bd)
     bucket = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.col(key_col).cast("string"), F.lit(":" + salt)
-                ).cast("binary")
-            ),
-            1,
-            2,
-        ),
-        16,
-        10,
+        F.substring(key_md5(F.col(key_col), salt), 1, 2), 16, 10
     ).cast("int")
     return (
         df.withColumn("_nf", nf)

@@ -97,3 +97,33 @@ def test_manifest_matches_per_shard_recount(spark):
 def test_bad_num_shards(spark):
     with pytest.raises(ValueError):
         shard_id(F.col("x"), 0)
+
+
+def test_export_guards(spark, tmp_path):
+    # pre-existing shard column would be silently destroyed -> reject
+    clash = _docs(spark).withColumn("shard", F.lit(7))
+    with pytest.raises(ValueError, match="'shard' column"):
+        export_shards(clash, str(tmp_path / "a"), "doc_id", 4)
+    # append would desync the stored manifest -> reject
+    with pytest.raises(ValueError, match="append"):
+        export_shards(_docs(spark), str(tmp_path / "b"), "doc_id", 4, mode="append")
+    # NULL keys have no shard -> named error, not a false corruption report
+    nulls = spark.createDataFrame(
+        [(None, "x"), (1, "y")], "doc_id bigint, text string"
+    )
+    with pytest.raises(ValueError, match="NULL 'doc_id' keys"):
+        export_shards(nulls, str(tmp_path / "c"), "doc_id", 4)
+
+
+def test_manifest_computed_once(spark, tmp_path):
+    """The returned/stored manifest is a tiny local frame — using it
+    (collect + write + verify) must not re-scan the source."""
+    out = str(tmp_path / "shards")
+    df = _docs(spark)
+    manifest = export_shards(df, out, "doc_id", 4)
+    plan = manifest._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in plan or "ExistingRDD" in plan
+    stored = spark.read.parquet(out + "/_manifest")
+    assert sorted(map(tuple, stored.collect())) == sorted(
+        map(tuple, manifest.collect())
+    )

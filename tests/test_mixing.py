@@ -60,6 +60,22 @@ def test_mix_plan_errors():
         mix_plan({"a": 10}, {"a": 1}, max_epochs=0.5)
     with pytest.raises(ValueError, match="weights"):
         mix_plan({"a": 10}, {})
+    # negative weights rejected outright (a negative rate would emit
+    # epoch -1 rows through sequence(0, -1))
+    with pytest.raises(ValueError, match="negative weights"):
+        mix_plan({"a": 100, "b": 100}, {"a": 1.0, "b": -0.5})
+    # weight 0 documents an exclusion: legal even with no rows, plan
+    # emits nothing for it
+    plan = mix_plan({"a": 10}, {"a": 1, "excluded": 0})
+    assert plan["excluded"] == (0, 0)
+
+
+def test_apply_mix_rejects_epoch_collision(spark):
+    df = spark.createDataFrame(
+        [(1, "src0", 0)], "doc_id bigint, source string, epoch int"
+    )
+    with pytest.raises(ValueError, match="'epoch' column"):
+        apply_mix(df, "doc_id", "source", {"src0": (1, 0)})
 
 
 def test_apply_matches_python_and_parallelism(spark):
