@@ -355,6 +355,25 @@ def main(argv: list[str] | None = None) -> int:
     )
     args = ap.parse_args(argv)
 
+    # fail flag typos BEFORE the (possibly hours-long) suite run, not
+    # after it: a truncated --mix-weights JSON must die at parse time
+    mix_weights = None
+    if args.mix_out:
+        if not args.mix_weights:
+            ap.error("--mix-out requires --mix-weights")
+        import json as _json
+
+        try:
+            mix_weights = _json.loads(args.mix_weights)
+        except ValueError as e:
+            ap.error(f"--mix-weights is not valid JSON: {e}")
+        if not isinstance(mix_weights, dict) or not all(
+            isinstance(v, (int, float)) for v in mix_weights.values()
+        ):
+            ap.error("--mix-weights must be a JSON object of numbers")
+        if args.mix_epochs < 1.0:
+            ap.error("--mix-epochs must be >= 1.0")
+
     spark = SparkSession.builder.appName("data-check-spark-runner").getOrCreate()
 
     if args.data:
@@ -429,10 +448,18 @@ def main(argv: list[str] | None = None) -> int:
         reference_df=ref,
         reference_profile=ref_profile,
     )
+    constructing = bool(
+        args.route_out or args.dedup_out or args.mix_out or args.shard_out
+    )
     if result is None:
         print("nothing pending — all partitions complete per manifest")
-        return 2
-    if args.drift_from_audit and ref_profile is None and ref is None:
+        if not constructing:
+            return 2
+        # the validation side is complete, but the user asked for
+        # corpus-construction outputs THIS run — produce them instead
+        # of silently skipping the export they requested
+        print("corpus-construction stages still run on the validated table")
+    if result is not None and args.drift_from_audit and ref_profile is None and ref is None:
         # version-1 bootstrap: persist this table's profile so the
         # NEXT version's --drift-from-audit run has a baseline (one
         # extra profile scan, paid once per table lifetime)
@@ -443,7 +470,7 @@ def main(argv: list[str] | None = None) -> int:
             boot, f"{args.out}/audit/drift_profiles", result.run_id, "drift_profile"
         )
         print("bootstrapped drift profile for the next version")
-    if args.suggest_to_audit:
+    if result is not None and args.suggest_to_audit:
         from data_check_spark.plans.suggest import (
             persist_suggestions,
             suggest_constraints,
@@ -452,6 +479,23 @@ def main(argv: list[str] | None = None) -> int:
         sugg = suggest_constraints(df, partition_col="warc_day")
         persist_suggestions(sugg, f"{args.out}/audit", result.run_id)
         print(f"suggestions persisted for run {result.run_id}")
+    # verdict tally up front: the construction stages below warn (not
+    # silently ship) when the suite they ran alongside FAILED
+    failed = (
+        result.verdicts.filter(~F.col("passed")).count() if result is not None else 0
+    )
+    # corpus-construction stages chain: raw -> (routed clean) ->
+    # (deduped) -> (mixed) -> (sharded); each stage reads the previous
+    # stage's WRITTEN output, so a stage failure never ships a
+    # half-built successor, and quarantined rows never reach the
+    # dedup/mix/shard outputs
+    corpus_path: str | None = None
+    if failed and (args.mix_out or args.shard_out):
+        print(
+            f"WARNING: {failed} suite verdict(s) FAILED — the mix/shard "
+            f"outputs below are built from a corpus the quality gates "
+            f"rejected; inspect {args.out}/audit before training on them"
+        )
     if args.route_out:
         from data_check_spark.operators.quarantine import (
             FDRule,
@@ -484,6 +528,7 @@ def main(argv: list[str] | None = None) -> int:
         n_q = quarantined.count()
         routed.unpersist()
         print(f"routed: {n_q} row(s) quarantined to {args.route_out}/quarantine")
+        corpus_path = f"{args.route_out}/clean"
     if args.dedup_out:
         from data_check_spark.operators.components import (
             duplicate_clusters,
@@ -496,42 +541,33 @@ def main(argv: list[str] | None = None) -> int:
         # (min url per component = keep the lexicographically first
         # crawl of the template); ids never leave 8 bytes... urls do,
         # but only for the clustered subset.
+        src = spark.read.parquet(corpus_path) if corpus_path else df
         pairs = minhash_lsh_pairs(
-            df.select(F.col("url").alias("doc_id"), "text"),
+            src.select(F.col("url").alias("doc_id"), "text"),
             jaccard_threshold=args.dedup_threshold,
         )
         clusters = duplicate_clusters(pairs)
-        kept = strip_duplicates(df, clusters, "url")
+        kept = strip_duplicates(src, clusters, "url")
         kept.write.mode("overwrite").parquet(f"{args.dedup_out}/corpus")
-        n_in, n_kept = df.count(), kept.count()
+        n_in, n_kept = src.count(), kept.count()
         print(
             f"dedup: kept {n_kept}/{n_in} row(s) "
             f"({n_in - n_kept} near-dup non-exemplars dropped) "
             f"to {args.dedup_out}/corpus"
         )
-    # corpus-construction stages chain: raw -> (deduped) -> (mixed) ->
-    # (sharded); each stage reads the previous stage's WRITTEN output
-    # so a stage failure never ships a half-built successor
-    corpus_path = f"{args.dedup_out}/corpus" if args.dedup_out else None
+        corpus_path = f"{args.dedup_out}/corpus"
     if args.mix_out:
-        import json as _json
-
         from data_check_spark.operators.mixing import source_mix
 
-        if not args.mix_weights:
-            raise SystemExit("--mix-out requires --mix-weights")
-        weights = _json.loads(args.mix_weights)
         src_df = spark.read.parquet(corpus_path) if corpus_path else df
         mixed = source_mix(
-            src_df, "url", args.mix_by, weights, max_epochs=args.mix_epochs
+            src_df, "url", args.mix_by, mix_weights, max_epochs=args.mix_epochs
         )
         mixed.write.mode("overwrite").parquet(f"{args.mix_out}/corpus")
-        n_src, n_mix = src_df.count(), (
-            spark.read.parquet(f"{args.mix_out}/corpus").count()
-        )
+        n_mix = spark.read.parquet(f"{args.mix_out}/corpus").count()
         print(
-            f"mix: {n_mix} row(s) from {n_src} "
-            f"({args.mix_by} reweighted to {weights}, "
+            f"mix: {n_mix} row(s) "
+            f"({args.mix_by} reweighted to {mix_weights}, "
             f"max_epochs={args.mix_epochs}) to {args.mix_out}/corpus"
         )
         corpus_path = f"{args.mix_out}/corpus"
@@ -547,7 +583,10 @@ def main(argv: list[str] | None = None) -> int:
             f"shards: {n_rows} row(s) across {args.shards} shard(s) "
             f"to {args.shard_out} (manifest verified on disk)"
         )
-    failed = result.verdicts.filter(~F.col("passed")).count()
+    if result is None:
+        # construction outputs are written; keep the nothing-pending
+        # exit code so resume loops still see a complete manifest
+        return 2
     total = result.verdicts.count()
     print(f"run_id={result.run_id} verdicts={total} failed={failed}")
     if args.anomaly_gate is not None:

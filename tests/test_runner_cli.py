@@ -166,6 +166,56 @@ def test_runner_mix_and_shard_out(spark, tmp_path):
     assert back.count() == mixed.count()
 
 
+def test_runner_mix_flag_validation(tmp_path):
+    """Flag typos die at argparse time, before any Spark job: missing
+    weights, malformed JSON, non-numeric weights, sub-1.0 epochs."""
+    base = ["--synthesize", "100", "--out", str(tmp_path / "o")]
+    for bad in (
+        ["--mix-out", str(tmp_path / "m")],  # no --mix-weights
+        ["--mix-out", str(tmp_path / "m"), "--mix-weights", '{"fi": 2'],
+        ["--mix-out", str(tmp_path / "m"), "--mix-weights", '{"fi": "x"}'],
+        ["--mix-out", str(tmp_path / "m"), "--mix-weights", '[1, 2]'],
+        ["--mix-out", str(tmp_path / "m"), "--mix-weights", '{"fi": 1}',
+         "--mix-epochs", "0.5"],
+    ):
+        with pytest.raises(SystemExit) as ei:
+            main(base + bad)
+        assert ei.value.code == 2  # argparse usage error, not a crash
+
+
+def test_runner_construction_after_complete_manifest(spark, tmp_path):
+    """A re-run over a complete manifest still produces the corpus
+    outputs the user asked for THIS run (rc stays 2 = nothing
+    pending), and the route->dedup chain feeds the dedup stage from
+    the routed clean corpus, not the raw table."""
+    out = str(tmp_path / "run")
+    assert main(["--synthesize", "800", "--out", out,
+                 "--partitions", "2"]) in (0, 1)
+    route = str(tmp_path / "routed")
+    dd = str(tmp_path / "dedup")
+    rc = main([
+        "--synthesize", "800",
+        "--out", out,
+        "--partitions", "2",
+        "--route-out", route,
+        "--dedup-out", dd,
+    ])
+    assert rc == 2  # manifest was complete; stages still ran
+    clean = spark.read.parquet(f"{route}/clean")
+    kept = spark.read.parquet(f"{dd}/corpus")
+    # chained: dedup output is a subset of the CLEAN corpus
+    clean_urls = {r["url"] for r in clean.select("url").collect()}
+    kept_urls = {r["url"] for r in kept.select("url").collect()}
+    assert kept_urls and kept_urls <= clean_urls
+    # quarantined rows (planted NULL text etc.) never reach the corpus
+    quarantined = {
+        r["url"]
+        for r in spark.read.parquet(f"{route}/quarantine")
+        .select("url").collect()
+    }
+    assert not (kept_urls & quarantined)
+
+
 def test_runner_extract_check(spark, tmp_path):
     """--extract-check wires the html→text extraction invariant
     (functions/html) into the default suite as an ExprCheck: the
