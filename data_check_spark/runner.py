@@ -279,7 +279,8 @@ def main(argv: list[str] | None = None) -> int:
         help="also run the full fuzzy-dedup lifecycle and write the "
         "post-dedup corpus to DIR/corpus: MinHash-LSH pairs -> "
         "connected-component clusters -> keep one exemplar (min url) "
-        "per cluster plus every unclustered row",
+        "per cluster plus every unclustered row. Input is the routed "
+        "clean corpus when --route-out ran, else the raw input",
     )
     ap.add_argument(
         "--dedup-threshold",
@@ -297,8 +298,8 @@ def main(argv: list[str] | None = None) -> int:
         "(with an epoch column): sources reweighted to --mix-weights "
         "proportions with up to --mix-epochs repetitions "
         "(operators/mixing — deterministic md5-bucket decisions, "
-        "re-run stable). Input is the post-dedup corpus when "
-        "--dedup-out ran, else the raw input",
+        "re-run stable). Input is the latest upstream stage's output "
+        "(deduped > routed clean > raw)",
     )
     ap.add_argument(
         "--mix-weights",
@@ -327,8 +328,8 @@ def main(argv: list[str] | None = None) -> int:
         "--shard-out",
         default=None,
         metavar="DIR",
-        help="also export the final corpus (mixed > deduped > raw, "
-        "whichever ran last) as DIR/shard=K/ parquet with "
+        help="also export the final corpus (mixed > deduped > routed "
+        "clean > raw, whichever ran last) as DIR/shard=K/ parquet with "
         "deterministic md5-bucket shard assignment keyed by url, "
         "plus the per-shard fingerprint manifest at DIR/_manifest; "
         "the written files are re-read and re-fingerprinted — the "
