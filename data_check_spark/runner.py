@@ -159,6 +159,20 @@ def default_pages_suite(
     return CheckSuite(checks)
 
 
+def _stage_complete(spark: SparkSession, *paths: str) -> bool:
+    """True iff every path carries Spark's _SUCCESS commit marker —
+    the stage's writes all finished. Goes through the Hadoop
+    FileSystem API so the check works on whatever filesystem the
+    output URI names (HDFS/S3A/local), same as the write itself."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    for path in paths:
+        p = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/_SUCCESS")
+        if not p.getFileSystem(conf).exists(p):
+            return False
+    return True
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--data", help="pages parquet path (else --synthesize)")
@@ -336,6 +350,17 @@ def main(argv: list[str] | None = None) -> int:
         "export is proven on disk (operators/export)",
     )
     ap.add_argument(
+        "--resume-stages",
+        action="store_true",
+        help="skip any construction stage whose output is already "
+        "complete on disk (Spark's _SUCCESS marker; for --shard-out, "
+        "the _manifest written AFTER the on-disk verification): a "
+        "failed shard export resumes without redoing the dedup that "
+        "preceded it — the construction-side twin of the manifest "
+        "resume the validation side already has. Off by default: a "
+        "plain re-run recomputes every requested stage",
+    )
+    ap.add_argument(
         "--shards",
         type=int,
         default=16,
@@ -497,7 +522,12 @@ def main(argv: list[str] | None = None) -> int:
             f"outputs below are built from a corpus the quality gates "
             f"rejected; inspect {args.out}/audit before training on them"
         )
-    if args.route_out:
+    if args.route_out and args.resume_stages and _stage_complete(
+        spark, f"{args.route_out}/clean", f"{args.route_out}/quarantine"
+    ):
+        print(f"routed: resumed from existing {args.route_out}")
+        corpus_path = f"{args.route_out}/clean"
+    elif args.route_out:
         from data_check_spark.operators.quarantine import (
             FDRule,
             NotNullRule,
@@ -530,7 +560,12 @@ def main(argv: list[str] | None = None) -> int:
         routed.unpersist()
         print(f"routed: {n_q} row(s) quarantined to {args.route_out}/quarantine")
         corpus_path = f"{args.route_out}/clean"
-    if args.dedup_out:
+    if args.dedup_out and args.resume_stages and _stage_complete(
+        spark, f"{args.dedup_out}/corpus"
+    ):
+        print(f"dedup: resumed from existing {args.dedup_out}/corpus")
+        corpus_path = f"{args.dedup_out}/corpus"
+    elif args.dedup_out:
         from data_check_spark.operators.components import (
             duplicate_clusters,
             strip_duplicates,
@@ -557,7 +592,12 @@ def main(argv: list[str] | None = None) -> int:
             f"to {args.dedup_out}/corpus"
         )
         corpus_path = f"{args.dedup_out}/corpus"
-    if args.mix_out:
+    if args.mix_out and args.resume_stages and _stage_complete(
+        spark, f"{args.mix_out}/corpus"
+    ):
+        print(f"mix: resumed from existing {args.mix_out}/corpus")
+        corpus_path = f"{args.mix_out}/corpus"
+    elif args.mix_out:
         from data_check_spark.operators.mixing import source_mix
 
         src_df = spark.read.parquet(corpus_path) if corpus_path else df
@@ -572,7 +612,13 @@ def main(argv: list[str] | None = None) -> int:
             f"max_epochs={args.mix_epochs}) to {args.mix_out}/corpus"
         )
         corpus_path = f"{args.mix_out}/corpus"
-    if args.shard_out:
+    if args.shard_out and args.resume_stages and _stage_complete(
+        spark, f"{args.shard_out}/_manifest"
+    ):
+        # the _manifest is written AFTER verify_export proves the
+        # shards on disk, so its marker certifies the whole export
+        print(f"shards: resumed from existing {args.shard_out}")
+    elif args.shard_out:
         from data_check_spark.operators.export import export_shards
 
         src_df = spark.read.parquet(corpus_path) if corpus_path else df

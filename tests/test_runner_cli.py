@@ -216,6 +216,38 @@ def test_runner_construction_after_complete_manifest(spark, tmp_path):
     assert not (kept_urls & quarantined)
 
 
+def test_runner_resume_stages(spark, tmp_path):
+    """--resume-stages skips a construction stage whose _SUCCESS
+    marker is on disk: after wiping only the shard export (simulated
+    failure downstream of the mix), the resumed run rebuilds the
+    shards WITHOUT recomputing the mix; a plain re-run recomputes."""
+    import os
+    import shutil
+
+    out = str(tmp_path / "run")
+    mix = str(tmp_path / "mix")
+    shards = str(tmp_path / "shards")
+    base = [
+        "--synthesize", "800", "--out", out, "--partitions", "2",
+        "--mix-out", mix, "--mix-weights", '{"fi": 1, "el": 1}',
+        "--shard-out", shards, "--shards", "2",
+    ]
+    assert main(base) in (0, 1)
+    succ = f"{mix}/corpus/_SUCCESS"
+    t0 = os.path.getmtime(succ)
+    shutil.rmtree(shards)
+    rc = main(base + ["--resume-stages"])
+    assert rc == 2  # manifest complete; requested outputs still built
+    assert os.path.getmtime(succ) == t0  # mix stage NOT recomputed
+    mixed = spark.read.parquet(f"{mix}/corpus")
+    man = spark.read.parquet(f"{shards}/_manifest")
+    assert man.count() == 2
+    assert sum(r["n_rows"] for r in man.collect()) == mixed.count()
+    # plain re-run (no flag): the mix IS recomputed
+    assert main(base) == 2
+    assert os.path.getmtime(succ) > t0
+
+
 def test_runner_extract_check(spark, tmp_path):
     """--extract-check wires the html→text extraction invariant
     (functions/html) into the default suite as an ExprCheck: the
