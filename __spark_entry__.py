@@ -3591,8 +3591,8 @@ SELECT cur.part AS "partition", cur.col AS "column", cur.chk AS "check",
        coalesce(m.nh, 0) AS n_history,
        round(greatest(1.0 * d2.hmad, 0.0, 0.01 * abs(m.hm)), 6) AS tolerance,
        CASE WHEN m.hm IS NULL OR m.nh < 3 THEN TRUE
-            ELSE abs(cur.metric - m.hm)
-                 <= greatest(1.0 * d2.hmad, 0.0, 0.01 * abs(m.hm)) END AS passed
+            ELSE coalesce(abs(cur.metric - m.hm)
+                 <= greatest(1.0 * d2.hmad, 0.0, 0.01 * abs(m.hm)), FALSE) END AS passed
 FROM cur
 LEFT JOIN m USING (part, col, chk)
 LEFT JOIN d2 USING (part, col, chk)

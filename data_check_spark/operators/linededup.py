@@ -177,6 +177,15 @@ def strip_duplicate_lines(
     whether to drop empties is a quarantine policy, not a dedup fact.
     Documents with NULL text are omitted.
 
+    Blank segments (normalizing to '') are DROPPED from text_clean and
+    counted in neither n_lines nor n_dropped — the CCNet convention
+    (blank runs are formatting, not content, and would otherwise
+    dominate the vocabulary). Consequence: the rewrite collapses
+    paragraph breaks ('a\\n\\nb' -> 'a\\nb') even for documents with no
+    duplicate line; keep the original text column when downstream
+    consumers need the paragraph structure (tests/test_linededup.py
+    pins this).
+
     ``dup_hashes``: a precomputed/persisted ``duplicated_line_hashes``
     frame (column ``line_hash``); derived from ``df`` when None.
     ``broadcast`` follows refint.maybe_broadcast policy ('auto' =

@@ -125,22 +125,31 @@ def route_rows(
                 F.min(rule.id_col).alias("_exemplar"),
             )
             dup_keys = grp.filter(F.col("_n") > 1).select(
-                "_k", "_exemplar"
+                "_k", "_exemplar", F.lit(True).alias("_dup")
             )
             out = out.join(
                 maybe_broadcast(dup_keys, broadcast),
                 on=out[rule.key].eqNullSafe(dup_keys["_k"]),
                 how="left",
             ).drop("_k")
-            is_member = F.col("_exemplar").isNotNull()
+            is_member = F.coalesce(F.col("_dup"), F.lit(False))
             fails = (
-                is_member & (F.col(rule.id_col) != F.col("_exemplar"))
+                # fail-closed on NULL ids: a NULL id is never the
+                # exemplar (min skips NULLs), and a group whose ids
+                # are ALL NULL has no deterministic exemplar at all —
+                # quarantine it whole rather than let `id != NULL`
+                # evaluate to NULL and pass every member through
+                is_member
+                & (
+                    F.col("_exemplar").isNull()
+                    | ~F.col(rule.id_col).eqNullSafe(F.col("_exemplar"))
+                )
                 if rule.keep_exemplar
                 else is_member
             )
             out = out.withColumn(
                 tag, F.when(fails, F.lit(f"unique:{rule.key}"))
-            ).drop("_exemplar")
+            ).drop("_exemplar", "_dup")
         elif isinstance(rule, FDRule):
             dep_struct = F.struct(*[F.col(c) for c in rule.deps])
             grp = df.groupBy(F.col(rule.key).alias("_k")).agg(

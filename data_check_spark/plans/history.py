@@ -102,7 +102,15 @@ def metric_anomalies(
             F.round(tolerance, round_to).alias("tolerance"),
             F.when(insufficient, F.lit(True))
             .otherwise(
-                F.abs(F.col("metric") - F.col("history_median")) <= tolerance
+                # fail-closed: a NULL current metric (e.g. an empty
+                # partition's try_divide stat) is unevaluable against
+                # its history — flag it rather than emit passed=NULL,
+                # which neither filter direction would catch
+                F.coalesce(
+                    F.abs(F.col("metric") - F.col("history_median"))
+                    <= tolerance,
+                    F.lit(False),
+                )
             )
             .alias("passed"),
         )

@@ -280,7 +280,16 @@ def suite_from_suggestions(suggestions: DataFrame, *, approx: bool = True):
             checks.append(ProfileCheck(r["column"], max_distinct=int(r["value"])))
         elif r["check_kind"] == "table" and r["param"] == "min_rows":
             min_rows = r["value"]
-    if min_rows is not None and thresholds:
+    if min_rows is not None and not thresholds:
+        # min_rows rides a StatsCheck column entry; with zero stats
+        # rows there is nothing to attach it to — refuse rather than
+        # silently return a suite that doesn't enforce the stored floor
+        raise ValueError(
+            "suggestion frame carries min_rows but no stats rows to "
+            "attach it to — keep at least one stats suggestion (e.g. a "
+            "max_null_rate row) alongside the volume floor"
+        )
+    if min_rows is not None:
         thresholds[sorted(thresholds)[0]]["min_rows"] = min_rows
     if thresholds:
         checks.insert(0, StatsCheck(thresholds, approx=approx))

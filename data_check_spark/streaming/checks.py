@@ -137,7 +137,10 @@ def streaming_expr_verdicts(
         .groupBy(F.window("warc_ts", window).alias("w"))
         .agg(
             F.count(F.lit(1)).alias("_xn"),
-            *[F.count_if(viol[n]).alias(f"_x_{n}") for n in names],
+            # counters aliased by POSITION, not name: F.col() re-parses
+            # its argument, so a check name containing a dot/backtick
+            # would resolve as struct-field access and fail at plan time
+            *[F.count_if(viol[n]).alias(f"_x_{i}") for i, n in enumerate(names)],
         )
     )
     melted = agg.select(
@@ -151,12 +154,12 @@ def streaming_expr_verdicts(
                     *[
                         F.struct(
                             F.try_divide(
-                                F.col(f"_x_{n}").cast("double"),
+                                F.col(f"_x_{i}").cast("double"),
                                 F.col("_xn").cast("double"),
                             ).alias("ratio"),
                             F.lit(thr(n)).alias("threshold"),
                         )
-                        for n in names
+                        for i, n in enumerate(names)
                     ]
                 ),
             )

@@ -30,6 +30,17 @@ def test_stable_metric_passes_and_spike_fails(spark):
     assert not row["passed"]
 
 
+def test_null_current_metric_fails_closed(spark):
+    """A NULL current metric (e.g. an empty partition's try_divide
+    stat) with sufficient history is unevaluable — it must FAIL, not
+    emit passed=NULL, which neither filter direction would catch."""
+    hist = {"r1": 0.10, "r2": 0.11, "r3": 0.09, "r4": 0.10}
+    aud = _audit(spark, _history({**hist, "now": None}))
+    row = metric_anomalies(aud, "now", k=3.0).collect()[0]
+    assert row["passed"] is False  # False, not None
+    assert row["n_history"] == 4
+
+
 def test_mad_shrugs_off_one_bad_historical_run(spark):
     """One historically-bad run must not poison the baseline (the
     reason this is MAD, not stddev): current ~0.10 stays green even

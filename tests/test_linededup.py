@@ -70,6 +70,20 @@ def test_stats_match_python_recomputation(spark):
     assert 6 not in got  # NULL text has no lines
 
 
+def test_blank_segment_collapse_is_pinned(spark):
+    """The documented CCNet convention: blank segments are formatting,
+    not content — they are dropped from text_clean and counted in
+    neither n_lines nor n_dropped, so the rewrite collapses paragraph
+    breaks even for a document with zero duplicate lines. Consumers
+    needing paragraph structure keep the original text column."""
+    df = spark.createDataFrame(
+        [(1, "Hello\n\nWorld")], "doc_id long, text string"
+    )
+    r = strip_duplicate_lines(df).collect()[0]
+    assert r["text_clean"] == "Hello\nWorld"
+    assert (r["n_lines"], r["n_dropped"]) == (2, 0)
+
+
 def test_strip_preserves_order_and_original_bytes(spark):
     got = {r["doc_id"]: r for r in strip_duplicate_lines(_df(spark)).collect()}
     # survivors keep ORIGINAL bytes (case/extra spaces) in original order

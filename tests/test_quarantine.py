@@ -62,6 +62,32 @@ def test_keep_exemplar_false_quarantines_whole_group(spark):
     assert got[1] == []
 
 
+def test_unique_rule_null_ids_fail_closed(spark):
+    """NULL ids in a duplicate group never slip through: a NULL id is
+    never the exemplar (id != exemplar would be NULL -> fail-open
+    before the fix), and an all-NULL-id group has no deterministic
+    exemplar at all, so the whole group quarantines."""
+    rows = [
+        (5, "http://m"),     # mixed group: real id is the exemplar
+        (None, "http://m"),  # ...its NULL twin must quarantine
+        (None, "http://n"),  # all-NULL group: no exemplar ->
+        (None, "http://n"),  # ...the WHOLE group quarantines
+        (1, "http://ok"),    # unique key, NULL-free
+        (None, "http://ok2"),  # unique key with NULL id: clean
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    routed = route_rows(df, [UniqueRule("url", id_col="id")])
+    got = {
+        (r["id"], r["url"]): list(r["quarantine_reasons"])
+        for r in routed.collect()
+    }
+    assert got[(5, "http://m")] == []
+    assert got[(None, "http://m")] == ["unique:url"]
+    assert got[(None, "http://n")] == ["unique:url"]
+    assert got[(1, "http://ok")] == []
+    assert got[(None, "http://ok2")] == []
+
+
 def test_split_partitions_the_table(spark):
     routed = route_rows(_pages(spark), RULES).persist()
     clean, quarantined = split(routed)

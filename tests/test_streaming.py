@@ -443,6 +443,30 @@ def test_session_window_agrees_with_batch_labeler(spark):
     assert via_window == via_labels
 
 
+def test_streaming_expr_verdicts_dotted_check_name(spark, pages_dir):
+    """Check names containing dots (or backticks) are plain labels,
+    not column references: the windowed counters are aliased by
+    position, so 'url.scheme_ok' must not be re-parsed as
+    struct-field access at plan time."""
+    from data_check_spark.streaming.checks import streaming_expr_verdicts
+
+    stream = stream_pages(spark, pages_dir)
+    q = run_to_memory(
+        streaming_expr_verdicts(
+            stream,
+            {"url.scheme_ok": "url LIKE 'http%'", "lang`q": "lang IS NOT NULL"},
+            window="1 day",
+            max_violation_ratio=1.0,
+        ),
+        "expr_verdicts_dotted",
+        "complete",
+    )
+    q.awaitTermination(120)
+    rows = spark.table("expr_verdicts_dotted").collect()
+    assert {r["check_name"] for r in rows} == {"url.scheme_ok", "lang`q"}
+    assert all(r["passed"] for r in rows)
+
+
 def test_streaming_psi_from_stored_profile_matches_table(spark, pages_dir):
     """reference_freqs_from_profile over stored (kind, key, freq) rows
     yields the same dict as reference_freqs_from over the snapshot —

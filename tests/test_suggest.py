@@ -159,6 +159,24 @@ def test_suggestions_persist_and_rebuild(spark, tmp_path):
     assert res.verdicts.filter(F.col("check") == "unique").count() == 0
 
 
+def test_min_rows_without_stats_rows_refuses(spark):
+    """A (possibly human-edited) suggestion frame reduced to ONLY the
+    volume floor cannot silently lose it: min_rows rides a StatsCheck
+    entry, so with zero stats rows the assembly must raise instead of
+    returning a suite that enforces nothing."""
+    import pytest as _pytest
+
+    from data_check_spark.plans.suggest import suite_from_suggestions
+
+    only_floor = spark.createDataFrame(
+        [("*", "table", "min_rows", 100.0, 200.0, "volume floor")],
+        "column string, check_kind string, param string, "
+        "value double, observed double, rationale string",
+    )
+    with _pytest.raises(ValueError, match="min_rows"):
+        suite_from_suggestions(only_floor)
+
+
 def test_runner_suggestion_loop(spark, tmp_path):
     """--suggest-to-audit persists the rows; a second run with
     --suite-from-suggestions assembles its suite from them (verdict
