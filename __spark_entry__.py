@@ -2630,12 +2630,12 @@ WITH dirty AS (
   FROM documents)
 SELECT doc_id,
        CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails,
-       CAST(len(regexp_extract_all(t, 'https?://[A-Za-z0-9./_%-]+')) AS INT) AS n_urls,
+       CAST(len(regexp_extract_all(t, 'https?://[A-Za-z0-9./_%?=&:#~+@-]+')) AS INT) AS n_urls,
        CAST(len(regexp_extract_all(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INT) AS n_ipv4,
        CAST(length(
          regexp_replace(regexp_replace(regexp_replace(t,
            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-           'https?://[A-Za-z0-9./_%-]+', '<URL>', 'g'),
+           'https?://[A-Za-z0-9./_%?=&:#~+@-]+', '<URL>', 'g'),
            '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IPV4>', 'g')) AS INT) AS n_chars_clean
 FROM dirty""",
         "stratified_sample": """

@@ -34,7 +34,13 @@ from pyspark.sql import functions as F
 # requires doubling the backslashes — Spark SQL processes backslash
 # escapes inside quoted literals (tests/test_suite.py PII-gate test).
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-URL_RE = r"https?://[A-Za-z0-9./_%-]+"
+# class includes ?=& (query strings are a prime PII carrier — reset
+# tokens, ids), : (ports), # (fragments), ~ + @ (user dirs, encoded
+# spaces, rare embedded creds): stopping at '?' would leave
+# '?token=SECRET' behind in the redacted text. Trailing prose
+# punctuation ('?', '.') can over-capture — the safe direction for a
+# redactor.
+URL_RE = r"https?://[A-Za-z0-9./_%?=&:#~+@-]+"
 IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 
 _KINDS = (("email", EMAIL_RE), ("url", URL_RE), ("ipv4", IPV4_RE))

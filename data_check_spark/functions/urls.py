@@ -62,30 +62,39 @@ _SCHEME_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://"
 _REST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)"
 
 
-def canonical_url(
-    url: Column | str,
-    drop_params_re: str = DEFAULT_DROP_PARAMS_RE,
+def _host_lowered(auth: Column) -> Column:
+    """Authority with ONLY host[:port] lowercased: userinfo (up to the
+    last '@') is case-sensitive per RFC 3986 §3.2.1 and preserved —
+    lowercasing it would merge urls naming different credentials."""
+    return F.concat(
+        F.when(
+            auth.contains("@"),
+            F.concat(F.regexp_extract(auth, "^(.*)@", 1), F.lit("@")),
+        ).otherwise(F.lit("")),
+        F.lower(F.regexp_extract(auth, "([^@]*)$", 1)),
+    )
+
+
+def _canon_from_parts(
+    u: Column,
+    scheme: Column,
+    auth0: Column,
+    rest: Column,
+    drop_params_re: str,
 ) -> Column:
-    """Canonical form of an absolute http(s)-style url (see module
-    docstring for the exact normalization set). Rows that do not look
-    like ``scheme://authority...`` are returned UNCHANGED rather than
-    NULLed — a validation engine must not destroy the evidence it is
-    about to flag; pair with an ExprCheck on the shape if malformed
-    urls should fail the suite. NULL stays NULL."""
-    u = F.col(url) if isinstance(url, str) else url
-    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
-    auth = F.lower(F.regexp_extract(u, _AUTH_RE, 1))
+    """Compose the canonical url from the three staged extractions —
+    the ONE copy of steps 2-7 both Spark variants share (a fix here
+    is a fix in both; canonical_url_sql mirrors it for DuckDB)."""
     # default-port strip is scheme-conditional
     auth = F.when(
-        (scheme == "http") & auth.endswith(":80"),
-        F.substring(auth, F.lit(1), F.length(auth) - 3),
+        (scheme == "http") & auth0.endswith(":80"),
+        F.substring(auth0, F.lit(1), F.length(auth0) - 3),
     ).when(
-        (scheme == "https") & auth.endswith(":443"),
-        F.substring(auth, F.lit(1), F.length(auth) - 4),
-    ).otherwise(auth)
-    rest = F.regexp_extract(u, _REST_RE, 1)  # path[?query], no fragment
-    path = F.regexp_extract(rest, r"^([^?]*)", 1)
-    path = F.when(path == "", F.lit("/")).otherwise(path)
+        (scheme == "https") & auth0.endswith(":443"),
+        F.substring(auth0, F.lit(1), F.length(auth0) - 4),
+    ).otherwise(auth0)
+    path0 = F.regexp_extract(rest, r"^([^?]*)", 1)
+    path = F.when(path0 == "", F.lit("/")).otherwise(path0)
     rawq = F.regexp_extract(rest, r"\?(.*)$", 1)
     kept = F.array_sort(
         F.filter(
@@ -106,6 +115,26 @@ def canonical_url(
     )
 
 
+def canonical_url(
+    url: Column | str,
+    drop_params_re: str = DEFAULT_DROP_PARAMS_RE,
+) -> Column:
+    """Canonical form of an absolute http(s)-style url (see module
+    docstring for the exact normalization set). Rows that do not look
+    like ``scheme://authority...`` are returned UNCHANGED rather than
+    NULLed — a validation engine must not destroy the evidence it is
+    about to flag; pair with an ExprCheck on the shape if malformed
+    urls should fail the suite. NULL stays NULL."""
+    u = F.col(url) if isinstance(url, str) else url
+    return _canon_from_parts(
+        u,
+        F.lower(F.regexp_extract(u, _SCHEME_RE, 1)),
+        _host_lowered(F.regexp_extract(u, _AUTH_RE, 1)),
+        F.regexp_extract(u, _REST_RE, 1),  # path[?query], no fragment
+        drop_params_re,
+    )
+
+
 def add_canonical_url(
     df,
     url_col: str = "url",
@@ -122,34 +151,12 @@ def add_canonical_url(
     staged = df.withColumns(
         {
             "_cu_scheme": F.lower(F.regexp_extract(u, _SCHEME_RE, 1)),
-            "_cu_auth": F.lower(F.regexp_extract(u, _AUTH_RE, 1)),
+            "_cu_auth": _host_lowered(F.regexp_extract(u, _AUTH_RE, 1)),
             "_cu_rest": F.regexp_extract(u, _REST_RE, 1),
         }
     )
-    scheme, auth0, rest = F.col("_cu_scheme"), F.col("_cu_auth"), F.col("_cu_rest")
-    auth = F.when(
-        (scheme == "http") & auth0.endswith(":80"),
-        F.substring(auth0, F.lit(1), F.length(auth0) - 3),
-    ).when(
-        (scheme == "https") & auth0.endswith(":443"),
-        F.substring(auth0, F.lit(1), F.length(auth0) - 4),
-    ).otherwise(auth0)
-    path0 = F.regexp_extract(rest, r"^([^?]*)", 1)
-    path = F.when(path0 == "", F.lit("/")).otherwise(path0)
-    rawq = F.regexp_extract(rest, r"\?(.*)$", 1)
-    kept = F.array_sort(
-        F.filter(
-            F.split(rawq, "&"),
-            lambda p: (p != "") & ~p.rlike(drop_params_re),
-        )
-    )
-    query = F.array_join(kept, "&")
-    canon = F.concat(
-        scheme, F.lit("://"), auth, path,
-        F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), query)),
-    )
-    out = F.when(u.isNull(), F.lit(None).cast("string")).otherwise(
-        F.when(u.rlike(_SCHEME_RE), canon).otherwise(u)
+    out = _canon_from_parts(
+        u, F.col("_cu_scheme"), F.col("_cu_auth"), F.col("_cu_rest"), drop_params_re
     )
     return staged.withColumn(out_col, out).drop("_cu_scheme", "_cu_auth", "_cu_rest")
 
@@ -159,7 +166,14 @@ def canonical_url_sql(col: str, drop_params_re: str = DEFAULT_DROP_PARAMS_RE) ->
     (pattern: functions/splits.split_label_sql). Kept next to the
     Spark expression so the two stay in lockstep."""
     scheme = f"lower(regexp_extract({col}, '{_SCHEME_RE}', 1))"
-    auth0 = f"lower(regexp_extract({col}, '{_AUTH_RE}', 1))"
+    auth_raw = f"regexp_extract({col}, '{_AUTH_RE}', 1)"
+    # only host[:port] lowercases; userinfo (before the last '@') is
+    # case-sensitive and preserved — mirrors _host_lowered
+    auth0 = (
+        f"(CASE WHEN contains({auth_raw}, '@') "
+        f"THEN regexp_extract({auth_raw}, '^(.*)@', 1) || '@' ELSE '' END "
+        f"|| lower(regexp_extract({auth_raw}, '([^@]*)$', 1)))"
+    )
     auth = (
         f"CASE WHEN {scheme} = 'http' AND {auth0} LIKE '%:80' "
         f"THEN left({auth0}, length({auth0}) - 3) "

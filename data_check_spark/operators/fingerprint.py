@@ -188,6 +188,7 @@ def changed_partitions_vs_audit(
     audit_path: str,
     run_id: str | None = None,
     cols: list[str | Column] | None = None,
+    fmt: str = "parquet",
 ) -> DataFrame:
     """`changed_partitions`, but the OLD side comes from fingerprints
     a prior run persisted via `fingerprint_to_audit` — the old table
@@ -200,11 +201,18 @@ def changed_partitions_vs_audit(
     The default baseline is the latest stored RUN as a whole (newest
     audit_ts), not the latest row per partition — the latter would
     resurrect partitions that an intermediate run already dropped and
-    report them 'removed' forever."""
+    report them 'removed' forever.
+
+    ``fmt`` mirrors ``fingerprint_to_audit``: 'iceberg' reads the
+    catalog table the write side created (spark.read.table), anything
+    else reads a parquet path — the two sides must agree or the
+    persisted fingerprints are write-only."""
     spark = df.sparkSession
-    stored = spark.read.parquet(audit_path).filter(
-        F.col("audit_kind") == "fingerprint"
-    )
+    stored = (
+        spark.read.table(audit_path)
+        if fmt == "iceberg"
+        else spark.read.parquet(audit_path)
+    ).filter(F.col("audit_kind") == "fingerprint")
     if run_id is None:
         # the audit frame is |partitions| × |runs| tiny rows — a
         # driver readout of the newest run id is free
@@ -251,7 +259,13 @@ def diff_changed_partitions(
         )
     parts = [r["partition"] for r in delta]
     p = F.col(partition_col).cast("string")
-    d1 = df1.filter(p.isin(parts))
-    d2 = df2.filter(p.isin(parts))
+    # isin never matches NULL (even against a list containing None),
+    # so a changed NULL partition needs its own predicate — otherwise
+    # its rows silently vanish from the diff (fail-open)
+    pred = p.isin([x for x in parts if x is not None])
+    if any(x is None for x in parts):
+        pred = pred | p.isNull()
+    d1 = df1.filter(pred)
+    d2 = df2.filter(pred)
     diff_cols = cols if cols is not None else [c for c in df1.columns if c != pk]
     return row_diff(d1, d2, pk, [c for c in diff_cols if c != pk])

@@ -86,6 +86,15 @@ def pack_sequences(
                 shard = int(pdf["_shard"].iloc[0])
             ids = pdf["_id"].to_numpy()
             lens = pdf["_len"].to_numpy()
+            if (lens < 0).any():
+                # a negative length passes the oversize check and GROWS
+                # the bin's remaining budget (placed[0] -= n), silently
+                # packing past max_len — corrupt input fails loudly
+                bad = ids[lens < 0]
+                raise ValueError(
+                    f"negative {len_col!r} for doc id(s) {bad[:5].tolist()} "
+                    f"— token counts must be >= 0"
+                )
             out_pack, out_over = [], []
             for i in range(len(pdf)):
                 n = int(lens[i])

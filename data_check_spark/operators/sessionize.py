@@ -50,7 +50,10 @@ def sessionize(
 ) -> DataFrame:
     """Return ``df`` with ``out_col`` appended: the 1-based session
     index of each row within its key (ordered by ``ts_col``, then
-    ``tiebreak_col``). NULL timestamps are rejected — filter first."""
+    ``tiebreak_col``). NULL timestamps are rejected — the job fails
+    on the first one (a NULL would sort first and increment the
+    running boundary sum, shifting every real session index for its
+    key); filter them out first."""
     if gap_seconds <= 0:
         raise ValueError("gap_seconds must be positive")
     order = [F.col(ts_col).asc()]
@@ -59,7 +62,12 @@ def sessionize(
     w = Window.partitionBy(key_col).orderBy(*order)
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    us = F.when(
+        F.col(ts_col).isNull(),
+        F.raise_error(
+            F.lit(f"sessionize: NULL {ts_col} — filter NULL timestamps first")
+        ).cast("long"),
+    ).otherwise(F.unix_micros(F.col(ts_col).cast("timestamp")))
     gap_us = int(round(gap_seconds * 1_000_000))
     prev = F.lag(us).over(w)
     boundary = F.when(

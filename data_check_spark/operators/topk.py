@@ -13,12 +13,13 @@ Scale design (10^12 rows):
   (group, key), so even a key holding 10% of all rows arrives at its
   reducer as (#map tasks) partial rows, not 10^11 rows. The shuffle
   carries the AGGREGATED frame: |distinct (group, key)| rows.
-* Phase 2 — top-k selection over that aggregate: a window
+* Phase 2 — top-k selection over that aggregate: per group, a window
   ``row_number() OVER (PARTITION BY group ORDER BY n DESC, key)``
   sorts only distinct keys within each group (never raw rows) and
-  keeps k. With no ``group`` the window degenerates to a single
-  partition — Spark plans the equivalent of TakeOrdered over the
-  aggregate; still |distinct keys| only.
+  keeps k. With no ``group``, orderBy+limit plans
+  TakeOrderedAndProject (per-partition k-row heaps, driver merge of
+  #partitions × k rows) — an empty-partitionBy window would move the
+  whole distinct-key domain to one task for a full sort instead.
 * Deterministic: ties broken by key ascending, so the returned set
   and its ranks are identical at any parallelism (and re-derivable
   by any engine — the DuckDB oracle runs the same window).
@@ -54,11 +55,19 @@ def heavy_hitters(
         cols.insert(0, gcol.alias("group"))
         keys.insert(0, "group")
     counts = df.select(*cols).groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
-    part = Window.partitionBy("group") if group is not None else Window.partitionBy()
-    w = part.orderBy(F.desc("n"), F.col("key_value"))
+    order_cols = [F.desc("n"), F.col("key_value")]
+    if group is None:
+        # orderBy+limit plans TakeOrderedAndProject (per-partition
+        # k-row heaps, driver merge of #partitions × k rows); an empty
+        # partitionBy window would instead move EVERY distinct key to
+        # one task for a full sort. rank is derived on the k survivors
+        # — that window's single partition holds k rows, not the domain
+        topk = counts.orderBy(*order_cols).limit(k)
+        w = Window.orderBy(*order_cols)
+        return topk.withColumn("rank", F.row_number().over(w)).orderBy("rank")
+    w = Window.partitionBy("group").orderBy(*order_cols)
     out = (
         counts.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
-    order = (["group", "rank"] if group is not None else ["rank"])
-    return out.orderBy(*order)
+    return out.orderBy("group", "rank")

@@ -87,6 +87,23 @@ def test_diff_changed_partitions_matches_full_row_diff(spark):
         )
 
 
+def test_diff_includes_changed_null_partition(spark):
+    """isin never matches NULL — a changed NULL-partition's rows must
+    still reach the pruned diff via an explicit isNull predicate."""
+    v1 = _pages(spark).withColumn(
+        "part", F.when(F.col("url").endswith("0"), None).otherwise(F.col("part"))
+    )
+    v2 = v1.withColumn(
+        "text",
+        F.when(F.col("part").isNull(), F.concat(F.col("text"), F.lit("!")))
+        .otherwise(F.col("text")),
+    )
+    pruned = diff_changed_partitions(v1, v2, "url", "part", ["text", "lang"])
+    full = row_diff(v1, v2, "url", ["text", "lang"])
+    assert _fp_rows(pruned) == _fp_rows(full)
+    assert pruned.count() > 0  # the NULL partition's diffs are present
+
+
 def test_fingerprint_plan_partial_agg_and_broadcast_compare(spark):
     df = _pages(spark)
     fp = partition_fingerprint(df, "part")

@@ -61,3 +61,13 @@ def test_deterministic_at_fixed_shards(spark, docs):
 def test_bad_args(spark, docs):
     with pytest.raises(ValueError, match="positive"):
         pack_sequences(docs, "doc_id", "n_tokens", 0)
+
+
+def test_negative_length_fails_loudly(spark):
+    """A negative token count would GROW a bin's remaining budget and
+    silently pack past max_len — corrupt input must kill the job."""
+    bad = spark.createDataFrame(
+        [(1, 100), (2, -5000), (3, 200)], "doc_id long, n_tokens long"
+    )
+    with pytest.raises(Exception, match="negative"):
+        pack_sequences(bad, "doc_id", "n_tokens", 2048, num_shards=1).collect()

@@ -58,6 +58,20 @@ def test_ip_inside_url_redacts_as_url(df):
     assert "<IPV4>" not in r["r"]
 
 
+def test_query_string_redacts_with_url(spark):
+    """Query strings are a prime PII carrier: the URL class includes
+    ?=&:#~+@ so a reset token never survives redaction."""
+    rows = [(1, "go to https://x.com/reset?token=SECRET123&u=7 now"),
+            (2, "port http://a.com:8080/p#frag kept")]
+    d = spark.createDataFrame(rows, "id bigint, t string")
+    got = {r["id"]: r for r in d.select(
+        "id", redact_pii(F.col("t")).alias("r"),
+        pii_counts(F.col("t"))["url"].alias("u")).collect()}
+    assert got[1]["r"] == "go to <URL> now" and got[1]["u"] == 1
+    assert "SECRET123" not in got[1]["r"]
+    assert got[2]["r"] == "port <URL> kept" and got[2]["u"] == 1
+
+
 def test_clean_text(df):
     r = _row(df, 5)
     assert (r["e"], r["u"], r["ip"]) == (0, 0, 0)

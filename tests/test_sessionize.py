@@ -114,3 +114,14 @@ def test_bad_gap(events):
     _, df = events
     with pytest.raises(ValueError, match="positive"):
         sessionize(df, "k", "ts", 0.0)
+
+
+def test_null_timestamp_fails_loudly(spark):
+    """The docstring's 'NULL timestamps are rejected' is enforced, not
+    aspirational: a NULL ts would sort first and shift every real
+    session index for its key, so the job dies on the first one."""
+    df = spark.createDataFrame(
+        [("k", "2024-01-01 00:00:00"), ("k", None)], "k string, s string"
+    ).withColumn("ts", F.col("s").cast("timestamp"))
+    with pytest.raises(Exception, match="NULL ts"):
+        sessionize(df, "k", "ts", 300.0).collect()

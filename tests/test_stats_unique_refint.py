@@ -341,6 +341,13 @@ def test_heavy_hitters(spark):
     assert glob == [("a", 4, 1), ("b", 3, 2), ("c", 3, 3)]
     with pytest.raises(ValueError, match="k must be"):
         heavy_hitters(df, "k", k=0)
+    # global mode plans TakeOrderedAndProject over the aggregate — an
+    # empty-partitionBy window would single-task the whole key domain
+    plan = (
+        heavy_hitters(df, "k", k=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrdered" in plan, plan
 
 
 def test_fd_violations_plan_broadcasts_candidates(spark):
