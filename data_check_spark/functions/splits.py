@@ -41,6 +41,11 @@ def split_thresholds(fractions: dict[str, float]) -> list[tuple[str, str]]:
     quantized bounds; last label absorbs the remainder."""
     if not fractions or sum(fractions.values()) > 1.0 + 1e-9:
         raise ValueError("fractions must be non-empty and sum to <= 1.0")
+    if any(f < 0 for f in fractions.values()):
+        # a negative fraction passes the sum check but produces
+        # non-monotonic bounds — the nested whens then silently
+        # mislabel rows instead of splitting as declared
+        raise ValueError("fractions must be >= 0")
     out: list[tuple[str, str]] = []
     cum = 0.0
     for label, frac in fractions.items():
@@ -177,9 +182,7 @@ def cap_per_key(
         raise ValueError(f"cap must be >= 1, got {cap}")
     from pyspark.sql import Window
 
-    ordk = F.md5(
-        F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)).cast("binary")
-    )
+    ordk = key_md5(F.col(id_col), salt)
     with_ord = df.withColumn("_ordk", ordk)
     phase1 = Window.partitionBy(
         F.col(key_col), F.substring("_ordk", 1, 2)
@@ -231,9 +234,7 @@ def budget_cut(
         raise ValueError(f"prefix_len must be >= 1, got {prefix_len}")
     from pyspark.sql import Window
 
-    ordk = F.md5(
-        F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)).cast("binary")
-    )
+    ordk = key_md5(F.col(id_col), salt)
     d = (
         df.withColumn("_ordk", ordk)
         .withColumn("_w", F.coalesce(weight.cast("long"), F.lit(0)))

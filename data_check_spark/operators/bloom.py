@@ -181,7 +181,7 @@ def _resolve_size(
     fpp: float,
     n_keys: int | None,
     max_bitmap_bytes: int,
-) -> tuple[DataFrame, int, int]:
+) -> tuple[DataFrame, int, int, int]:
     keys = dim.select(F.col(dim_key).alias("_k")).filter(F.col("_k").isNotNull())
     if n_keys is None:
         n_keys = keys.count()
@@ -192,7 +192,10 @@ def _resolve_size(
             f"fpp={fpp} (cap {max_bitmap_bytes}); raise fpp or use the "
             "shuffle anti-join (referential_violations)"
         )
-    return keys, m_bits, k_hashes
+    # the RESOLVED count goes back to the caller: method='auto' needs
+    # it, and discarding it made auto always degrade to 'positions'
+    # when n_keys was omitted (the common suite path)
+    return keys, m_bits, k_hashes, n_keys
 
 
 def _build_positions(keys: DataFrame, m_bits: int, k_hashes: int) -> np.ndarray:
@@ -287,12 +290,13 @@ def build_key_bloom(
     'blocks' once the k·n contributions exceed 4× the word count —
     the point where shipping whole partial bitmaps beats shipping
     per-key contributions)."""
-    keys, m_bits, k_hashes = _resolve_size(dim, dim_key, fpp, n_keys, max_bitmap_bytes)
+    keys, m_bits, k_hashes, est_n = _resolve_size(
+        dim, dim_key, fpp, n_keys, max_bitmap_bytes
+    )
     if method == "auto":
-        est_n = n_keys if n_keys is not None else 0
         method = (
             "blocks"
-            if est_n and est_n * k_hashes > 4 * (m_bits // 64)
+            if est_n * k_hashes > 4 * (m_bits // 64)
             else "positions"
         )
     if method == "positions":

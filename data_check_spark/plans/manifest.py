@@ -29,7 +29,17 @@ from typing import Any
 
 
 def _safe(name: str) -> str:
-    return re.sub(r"[^A-Za-z0-9_.-]", "_", str(name))
+    """Collision-free filename for a partition value: the sanitized
+    (and length-capped) form for human readability, plus an md5 prefix
+    of the RAW value — sanitizing alone would collapse distinct
+    partitions ('2024/01' vs '2024_01') onto one file, so the second
+    mark_complete would silently destroy the first's record and its
+    partition would be re-scheduled on every resume."""
+    import hashlib
+
+    raw = str(name)
+    tag = hashlib.md5(raw.encode("utf-8")).hexdigest()[:8]
+    return re.sub(r"[^A-Za-z0-9_.-]", "_", raw)[:80] + "-" + tag
 
 
 class Manifest:

@@ -97,7 +97,7 @@ class ObservedSuite:
     name: str = "data_check"
     _thresholds: dict = field(init=False, default_factory=dict)
     _expr_checks: list = field(init=False, default_factory=list)
-    _approx: bool = field(init=False, default=True)
+    _col_approx: dict = field(init=False, default_factory=dict)
 
     def __post_init__(self) -> None:
         from data_check_spark.plans.suite import ExprCheck, StatsCheck
@@ -110,7 +110,11 @@ class ObservedSuite:
                         f"duplicate stat thresholds for columns {sorted(overlap)}"
                     )
                 self._thresholds.update(chk.thresholds)
-                self._approx = chk.approx
+                # approx is PER CHECK: remember it per column so a
+                # later StatsCheck's flag cannot silently flip an
+                # earlier check's columns (order-dependence)
+                for c in chk.thresholds:
+                    self._col_approx[c] = chk.approx
                 if not chk.approx and any(
                     "min_distinct" in th for th in chk.thresholds.values()
                 ):
@@ -153,7 +157,9 @@ class ObservedSuite:
             structs = [
                 # the SAME struct the batch fused pass aggregates —
                 # trimmed to the metrics this column's thresholds need
-                _metric_struct(c, types[c], self._approx, _needed_metrics(th))
+                _metric_struct(
+                    c, types[c], self._col_approx[c], _needed_metrics(th)
+                )
                 for c, th in self._thresholds.items()
             ]
             exprs.append(F.array(*structs).alias("_m"))

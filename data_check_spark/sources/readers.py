@@ -99,11 +99,9 @@ def aligned_sample(df: DataFrame, key: str, percent: int, buckets: int = 100) ->
 
 
 def source(spark: SparkSession, table_or_sql: str) -> DataFrame:
-    """Accept a table/view name or a SQL query, like the reference's
-    ``check_input_is_sql`` heuristic (``processors/bigquery.py:47-49``),
-    but let Spark's parser decide instead of substring matching."""
+    """Accept a table/view name or a SQL query. Dispatches through
+    ``is_sql_input`` — the reference's exact substring heuristic
+    (``processors/bigquery.py:47-49``) — so this and ``sampled_source``
+    can never classify the same string differently."""
     s = table_or_sql.strip()
-    low = f" {s.lower()} "
-    if " select " in f" {low} " and " from " in low:
-        return spark.sql(s)
-    return spark.table(s)
+    return spark.sql(s) if is_sql_input(s) else spark.table(s)

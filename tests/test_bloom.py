@@ -43,6 +43,27 @@ def test_parameters_shape():
         bloom_parameters(10, 1.5)
 
 
+def test_auto_method_uses_resolved_count(spark, frames, monkeypatch):
+    """method='auto' must see the RESOLVED key count when n_keys is
+    omitted (the suite path): at fpp 1e-3 the density rule says
+    'blocks' for any n, so auto degrading to 'positions' means the
+    computed count was discarded."""
+    import data_check_spark.operators.bloom as B
+
+    _, dim = frames
+    called = {}
+    orig = B._build_blocks
+
+    def spy(keys, m_bits, k_hashes):
+        called["blocks"] = True
+        return orig(keys, m_bits, k_hashes)
+
+    monkeypatch.setattr(B, "_build_blocks", spy)
+    bloom = B.build_key_bloom(dim, "url", fpp=1e-3)  # no n_keys
+    assert called.get("blocks"), "auto picked positions despite dense regime"
+    assert bloom.m_bits > 0
+
+
 def test_build_cap_raises(spark, frames):
     _, dim = frames
     with pytest.raises(ValueError, match="cap"):

@@ -52,6 +52,24 @@ def test_observed_matches_batch_suite(spark, sf_dir):
     assert failed == {"text_short"}
 
 
+def test_observed_per_check_approx_is_order_independent(spark, sf_dir):
+    """approx is PER CHECK: a later approx=False StatsCheck must not
+    flip an earlier approx=True check's columns to exact aggregates —
+    that would sneak a countDistinct past the min_distinct guard and
+    Spark would reject the whole observation at attach time."""
+    d = _docs(spark, sf_dir)
+    suite = CheckSuite([
+        StatsCheck(thresholds={"lang": {"min_distinct": 2.0}}, approx=True),
+        StatsCheck(thresholds={"text": {"max_null_rate": 0.5}}, approx=False),
+    ])
+    osuite = ObservedSuite(suite)
+    d2, obs = osuite.attach(d)  # INVALID_OBSERVED_METRICS before the fix
+    d2.write.format("noop").mode("overwrite").save()
+    rows = {r["check"]: r for r in osuite.verdicts(spark, obs).collect()}
+    assert rows["min_distinct"]["passed"]
+    assert rows["max_null_rate"]["passed"]
+
+
 def test_observed_adds_no_exchange_and_no_second_scan(spark, sf_dir):
     """The observation must not change the plan shape: a map-only
     frame stays exchange-free with metrics attached (CollectMetrics

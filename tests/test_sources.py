@@ -26,6 +26,19 @@ def test_is_sql_heuristic():
     assert not is_sql_input("my_dataset.my_table")
 
 
+def test_source_dispatch_matches_is_sql_input(spark, table):
+    """source() routes through the SAME heuristic as sampled_source —
+    a string classified SQL by is_sql_input must never hit
+    spark.table. 'therefrom' tripped the old divergent copy: it
+    contains 'from ' but not ' from '."""
+    from data_check_spark.sources.readers import source
+
+    q = "select 1 AS a, 2 AS therefrom"
+    assert is_sql_input(q)
+    assert [r["a"] for r in source(spark, q).collect()] == [1]
+    assert source(spark, "sample_t").count() == 10_000
+
+
 def test_sampling_rate_bounds(spark, table):
     with pytest.raises(ValueError, match=r"\[10, 100\]"):
         sampled_source(spark, "sample_t", sampling_rate=5)

@@ -25,6 +25,10 @@ def test_split_thresholds_quantization():
     ]
     with pytest.raises(ValueError):
         split_thresholds({"a": 0.9, "b": 0.2})
+    # a negative fraction passes the sum check but would corrupt the
+    # bounds into non-monotonic order — rejected explicitly
+    with pytest.raises(ValueError, match=">= 0"):
+        split_thresholds({"a": 0.5, "b": -0.3, "c": 0.5})
 
 
 def test_hash_split_deterministic_and_partition_invariant(spark):

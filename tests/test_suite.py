@@ -104,6 +104,20 @@ def test_suite_with_drift(spark, pages, suite):
     assert ok.verdicts.collect()[0]["passed"]
 
 
+def test_manifest_colliding_partition_names(tmp_path):
+    """Sanitizing alone would map '2024/01' and '2024_01' onto ONE
+    file — the second mark would destroy the first's record and its
+    partition would be re-scheduled forever. The md5 suffix keeps
+    them distinct."""
+    man = Manifest(str(tmp_path / "m_collide"))
+    man.mark_complete("2024/01", run_id="r", metrics={"n": 1})
+    man.mark_complete("2024_01", run_id="r", metrics={"n": 2})
+    done = man.completed()
+    assert set(done) == {"2024/01", "2024_01"}
+    assert done["2024/01"]["metrics"]["n"] == 1
+    assert man.pending(["2024/01", "2024_01", "2024-02"]) == ["2024-02"]
+
+
 def test_resume(spark, pages, suite, tmp_path):
     """Kill-and-rerun semantics: completed partitions are skipped;
     a second full run is a no-op (SURVEY §5 (e))."""
