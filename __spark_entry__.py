@@ -2443,7 +2443,8 @@ WITH f1 AS (SELECT lang AS category, count(*) * 1.0 / (SELECT count(*) FROM docu
      f2 AS (SELECT lang AS category, count(*) * 1.0 / (SELECT count(*) FROM documents WHERE doc_id % 2 = 1) AS q
             FROM documents WHERE doc_id % 2 = 1 GROUP BY lang),
      j AS (SELECT coalesce(p, {eps}) AS p, coalesce(q, {eps}) AS q
-           FROM f1 FULL OUTER JOIN f2 USING (category))
+           FROM f1 FULL OUTER JOIN f2
+           ON f1.category IS NOT DISTINCT FROM f2.category)
 SELECT round(sum((p - q) * ln(p / q)), 6) AS psi, count(*) AS n_categories FROM j""",
         "psi_nchars": f"""
 WITH h1 AS (SELECT greatest(0, least(19, CAST(floor(n_chars / 30.0) AS INT))) AS bucket, count(*) AS n
@@ -3182,7 +3183,7 @@ WITH f1 AS (SELECT lang AS k, count(*) * 1.0 / (SELECT count(*) FROM documents W
      f2 AS (SELECT lang AS k, count(*) * 1.0 / (SELECT count(*) FROM documents WHERE doc_id % 2 = 1) AS q
             FROM documents WHERE doc_id % 2 = 1 GROUP BY lang),
      jc AS (SELECT coalesce(p, {eps}) AS p, coalesce(q, {eps}) AS q
-            FROM f1 FULL OUTER JOIN f2 USING (k)),
+            FROM f1 FULL OUTER JOIN f2 ON f1.k IS NOT DISTINCT FROM f2.k),
      h1 AS (SELECT greatest(0, least(19, CAST(floor(n_chars / 30.0) AS INT))) AS b, count(*) AS n
             FROM documents WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL GROUP BY 1),
      h2 AS (SELECT greatest(0, least(19, CAST(floor(n_chars / 30.0) AS INT))) AS b, count(*) AS n

@@ -55,16 +55,42 @@ def psi_categorical(
     f2 = categorical_frequencies(df2, col).select(
         "category", F.col("freq").alias("q")
     )
-    j = f1.join(f2, on="category", how="full_outer").select(
-        "category",
-        F.coalesce("p", F.lit(EPS)).alias("p"),
-        F.coalesce("q", F.lit(EPS)).alias("q"),
+    # eqNullSafe: the NULL bucket is a real category here (drift in
+    # null-rate is drift) — a plain equi-join would put each side's
+    # NULL row on its own side of the full outer join and charge both
+    # against the epsilon floor, manufacturing a huge false PSI on a
+    # column with any null mass (psi_from_profiles already joins
+    # null-safe; the DuckDB twin uses IS NOT DISTINCT FROM)
+    j = f1.join(
+        f2, on=f1["category"].eqNullSafe(f2["category"]), how="full_outer"
+    ).select(
+        F.coalesce(f1["p"], F.lit(EPS)).alias("p"),
+        F.coalesce(f2["q"], F.lit(EPS)).alias("q"),
     )
     term = (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))
     return j.agg(
         F.round(F.sum(term), round_to).alias("psi"),
         F.count(F.lit(1)).alias("n_categories"),
     )
+
+
+def bucket_expr(col: Column, lo: float, hi: float, n_buckets: int) -> Column:
+    """THE fixed-width histogram bucket convention — floor((x-lo)/w)
+    clamped to the edge buckets — shared by numeric_histogram,
+    drift_profile and the fused stats pass so the three can never
+    drift apart. Pair with ``bucket_keep``: NaN must be filtered
+    BEFORE bucketing (NaN arithmetic would land it in an arbitrary
+    edge bucket and inflate its mass — same reasoning as the t-digest,
+    operators/sketch.py)."""
+    width = (hi - lo) / n_buckets
+    b = F.floor((col.cast("double") - F.lit(lo)) / F.lit(width)).cast("int")
+    return F.greatest(F.lit(0), F.least(F.lit(n_buckets - 1), b))
+
+
+def bucket_keep(col: Column) -> Column:
+    """Rows eligible for a histogram bucket: non-NULL and non-NaN.
+    The double cast makes isnan safe on integer columns."""
+    return col.isNotNull() & ~F.isnan(col.cast("double"))
 
 
 def numeric_histogram(
@@ -76,16 +102,14 @@ def numeric_histogram(
 ) -> DataFrame:
     """Fixed-width histogram of a numeric expression → (bucket, n, freq).
     Bucket 0..n_buckets-1 inside [lo, hi); values outside are clamped
-    to the edge buckets; NULLs are dropped. Fixed, data-independent
-    bucket edges make per-version histograms mergeable and
-    deterministic (no two-pass min/max needed at scale)."""
+    to the edge buckets; NULLs and NaNs are dropped. Fixed,
+    data-independent bucket edges make per-version histograms
+    mergeable and deterministic (no two-pass min/max needed at
+    scale)."""
     c = F.col(col) if isinstance(col, str) else col
-    width = (hi - lo) / n_buckets
-    b = F.floor((c.cast("double") - F.lit(lo)) / F.lit(width)).cast("int")
-    b = F.greatest(F.lit(0), F.least(F.lit(n_buckets - 1), b))
     counts = (
-        df.filter(c.isNotNull())
-        .groupBy(b.alias("bucket"))
+        df.filter(bucket_keep(c))
+        .groupBy(bucket_expr(c, lo, hi, n_buckets).alias("bucket"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
     return _with_freq(counts)
@@ -144,14 +168,11 @@ def drift_profile(
         )
     for name, (c, lo, hi, n_buckets) in numerics.items():
         col = F.col(c) if isinstance(c, str) else c
-        width = (hi - lo) / n_buckets
-        b = F.floor((col.cast("double") - F.lit(lo)) / F.lit(width)).cast("int")
-        b = F.greatest(F.lit(0), F.least(F.lit(n_buckets - 1), b))
         entries.append(
             F.struct(
                 F.lit(name).alias("kind"),
-                b.cast("string").alias("key"),
-                col.isNotNull().alias("keep"),
+                bucket_expr(col, lo, hi, n_buckets).cast("string").alias("key"),
+                bucket_keep(col).alias("keep"),
             )
         )
     counts = (

@@ -229,6 +229,14 @@ def row_diff(
     Unlimited rows, matching the reference (only exclusive-PK dumps
     carry a LIMIT); sorted by pk for determinism."""
     s1, s2, names = _canon_sides(df1, df2, pk, columns)
+    if not names:
+        # reduce(or_, []) would raise an opaque TypeError; say what's
+        # actually wrong (only-pk overlap, or columns naming nothing
+        # both sides share — _canon_sides drops unknown names)
+        raise ValueError(
+            "row_diff has no columns to compare: the tables share only "
+            f"the pk {pk!r} (or `columns` names nothing common to both)"
+        )
     s1 = s1.select(F.col(pk), *[F.col(n).alias(f"{n}__1") for n in names])
     s2 = s2.select(F.col(pk), *[F.col(n).alias(f"{n}__2") for n in names])
     j = s1.join(s2, on=pk, how="inner")

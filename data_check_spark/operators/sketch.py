@@ -326,9 +326,17 @@ def hll_partition_sketches(
     per (partition, column) from ONE groupBy(partition) scan. Values
     sketch in their canonical string domain (NULLs don't contribute).
     Persist with plans/audit.write_audit; merge with hll_merge."""
+    from data_check_spark.functions.canonical import canonical_string
+
     part = F.col(partition_col) if isinstance(partition_col, str) else partition_col
+    types = {f.name: f.dataType for f in df.schema.fields}
     aggs = [F.count(F.lit(1)).alias("_n")] + [
-        F.hll_sketch_agg(F.col(c).cast("string"), lg_k).alias(f"_s_{i}")
+        # canonical_string, NOT a plain cast: array ['a','b'] vs
+        # ['b','a'] must sketch as ONE value, matching the domain
+        # column_stats' approx_count_distinct and exact_distinct_counts
+        # count — otherwise stored-sketch estimates disagree with the
+        # suite's stats verdicts for the same column
+        F.hll_sketch_agg(canonical_string(F.col(c), types[c]), lg_k).alias(f"_s_{i}")
         for i, c in enumerate(cols)
     ]
     wide = df.groupBy(part.cast("string").alias("partition")).agg(*aggs)

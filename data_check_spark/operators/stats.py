@@ -221,13 +221,16 @@ def partition_stats_pass(
     numeric_hists = numeric_hists or {}
     base = df
     if numeric_hists:
+        from data_check_spark.operators.drift import bucket_expr, bucket_keep
+
         bucket_cols = []
         for name, (c, lo, hi, nb) in numeric_hists.items():
             col = F.col(c) if isinstance(c, str) else c
-            width = (hi - lo) / nb
-            b = F.floor((col.cast("double") - F.lit(lo)) / F.lit(width)).cast("int")
-            b = F.greatest(F.lit(0), F.least(F.lit(nb - 1), b))
-            bucket_cols.append(F.when(col.isNotNull(), b).alias(f"_b_{name}"))
+            bucket_cols.append(
+                F.when(bucket_keep(col), bucket_expr(col, lo, hi, nb)).alias(
+                    f"_b_{name}"
+                )
+            )
         base = df.select("*", *bucket_cols)
     hist_aggs = []
     for name, (_, _, _, nb) in numeric_hists.items():
@@ -386,7 +389,12 @@ def _verdicts_from_per_part(
                     F.lit("min_avg_tokens").alias("check"),
                     F.col("avg_tokens").alias("metric"),
                     F.lit(float(th["min_avg_tokens"])).alias("threshold"),
-                    (F.col("avg_tokens") >= th["min_avg_tokens"]).alias("passed"),
+                    # fail-closed like avg_bytes/quantiles: a NULL
+                    # metric (all-NULL texts, or the threshold aimed
+                    # at a non-string column) must FAIL the gate
+                    F.coalesce(
+                        F.col("avg_tokens") >= th["min_avg_tokens"], F.lit(False)
+                    ).alias("passed"),
                 )
             )
         if "max_avg_tokens" in th:
@@ -398,7 +406,9 @@ def _verdicts_from_per_part(
                     F.lit("max_avg_tokens").alias("check"),
                     F.col("avg_tokens").alias("metric"),
                     F.lit(float(th["max_avg_tokens"])).alias("threshold"),
-                    (F.col("avg_tokens") <= th["max_avg_tokens"]).alias("passed"),
+                    F.coalesce(
+                        F.col("avg_tokens") <= th["max_avg_tokens"], F.lit(False)
+                    ).alias("passed"),
                 )
             )
         if "min_avg_bytes" in th:

@@ -34,6 +34,29 @@ def test_psi_categorical_known_value(spark):
     assert psi == pytest.approx(expected, abs=1e-6)
 
 
+def test_psi_categorical_null_bucket_is_one_category(spark):
+    """The NULL bucket must match itself across versions (eqNullSafe):
+    two IDENTICAL half-NULL distributions are zero drift, not a huge
+    false PSI from each side's NULL row hitting the epsilon floor."""
+    df = spark.createDataFrame(
+        [("a",), (None,), ("a",), (None,)], "lang string"
+    )
+    row = psi_categorical(df, df, "lang").collect()[0]
+    assert row["psi"] == pytest.approx(0.0, abs=1e-9)
+    assert row["n_categories"] == 2  # 'a' + the NULL bucket, once each
+
+
+def test_numeric_histogram_drops_nan(spark):
+    """NaN passes isNotNull but must not land in an edge bucket and
+    inflate its mass (a 0/0 ratio feature would fire false drift)."""
+    df = spark.createDataFrame(
+        [(1.0,), (float("nan"),), (5.0,)], "v double"
+    )
+    rows = {r["bucket"]: r["n"] for r in numeric_histogram(df, "v", 0, 10, 5).collect()}
+    assert sum(rows.values()) == 2  # NaN dropped, like NULL
+    assert rows.get(0) == 1 and rows.get(2) == 1
+
+
 def test_numeric_histogram_clamps_and_drops_nulls(spark):
     df = spark.createDataFrame([(x,) for x in [-5.0, 0.0, 5.0, 99.0, None]], "v double")
     rows = {r["bucket"]: r["n"] for r in numeric_histogram(df, "v", 0, 10, 10).collect()}

@@ -109,6 +109,17 @@ def test_row_diff_nullsafe_mode(t1, t2):
     assert [r["A"] for r in d.collect()] == [2, 4, 5]
 
 
+def test_row_diff_no_comparable_columns_raises(spark):
+    """Only-pk overlap (or columns naming nothing common) is a clear
+    error, not reduce()'s opaque 'empty iterable' TypeError."""
+    import pytest as _pytest
+
+    a = spark.createDataFrame([(1, "x")], "A long, only_in_a string")
+    b = spark.createDataFrame([(1, "y")], "A long, only_in_b string")
+    with _pytest.raises(ValueError, match="no columns to compare"):
+        row_diff(a, b, "A")
+
+
 def test_array_canonicalization(spark):
     """Arrays compare order- and duplicate-insensitively
     (ref models/table.py:96-102)."""

@@ -79,6 +79,22 @@ def test_hll_sketches_union_matches_direct_and_bounds(spark):
     assert est == re7
 
 
+def test_hll_sketches_canonical_domain(spark):
+    """Array values sketch in their CANONICAL string domain: ['a','b']
+    and ['b','a'] are one value, matching what column_stats'
+    distinct paths count — not the raw cast's render order."""
+    from data_check_spark.operators.sketch import hll_estimates, hll_partition_sketches
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, ["b", "a"]), (3, ["c"])],
+        "id long, tags array<string>",
+    ).selectExpr("'*' AS part", "tags")
+    est = hll_estimates(
+        hll_partition_sketches(df, "part", ["tags"]), per_partition=False
+    ).collect()[0]["n_distinct_est"]
+    assert est == 2  # {a,b} once + {c}; a plain cast would count 3
+
+
 def test_hll_incremental_merge_without_rescan(spark, tmp_path):
     """The audit story: run 1 sketches partitions A,B; run 2 sketches
     only C and unions with the STORED rows — the combined estimate

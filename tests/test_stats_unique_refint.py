@@ -51,6 +51,21 @@ def test_partition_verdicts(df):
     assert rows[("p2", "*", "all")]["passed"]
 
 
+def test_avg_tokens_gate_fails_closed_on_null_metric(spark):
+    """An all-NULL text column has NULL avg_tokens — the token gate
+    must FAIL (like avg_bytes/quantiles), not emit passed=NULL that
+    neither the summary count_if nor filter(~passed) catches."""
+    d = spark.createDataFrame(
+        [("p0", None), ("p0", None)], "part string, txt string"
+    )
+    v = partition_stats_verdicts(
+        d, "part", {"txt": {"min_avg_tokens": 5.0}}, approx=False
+    )
+    rows = {(r["column"], r["check"]): r for r in v.collect()}
+    assert rows[("txt", "min_avg_tokens")]["passed"] is False
+    assert rows[("*", "all")]["passed"] is False
+
+
 def test_uniqueness(df):
     viol = uniqueness_violations(df, "k", salted=True).collect()
     assert [(r["key_value"], r["n"]) for r in viol] == [("b", 2)]
