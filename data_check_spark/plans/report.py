@@ -38,12 +38,18 @@ def paginate(
     ``order_by`` must give a deterministic total order (include a
     unique key) — otherwise pages can overlap between calls, the same
     trap as any OFFSET pagination. Page size choices mirror the
-    reference's selectbox; page numbers below 1 clamp to 1 like its
-    number_input's min_value.
+    reference's selectbox; page numbers clamp to [1, page count] like
+    its number_input (an out-of-range request shows the last page,
+    never a blank one). The upper clamp costs one count() job — paid
+    only for page > 1, and report frames are bounded (violation
+    dumps carry LIMITs).
     """
     if page_size not in PAGE_SIZES:
         raise ValueError(f"page_size must be one of {PAGE_SIZES}, got {page_size}")
     page = max(1, int(page))
+    if page > 1:
+        n = df.count()
+        page = min(page, max(1, -(-n // page_size)))
     cols = [order_by] if isinstance(order_by, str) else list(order_by)
     return df.orderBy(*cols).offset((page - 1) * page_size).limit(page_size)
 

@@ -666,6 +666,18 @@ class CheckSuite:
                 cached.append(all_parts)
             return all_parts
 
+        def join_all_parts(per_part: DataFrame) -> DataFrame:
+            # NULL-SAFE left join: a NULL partition's violation counts
+            # must land on its all_parts row — plain "partition"
+            # equality never matches NULL=NULL, so the coalesce below
+            # would turn real violations into metric 0.0 / passed=True
+            ap = get_all_parts()
+            return ap.join(
+                per_part,
+                ap["partition"].eqNullSafe(per_part["partition"]),
+                "left",
+            ).drop(per_part["partition"])
+
         # drift checks against the shared reference_df are FUSED into
         # one profile scan per table (drift.drift_profile) — a suite
         # with lang-frequency and text-length drift costs 2 scans
@@ -714,6 +726,20 @@ class CheckSuite:
         nums = {c.name: (c.expr(), c.lo, c.hi, c.n_buckets) for c in fused_num}
         nums.update({c.name: (c.expr(), c.lo, c.hi, c.n_buckets) for c in fused_ks})
         cats = {c.column: F.col(c.column) for c in fused_cat}
+        # the fused drift profile keys BOTH kinds in one `kind`
+        # namespace (drift.drift_profile) — a categorical column and a
+        # numeric check name colliding would merge category values and
+        # histogram buckets into one frequency table, corrupting both
+        profile_cols_early = [
+            c.column for c in self.checks if isinstance(c, ProfileCheck)
+        ]
+        cross = (set(cats) | set(profile_cols_early)) & set(nums)
+        if cross:
+            raise ValueError(
+                f"drift checks share the profile namespace {sorted(cross)}: "
+                "a CategoricalDriftCheck/ProfileCheck column must not equal "
+                "a numeric drift check's name — rename the numeric check"
+            )
         profile_checks = [c for c in self.checks if isinstance(c, ProfileCheck)]
         prof_cols = [c.column for c in profile_checks]
         if len(set(prof_cols)) != len(prof_cols):
@@ -787,6 +813,24 @@ class CheckSuite:
             )
         fp_check = fp_checks[0] if fp_checks else None
         fingerprints: DataFrame | None = None
+
+        # same silent-overwrite hazard the expr/compare/profile guards
+        # close: these kinds key their violation dumps (and, for the
+        # digest check, the persisted digest rows) by key/name
+        for kind, keys in (
+            ("uniqueness", [c.key for c in self.checks
+                            if isinstance(c, UniquenessCheck)]),
+            ("referential", [c.name for c in self.checks
+                             if isinstance(c, ReferentialCheck)]),
+            ("ks-digest drift", [c.name for c in self.checks
+                                 if isinstance(c, KSDigestDriftCheck)]),
+        ):
+            if len(set(keys)) != len(keys):
+                dup = sorted({k for k in keys if keys.count(k) > 1})
+                raise ValueError(
+                    f"{kind} checks must have unique keys/names (violation "
+                    f"dumps are keyed by them): duplicates {dup}"
+                )
 
         expr_checks = [c for c in self.checks if isinstance(c, ExprCheck)]
         expr_names = [c.name for c in expr_checks]
@@ -1322,7 +1366,7 @@ class CheckSuite:
                     F.count(F.lit(1)).cast("double").alias("metric")
                 )
                 v = (
-                    get_all_parts().join(per_part, "partition", "left")
+                    join_all_parts(per_part)
                     .select(
                         "partition",
                         F.lit(chk.key).alias("column"),
@@ -1344,7 +1388,7 @@ class CheckSuite:
                     F.count(F.lit(1)).cast("double").alias("metric")
                 )
                 v = (
-                    get_all_parts().join(per_part, "partition", "left")
+                    join_all_parts(per_part)
                     .select(
                         "partition",
                         F.lit(chk.determinant).alias("column"),
@@ -1366,7 +1410,7 @@ class CheckSuite:
                 per_part = per_key.groupBy("partition").agg(
                     F.sum("n").cast("double").alias("metric")
                 )
-                v = get_all_parts().join(per_part, "partition", "left").select(
+                v = join_all_parts(per_part).select(
                     "partition",
                     F.lit(chk.name).alias("column"),
                     F.lit("refint").alias("check"),
@@ -1788,7 +1832,14 @@ class CheckSuite:
         pending = manifest.pending(all_parts)
         if not pending:
             return None
-        scoped = df.filter(part_s.isin(pending))
+        # isin never matches NULL: a NULL partition in `pending` needs
+        # its own predicate, or its rows are silently excluded from
+        # every check while the loop below still marks it complete —
+        # permanently skipping them from validation (fail-open)
+        scope_pred = part_s.isin([p for p in pending if p is not None])
+        if any(p is None for p in pending):
+            scope_pred = scope_pred | part_s.isNull()
+        scoped = df.filter(scope_pred)
         # drift and compare checks are global (partition='*'): run them
         # over the UNFILTERED table so a resumed run reports the same
         # verdict as an uninterrupted one — scoping them to pending
@@ -1900,7 +1951,11 @@ class CheckSuite:
                     "fp_hi": str(r["fp_hi"]),
                 }
         for p in pending:
-            manifest.mark_complete(p, run_id, summary.get(str(p), summary.get("*", {})))
+            # verdict rows key the NULL partition as None, not "None"
+            manifest.mark_complete(
+                p, run_id,
+                summary.get(str(p), summary.get(p, summary.get("*", {}))),
+            )
         return result
 
 

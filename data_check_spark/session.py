@@ -82,6 +82,19 @@ def run_with_timeout(spark: SparkSession, action, timeout_sec: float = 900.0):
     t.join(timeout_sec)
     if t.is_alive():
         spark.sparkContext.cancelJobGroup(group)
+
+        def keep_cancelling() -> None:
+            # the Python thread cannot be killed, and a multi-job
+            # action resumes after the first cancel and submits its
+            # NEXT job outside the cancelled set — re-cancel until the
+            # thread actually exits so a timed-out action cannot keep
+            # consuming the cluster behind the caller's back
+            while t.is_alive():
+                t.join(5.0)
+                if t.is_alive():
+                    spark.sparkContext.cancelJobGroup(group)
+
+        threading.Thread(target=keep_cancelling, daemon=True).start()
         raise TimeoutError(f"action exceeded {timeout_sec}s; job group {group} cancelled")
     if error:
         raise error[0]

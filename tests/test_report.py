@@ -25,6 +25,15 @@ def test_paginate_clamps_and_validates(spark, frame):
         paginate(frame, "k", page=1, page_size=33)
 
 
+def test_paginate_out_of_range_shows_last_page(spark, frame):
+    """Reference parity (streamlit number_input clamps to the page
+    count): page 99 of 6 shows the last page, never a blank one."""
+    last = paginate(frame, "k", page=6, page_size=25).collect()
+    beyond = paginate(frame, "k", page=99, page_size=25).collect()
+    assert beyond == last
+    assert len(last) == 137 - 5 * 25
+
+
 def test_sort_report(spark, frame):
     top = sort_report(frame, "k", ascending=False).limit(3).collect()
     assert [r["k"] for r in top] == [136, 135, 134]

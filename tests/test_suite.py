@@ -104,6 +104,52 @@ def test_suite_with_drift(spark, pages, suite):
     assert ok.verdicts.collect()[0]["passed"]
 
 
+def test_null_partition_is_validated_and_resumed(spark, tmp_path):
+    """A NULL partition is a real partition: its rows reach the
+    checks (not silently excluded by isin), its duplicate keys FAIL
+    the uniqueness verdict (null-safe verdict join), and the manifest
+    completes it so a rerun is a no-op — never a permanent skip."""
+    rows = [
+        ("d1", "u1"), ("d1", "u2"),
+        (None, "dup"), (None, "dup"), (None, "u3"),  # dups in NULL part
+    ]
+    df = spark.createDataFrame(rows, "part string, url string")
+    s = CheckSuite([UniquenessCheck(key="url", max_duplicate_keys=0)])
+    man = Manifest(str(tmp_path / "m_null"))
+    res = s.run_resumable(
+        spark, df, "part", man, audit_path=str(tmp_path / "audit_null")
+    )
+    v = {r["partition"]: r for r in
+         res.verdicts.filter("check = 'unique'").collect()}
+    assert set(v) == {"d1", None}
+    assert v["d1"]["passed"]
+    assert v[None]["passed"] is False and v[None]["metric"] == 1.0
+    # manifest covers the NULL partition; rerun has nothing pending
+    assert set(man.completed()) == {"d1", "None"}
+    assert s.run_resumable(
+        spark, df, "part", man, audit_path=str(tmp_path / "audit_null")
+    ) is None
+
+
+def test_drift_namespace_collision_rejected(spark, pages):
+    from data_check_spark.plans.suite import NumericDriftCheck
+
+    s = CheckSuite([
+        CategoricalDriftCheck(column="lang", max_psi=0.2),
+        NumericDriftCheck(name="lang", expr=lambda: F.length("text"),
+                          lo=0, hi=600, n_buckets=20, max_psi=0.2),
+    ])
+    with pytest.raises(ValueError, match="profile namespace"):
+        s.run(spark, pages, "warc_day", reference_df=pages)
+
+
+def test_duplicate_check_keys_rejected(spark, pages):
+    with pytest.raises(ValueError, match="unique keys/names"):
+        CheckSuite([
+            UniquenessCheck(key="url"), UniquenessCheck(key="url"),
+        ]).run(spark, pages, "warc_day")
+
+
 def test_manifest_colliding_partition_names(tmp_path):
     """Sanitizing alone would map '2024/01' and '2024_01' onto ONE
     file — the second mark would destroy the first's record and its
