@@ -126,8 +126,6 @@ def minhash_signature(shingles: Column, num_hashes: int = 32, seed: int = 42) ->
     of num_hashes passes over the shingle array. Arithmetic is kept
     under 2^62 (h reduced mod p first) so ANSI-mode overflow checks
     never trip. Empty shingle sets yield NULL mins."""
-    import random
-
     base = shingle_base_hashes(shingles)
     return minhash_from_base(base, num_hashes, seed)
 
@@ -490,7 +488,7 @@ def cross_doc_ngram_duplicates(
     overcount a shared gram, at ~n_grams²/2⁶⁴ probability)."""
     if hash_fn not in ("md5", "xxhash64"):
         raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
-    words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0)
+    words = _words(F.col(text_col))
     gram_hash = (
         (lambda g: F.md5(g.cast("binary")))
         if hash_fn == "md5"
@@ -532,7 +530,7 @@ def _gram_hash_frame(df: DataFrame, id_col: str, text_col: str, n: int, hash_fn:
     one DuckDB recipe oracles both."""
     if hash_fn not in ("md5", "xxhash64"):
         raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
-    words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0)
+    words = _words(F.col(text_col))
     gram_hash = (
         (lambda g: F.md5(g.cast("binary"))) if hash_fn == "md5" else F.xxhash64
     )

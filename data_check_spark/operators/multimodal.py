@@ -92,6 +92,10 @@ def extract_media_metadata(
     Spark plumbing — schema, batch shape, blob projection — is
     identical for all three.
     """
+    if decoder not in ("pil", "stub", "auto"):
+        # a typo ('PIL', 'pillow') must not silently fall through to
+        # the stub and return fabricated metadata labeled ok=True
+        raise ValueError(f"decoder must be 'pil', 'stub' or 'auto', got {decoder!r}")
     if decoder == "pil" and not HAVE_PIL:
         raise ImportError("decoder='pil' requires Pillow")
     decode = _decode_image_pil if (decoder == "pil" or (decoder == "auto" and HAVE_PIL)) else _decode_image_stub
@@ -99,15 +103,18 @@ def extract_media_metadata(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            blobs = pdf[blob_col]
+            # ONE bytes() materialization per blob (it copies the
+            # whole payload — doing it again for byte_len doubled the
+            # memcpy of every media payload in the hot pass)
+            raw = [None if b is None else bytes(b) for b in pdf[blob_col]]
             metas = [
-                (None, None, None, False) if b is None else (*decode(bytes(b)), True)
-                for b in blobs
+                (None, None, None, False) if b is None else (*decode(b), True)
+                for b in raw
             ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
-                    "byte_len": [len(bytes(b)) if b is not None else None for b in blobs],
+                    "byte_len": [len(b) if b is not None else None for b in raw],
                     "format": [m[0] for m in metas],
                     "width": [m[1] for m in metas],
                     "height": [m[2] for m in metas],

@@ -67,6 +67,14 @@ def interval_join(
             f"point/interval column names overlap: {sorted(overlap)} — "
             "rename one side before joining"
         )
+    taken = {"_b"} & (set(points.columns) | set(intervals.columns))
+    if taken:
+        # withColumn('_b', ...) would silently REPLACE a user column
+        # of that name (and the final drop removes it entirely)
+        raise ValueError(
+            "column name '_b' is reserved by interval_join's bucket "
+            "stage — rename it before joining"
+        )
     w = float(bucket_width)
 
     p = points.withColumn(

@@ -21,7 +21,11 @@ SCHEMA_DIFF_SCHEMA = (
 
 
 def _is_unsupported(dtype: T.DataType) -> bool:
-    # Reference drops RECORD/STRUCT columns (models/table.py:104-110).
+    # Reference drops RECORD/STRUCT columns (models/table.py:104-110) —
+    # including REPEATED RECORD, whose Spark rendering is
+    # array<struct<...>>, so the element type must be checked too
+    if isinstance(dtype, T.ArrayType):
+        return _is_unsupported(dtype.elementType)
     return isinstance(dtype, (T.StructType, T.MapType))
 
 

@@ -76,12 +76,17 @@ def brute_force_topk(
     rank). Queries are broadcast (map-side nested-loop join — zero
     shuffle of the candidate table); ties broken by neighbor id so
     results are deterministic."""
+    # NULL vectors filtered on both sides — same hazard ivf_topk
+    # documents (one NULL makes the Arrow batch a ragged object array
+    # and fails the stage)
     q = F.broadcast(
-        queries.select(
+        queries.filter(F.col(vec_col).isNotNull()).select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
         )
     )
-    c = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    c = embeddings.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
     j = q.crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id"))
     cos = (
         _cosine_pandas(F.col("_qv"), F.col("_cv"))
@@ -188,8 +193,10 @@ def lsh_topk(
     (id, band, bits, vec). Recall ≥0.9 vs brute_force_topk is asserted
     in tests."""
     bits = hyperplane_bits_udf(dim, n_planes, seed)
+    # NULL vectors filtered on both sides (the ivf_topk hazard: one
+    # NULL rags the Arrow batch and fails the stage)
     c = _banded(
-        embeddings.select(
+        embeddings.filter(F.col(vec_col).isNotNull()).select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("_cv"),
             bits(F.col(vec_col)).alias("_bits"),
@@ -198,7 +205,7 @@ def lsh_topk(
     )
     q = F.broadcast(
         _banded(
-            queries.select(
+            queries.filter(F.col(vec_col).isNotNull()).select(
                 F.col(id_col).alias("query_id"),
                 F.col(vec_col).alias("_qv"),
                 bits(F.col(vec_col)).alias("_bits"),
@@ -457,7 +464,7 @@ def cosine_near_duplicates(
     MinHash path)."""
     bits = hyperplane_bits_udf(dim, n_planes, seed)
     v = _banded(
-        embeddings.select(
+        embeddings.filter(F.col(vec_col).isNotNull()).select(
             F.col(id_col).alias("_id"),
             F.col(vec_col).alias("_v"),
             bits(F.col(vec_col)).alias("_bits"),

@@ -160,6 +160,30 @@ def test_brute_force_topk(vectors):
     assert [r["rank"] for r in top] == [1, 2, 3]
 
 
+def test_null_vectors_filtered_everywhere(spark, vectors):
+    """One NULL embedding must not kill the Arrow stage (ragged object
+    array) in ANY of the three non-IVF operators — same guard ivf_topk
+    already carries."""
+    from data_check_spark.operators.similarity import (
+        cosine_near_duplicates,
+        lsh_topk,
+    )
+
+    withnull = vectors.unionByName(
+        spark.createDataFrame(
+            [(999, None)], "vec_id bigint, embedding array<double>"
+        )
+    )
+    q = withnull.filter(F.col("vec_id").isin(0, 999))
+    bf = brute_force_topk(withnull, q, k=3).collect()
+    assert {r["query_id"] for r in bf} == {0}  # NULL query dropped
+    assert all(r["neighbor_id"] != 999 for r in bf)
+    lsh = lsh_topk(withnull, q, dim=16, k=3).collect()
+    assert {r["query_id"] for r in lsh} == {0}
+    nd = cosine_near_duplicates(withnull, dim=16, threshold=0.99).collect()
+    assert all(999 not in (r["id_a"], r["id_b"]) for r in nd)
+
+
 def test_jvm_and_pandas_cosine_agree(vectors):
     q = vectors.filter(F.col("vec_id") == 0)
     a = brute_force_topk(vectors, q, k=5, use_pandas_udf=True).collect()

@@ -107,6 +107,15 @@ def test_overlapping_names_rejected(frames):
         interval_join(points, intervals, "ts", "start_ts", "end_ts", bucket_width=10)
 
 
+def test_reserved_bucket_name_rejected(frames):
+    points, intervals = frames
+    with pytest.raises(ValueError, match="reserved"):
+        interval_join(
+            points, intervals.withColumnRenamed("k", "_b"),
+            "ts", "start_ts", "end_ts", bucket_width=10,
+        )
+
+
 def test_bad_args(frames):
     points, intervals = frames
     with pytest.raises(ValueError, match="bounds"):

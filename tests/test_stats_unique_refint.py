@@ -111,6 +111,14 @@ def test_struct_excluded_in_reference_mode(spark):
     assert [n for n, _ in common_columns(a, b, reference_mode=False)] == ["A", "E"]
     d = {r["column"]: r["status"] for r in schema_diff(spark, a, b).collect()}
     assert d["E"] == "unsupported"
+    # REPEATED RECORD (BigQuery's array-of-struct) is also unsupported
+    c1 = spark.createDataFrame([(1, [(1, "s")])],
+                               "A bigint, R array<struct<x:bigint,y:string>>")
+    c2 = spark.createDataFrame([(1, [(1, "s")])],
+                               "A bigint, R array<struct<x:bigint,y:string>>")
+    assert [n for n, _ in common_columns(c1, c2, reference_mode=True)] == ["A"]
+    d2 = {r["column"]: r["status"] for r in schema_diff(spark, c1, c2).collect()}
+    assert d2["R"] == "unsupported"
 
 
 def test_exact_distinct_counts_single_job(spark):

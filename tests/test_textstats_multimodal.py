@@ -96,6 +96,17 @@ def test_media_metadata(spark):
     assert {f["doc_id"] for f in frames} == {1, 2, 3}
 
 
+def test_decoder_typo_rejected(spark):
+    """'PIL'/'pillow' typos must not silently pick the stub and return
+    fabricated metadata labeled ok=True."""
+    from data_check_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame([(1, bytearray(b"x"))], "doc_id long, blob binary")
+    for bad in ("PIL", "pillow", "real"):
+        with pytest.raises(ValueError, match="decoder"):
+            mm.extract_media_metadata(df, decoder=bad)
+
+
 def test_decoder_pil_gated(spark):
     """decoder='pil' decodes a real PNG header behind the same
     mapInPandas contract (skips where Pillow is absent); the stub
