@@ -847,6 +847,26 @@ def _q_neardup_strip(spark, sf_dir):
     return kept.select("doc_id", "lang", "n_chars")
 
 
+def _planted_scar_text():
+    """THE planted encoding-scar expression (U+FFFD at doc_id%7==3,
+    mojibake digraph at %11==5, C0 control at %13==6) — shared by
+    encoding_scan and quarantine_encoding so their 'same planted
+    scars' contract cannot drift; the DuckDB twins replicate the
+    identical construction."""
+    return F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 3, F.lit("\ufffd")
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 5, F.lit("\u00c3\u00a9")
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 13 == 6, F.lit("\u0001")
+        ).otherwise(F.lit("")),
+    )
+
+
 def _q_encoding_scan(spark, sf_dir):
     """Encoding-artifact scan (functions/textstats.py): per-doc counts
     of U+FFFD replacement chars, UTF-8-as-Latin-1 mojibake digraphs
@@ -866,18 +886,7 @@ def _q_encoding_scan(spark, sf_dir):
     )
 
     d = _t(spark, sf_dir, "documents")
-    planted = F.concat(
-        F.col("text"),
-        F.when(
-            F.col("doc_id") % 7 == 3, F.lit("\ufffd")
-        ).otherwise(F.lit("")),
-        F.when(
-            F.col("doc_id") % 11 == 5, F.lit("\u00c3\u00a9")
-        ).otherwise(F.lit("")),
-        F.when(
-            F.col("doc_id") % 13 == 6, F.lit("\u0001")
-        ).otherwise(F.lit("")),
-    )
+    planted = _planted_scar_text()
     p = d.select("doc_id", planted.alias("_t"))
     return p.select(
         "doc_id",
@@ -1787,18 +1796,7 @@ def _q_quarantine_encoding(spark, sf_dir):
     from data_check_spark.operators.quarantine import encoding_rules, route_rows
 
     d = _t(spark, sf_dir, "documents")
-    planted = F.concat(
-        F.col("text"),
-        F.when(
-            F.col("doc_id") % 7 == 3, F.lit("\ufffd")
-        ).otherwise(F.lit("")),
-        F.when(
-            F.col("doc_id") % 11 == 5, F.lit("\u00c3\u00a9")
-        ).otherwise(F.lit("")),
-        F.when(
-            F.col("doc_id") % 13 == 6, F.lit("\u0001")
-        ).otherwise(F.lit("")),
-    )
+    planted = _planted_scar_text()
     d = d.select(
         "doc_id",
         F.when(F.col("doc_id") % 23 == 5, F.lit(None).cast("string"))
@@ -2387,6 +2385,44 @@ SELECT doc_id,
   END AS lang_guess
 FROM documents"""
 
+
+
+# THE exact-Jaccard pair + recursive connected-components CTE chain
+# shared by dup_clusters / neardup_strip / cluster_incremental /
+# suite_neardup_verdicts: ONE definition of the planted-duplicate
+# corpus, the 3-gram shingle set, the inverted-index pair Jaccard
+# (threshold 0.8) and the min-id component labels, so the four
+# oracles that promise "the same pair/component derivation" cannot
+# drift apart (the _VERSIONS_CTE / _LM_SELF_SQL_CTES precedent).
+_JACCARD_COMPONENTS_CTES = r"""WITH RECURSIVE docs AS (
+  SELECT * FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 10 = 0
+),
+w AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws FROM docs WHERE text IS NOT NULL),
+g AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, len(ws) - 1),
+                                          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+      FROM w WHERE len(ws) >= 3),
+n AS (SELECT doc_id, len(sh) AS n FROM g),
+t AS (SELECT doc_id, unnest(sh) AS tok FROM g),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+j AS (SELECT id_a, id_b,
+             round(inter * 1.0 / nullif(na.n + nb.n - inter, 0), 6) AS jaccard
+      FROM p JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b),
+e AS (SELECT id_a AS a, id_b AS b FROM j WHERE jaccard >= 0.8
+      UNION
+      SELECT id_b AS a, id_a AS b FROM j WHERE jaccard >= 0.8),
+nodes AS (SELECT DISTINCT a AS node FROM e),
+reach AS (
+  SELECT node, node AS r FROM nodes
+  UNION
+  SELECT e.b AS node, reach.r FROM reach JOIN e ON e.a = reach.node
+),
+comp AS (SELECT node AS id, min(r) AS component FROM reach GROUP BY node)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2991,71 +3027,13 @@ SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.8""",
         # min-reachable-id per node via a recursive CTE — the
         # declarative twin of the large-star/small-star labels
         # (component = min id in component on both engines)
-        "dup_clusters": r"""
-WITH RECURSIVE docs AS (
-  SELECT * FROM documents
-  UNION ALL
-  SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
-  FROM documents WHERE doc_id % 10 = 0
-),
-w AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws FROM docs WHERE text IS NOT NULL),
-g AS (SELECT doc_id,
-             list_distinct(list_transform(range(1, len(ws) - 1),
-                                          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
-      FROM w WHERE len(ws) >= 3),
-n AS (SELECT doc_id, len(sh) AS n FROM g),
-t AS (SELECT doc_id, unnest(sh) AS tok FROM g),
-p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-      FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
-      GROUP BY 1, 2),
-j AS (SELECT id_a, id_b,
-             round(inter * 1.0 / nullif(na.n + nb.n - inter, 0), 6) AS jaccard
-      FROM p JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b),
-e AS (SELECT id_a AS a, id_b AS b FROM j WHERE jaccard >= 0.8
-      UNION
-      SELECT id_b AS a, id_a AS b FROM j WHERE jaccard >= 0.8),
-nodes AS (SELECT DISTINCT a AS node FROM e),
-reach AS (
-  SELECT node, node AS r FROM nodes
-  UNION
-  SELECT e.b AS node, reach.r FROM reach JOIN e ON e.a = reach.node
-),
-comp AS (SELECT node AS id, min(r) AS component FROM reach GROUP BY node),
+        "dup_clusters": _JACCARD_COMPONENTS_CTES + r""",
 sizes AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
 SELECT c.id, c.component, (c.id = c.component) AS is_exemplar, s.cluster_size
 FROM comp c JOIN sizes s USING (component)
 ORDER BY c.id""",
         # same components CTE as dup_clusters; keep = unclustered OR exemplar
-        "neardup_strip": r"""
-WITH RECURSIVE docs AS (
-  SELECT * FROM documents
-  UNION ALL
-  SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
-  FROM documents WHERE doc_id % 10 = 0
-),
-w AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws FROM docs WHERE text IS NOT NULL),
-g AS (SELECT doc_id,
-             list_distinct(list_transform(range(1, len(ws) - 1),
-                                          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
-      FROM w WHERE len(ws) >= 3),
-n AS (SELECT doc_id, len(sh) AS n FROM g),
-t AS (SELECT doc_id, unnest(sh) AS tok FROM g),
-p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-      FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
-      GROUP BY 1, 2),
-j AS (SELECT id_a, id_b,
-             round(inter * 1.0 / nullif(na.n + nb.n - inter, 0), 6) AS jaccard
-      FROM p JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b),
-e AS (SELECT id_a AS a, id_b AS b FROM j WHERE jaccard >= 0.8
-      UNION
-      SELECT id_b AS a, id_a AS b FROM j WHERE jaccard >= 0.8),
-nodes AS (SELECT DISTINCT a AS node FROM e),
-reach AS (
-  SELECT node, node AS r FROM nodes
-  UNION
-  SELECT e.b AS node, reach.r FROM reach JOIN e ON e.a = reach.node
-),
-comp AS (SELECT node AS id, min(r) AS component FROM reach GROUP BY node)
+        "neardup_strip": _JACCARD_COMPONENTS_CTES + r"""
 SELECT d.doc_id, d.lang, d.n_chars
 FROM docs d LEFT JOIN comp c ON c.id = d.doc_id
 WHERE c.id IS NULL OR c.id = c.component""",
@@ -3088,69 +3066,11 @@ SELECT doc_id, n_replacement, n_mojibake, n_control,
 FROM m""",
         # the incremental path must land on the FULL recompute: same
         # components CTE as dup_clusters, labels only
-        "cluster_incremental": r"""
-WITH RECURSIVE docs AS (
-  SELECT * FROM documents
-  UNION ALL
-  SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
-  FROM documents WHERE doc_id % 10 = 0
-),
-w AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws FROM docs WHERE text IS NOT NULL),
-g AS (SELECT doc_id,
-             list_distinct(list_transform(range(1, len(ws) - 1),
-                                          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
-      FROM w WHERE len(ws) >= 3),
-n AS (SELECT doc_id, len(sh) AS n FROM g),
-t AS (SELECT doc_id, unnest(sh) AS tok FROM g),
-p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-      FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
-      GROUP BY 1, 2),
-j AS (SELECT id_a, id_b,
-             round(inter * 1.0 / nullif(na.n + nb.n - inter, 0), 6) AS jaccard
-      FROM p JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b),
-e AS (SELECT id_a AS a, id_b AS b FROM j WHERE jaccard >= 0.8
-      UNION
-      SELECT id_b AS a, id_a AS b FROM j WHERE jaccard >= 0.8),
-nodes AS (SELECT DISTINCT a AS node FROM e),
-reach AS (
-  SELECT node, node AS r FROM nodes
-  UNION
-  SELECT e.b AS node, reach.r FROM reach JOIN e ON e.a = reach.node
-),
-comp AS (SELECT node AS id, min(r) AS component FROM reach GROUP BY node)
+        "cluster_incremental": _JACCARD_COMPONENTS_CTES + r"""
 SELECT id, component FROM comp ORDER BY id""",
         # the suite's near-dup MASS verdict re-derived: same pair +
         # component derivation, then non-exemplar count / count(doc_id)
-        "suite_neardup_verdicts": r"""
-WITH RECURSIVE docs AS (
-  SELECT * FROM documents
-  UNION ALL
-  SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
-  FROM documents WHERE doc_id % 10 = 0
-),
-w AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws FROM docs WHERE text IS NOT NULL),
-g AS (SELECT doc_id,
-             list_distinct(list_transform(range(1, len(ws) - 1),
-                                          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
-      FROM w WHERE len(ws) >= 3),
-n AS (SELECT doc_id, len(sh) AS n FROM g),
-t AS (SELECT doc_id, unnest(sh) AS tok FROM g),
-p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-      FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
-      GROUP BY 1, 2),
-j AS (SELECT id_a, id_b,
-             round(inter * 1.0 / nullif(na.n + nb.n - inter, 0), 6) AS jaccard
-      FROM p JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b),
-e AS (SELECT id_a AS a, id_b AS b FROM j WHERE jaccard >= 0.8
-      UNION
-      SELECT id_b AS a, id_a AS b FROM j WHERE jaccard >= 0.8),
-nodes AS (SELECT DISTINCT a AS node FROM e),
-reach AS (
-  SELECT node, node AS r FROM nodes
-  UNION
-  SELECT e.b AS node, reach.r FROM reach JOIN e ON e.a = reach.node
-),
-comp AS (SELECT node AS id, min(r) AS component FROM reach GROUP BY node),
+        "suite_neardup_verdicts": _JACCARD_COMPONENTS_CTES + r""",
 dropped AS (SELECT count(*) AS d FROM comp WHERE id <> component),
 tot AS (SELECT count(doc_id) AS t FROM docs)
 SELECT '*' AS "partition", 'text' AS "column", 'neardup_frac' AS "check",

@@ -189,7 +189,11 @@ def main() -> None:
     spark = get_spark("dcs-bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
     spark.sparkContext.setLogLevel("ERROR")
 
-    from bench_scaling import cpu_ceiling  # sha256 probe, scripts/bench_scaling.py
+    from bench_scaling import (  # shared quiet-window protocol
+        cpu_ceiling,
+        window_accepted,
+        window_score,
+    )
 
     import shutil
     import tempfile
@@ -217,24 +221,27 @@ def main() -> None:
             return [sum(t[i] for t in timings.values()) for i in range(reps)]
 
         def att_score(att: dict) -> tuple:
-            w = max(
-                abs(att["ceiling_pre"] - 1.0), abs(att["ceiling_post"] - 1.0)
+            # shared protocol scoring (scripts/bench_scaling.py):
+            # acceptance dominates, then sweep steadiness, then probe
+            # distance from 1.0
+            return window_score(
+                att["accepted"], att["sweep_spread"],
+                att["ceiling_pre"], att["ceiling_post"],
             )
-            # acceptance dominates: an accepted (quiet-probes + steady-
-            # sweeps) attempt always outranks a non-accepted one, so the
-            # shipped number comes from an accepted window whenever one
-            # exists — a lower spread in a noisy window cannot shadow it
-            return (att["accepted"], -(att["sweep_spread"] + 0.5 * w))
 
+        # probe width capped to the host: asking for CPUs the box
+        # doesn't have would leave probe workers unpinned (see
+        # bench_scaling._sha_worker) and distort the ceiling reading
+        ncpu = os.cpu_count() or 8
+        probe_lo, probe_hi = min(8, max(2, ncpu // 4)), min(32, ncpu)
         best = None
         for attempt in range(ATTEMPTS):
-            c_pre = cpu_ceiling(8, 32)
+            c_pre = cpu_ceiling(probe_lo, probe_hi)
             timings: dict = {}
             for _ in range(REPS):
                 one_sweep(spark, qs, sf_dir, pages, timings)
-            c_post = cpu_ceiling(8, 32)
+            c_post = cpu_ceiling(probe_lo, probe_hi)
             totals = sweep_totals(timings)
-            quiet_probes = 0.80 <= c_pre <= 1.15 and 0.80 <= c_post <= 1.15
             spread = round(max(totals) / min(totals), 3)
             att = {
                 "timings": timings,
@@ -242,7 +249,7 @@ def main() -> None:
                 "ceiling_post": round(c_post, 3),
                 "sweep_spread": spread,
                 "attempt": attempt,
-                "accepted": bool(quiet_probes and spread <= 1.2),
+                "accepted": window_accepted(c_pre, c_post, spread),
             }
             if best is None or att_score(att) > att_score(best):
                 best = att

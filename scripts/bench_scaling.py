@@ -61,7 +61,13 @@ def materialize(n: int, build: str) -> tuple[str, str]:
 
 
 def _sha_worker(cpu: int, dur: float, q) -> None:
-    os.sched_setaffinity(0, {cpu})
+    try:
+        os.sched_setaffinity(0, {cpu})
+    except OSError:
+        # fewer CPUs than the probe width (e.g. bench.py's fixed 8/32
+        # probe on a 16-core host): run unpinned rather than dying
+        # before q.put — a missing queue item hangs _sha_rate forever
+        pass
     data = b"x" * 4096
     n = 0
     t0 = time.perf_counter()
@@ -149,6 +155,29 @@ def run_worker(cores: int, zpath: str, p1: str, p2: str) -> dict:
     raise RuntimeError(f"worker produced no JSON:\n{out.stdout[-2000:]}\n{out.stderr[-3000:]}")
 
 
+# THE quiet-window protocol constants + scoring — one definition for
+# bench.py (headline), bench_pair (strong scaling) and
+# bench_weak_scaling: tuning a threshold here tunes every bench, so
+# the three can never drift apart on what "accepted" means.
+PROBE_WINDOW = (0.80, 1.15)
+MAX_RUN_SPREAD = 1.2
+PROBE_WEIGHT = 0.5
+
+
+def window_accepted(c_pre: float, c_post: float, spread: float) -> bool:
+    lo, hi = PROBE_WINDOW
+    return lo <= c_pre <= hi and lo <= c_post <= hi and spread <= MAX_RUN_SPREAD
+
+
+def window_score(accepted: bool, spread: float, c_pre: float, c_post: float) -> tuple:
+    # an ACCEPTED attempt always outranks a non-accepted one; within a
+    # class, rank by the timed runs' own steadiness first (edge probes
+    # cannot see MID-RUN interference), then by probe distance from
+    # the ideal 1.0 (a probe ABOVE ~1 is as suspect as one below 0.8)
+    w = max(abs(c_pre - 1.0), abs(c_post - 1.0))
+    return (accepted, -(spread + PROBE_WEIGHT * w))
+
+
 def bench_pair(lo: int, hi: int, attempts: int, zpath: str, p1: str, p2: str) -> dict:
     """Measure one N vs 4N pair under the shared-host noise protocol:
     probe the pure-CPU scaling ceiling immediately before and after
@@ -161,22 +190,10 @@ def bench_pair(lo: int, hi: int, attempts: int, zpath: str, p1: str, p2: str) ->
         return max(runs) / min(runs)
 
     def att_score(att: dict) -> tuple:
-        # Rank attempts: an ACCEPTED attempt (quiet probes + steady
-        # runs — the loop's own stop criterion) always outranks a
-        # non-accepted one, so the shipped number comes from an
-        # accepted window whenever one exists. Within a class, rank
-        # by how steady the timed runs themselves were (the edge
-        # probes cannot see MID-RUN interference — an attempt with
-        # probe readings 1.02/0.95 still showed a 39% internal spread
-        # when the host got busy between runs), then by probe distance
-        # from the ideal 1.0 (a probe ABOVE ~1 is as suspect as one
-        # below 0.8: sha scaling can't genuinely exceed 1.0, so a high
-        # reading means the low-parallelism probe itself was disturbed
-        # — observed 1.25 right before a 2-core run that came out 50%
-        # slow).
         s = max(spread(att["r_lo"]["all_runs_sec"]), spread(att["r_hi"]["all_runs_sec"]))
-        w = max(abs(att["ceiling_pre"] - 1.0), abs(att["ceiling_post"] - 1.0))
-        return (att["accepted"], -(s + 0.5 * w))
+        return window_score(
+            att["accepted"], s, att["ceiling_pre"], att["ceiling_post"]
+        )
 
     best = None
     for i in range(attempts):
@@ -194,9 +211,9 @@ def bench_pair(lo: int, hi: int, attempts: int, zpath: str, p1: str, p2: str) ->
             "r_lo": r_lo, "r_hi": r_hi,
             "efficiency": round(eff_i, 3),
         }
-        quiet_probes = 0.80 <= c_pre <= 1.15 and 0.80 <= c_post <= 1.15
-        steady_runs = att["spread_lo"] <= 1.2 and att["spread_hi"] <= 1.2
-        att["accepted"] = bool(quiet_probes and steady_runs)
+        att["accepted"] = window_accepted(
+            c_pre, c_post, max(att["spread_lo"], att["spread_hi"])
+        )
         print(json.dumps({"attempt_result": att}), flush=True)
         if best is None or att_score(att) > att_score(best):
             best = att

@@ -34,7 +34,13 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(REPO, "scripts"))
 
-from bench_scaling import cpu_ceiling, make_zip, run_worker  # noqa: E402
+from bench_scaling import (  # noqa: E402
+    cpu_ceiling,
+    make_zip,
+    run_worker,
+    window_accepted,
+    window_score,
+)
 
 _argv = sys.argv + [None] * 6
 LO_CORES = int(_argv[2] or 8)
@@ -52,12 +58,9 @@ def spread(runs: list) -> float:
 
 
 def att_score(att: dict) -> tuple:
-    # accepted attempts (quiet probes + steady runs) strictly outrank
-    # non-accepted ones — the shipped number must come from an accepted
-    # window whenever one exists (same rule as bench.py/bench_scaling)
+    # shared protocol scoring (bench_scaling.window_score)
     s = max(spread(att["r_lo"]["all_runs_sec"]), spread(att["r_hi"]["all_runs_sec"]))
-    w = max(abs(att["ceiling_pre"] - 1.0), abs(att["ceiling_post"] - 1.0))
-    return (att["accepted"], -(s + 0.5 * w))
+    return window_score(att["accepted"], s, att["ceiling_pre"], att["ceiling_post"])
 
 
 def main() -> None:
@@ -83,9 +86,9 @@ def main() -> None:
             "r_lo": r_lo, "r_hi": r_hi,
             "weak_efficiency": round(eff, 3),
         }
-        quiet = 0.80 <= c_pre <= 1.15 and 0.80 <= c_post <= 1.15
-        steady = att["spread_lo"] <= 1.2 and att["spread_hi"] <= 1.2
-        att["accepted"] = bool(quiet and steady)
+        att["accepted"] = window_accepted(
+            c_pre, c_post, max(att["spread_lo"], att["spread_hi"])
+        )
         log.write(json.dumps(att) + "\n")
         log.flush()
         print(json.dumps({"attempt_result": att}), flush=True)

@@ -49,6 +49,13 @@ def main() -> int:
 
     qs = entry.queries()
     oracles = entry.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd name would otherwise skip EVERY check and print a
+        # false 'all queries match' — the gate must never verify
+        # nothing and report green
+        print(f"ERROR: unknown query name(s): {sorted(unknown)}")
+        return 2
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
