@@ -49,6 +49,8 @@ def default_pages_suite(
     lang_min_entropy: float | None = None,
     lang_max_mode_share: float | None = None,
     extract_expected_sql: str | None = None,
+    linedup_gate: float | None = None,
+    lm_gate: tuple[float, float, float] | None = None,
 ) -> CheckSuite:
     """The standard web-pages validation suite. ``with_repetition``
     adds the Gopher boilerplate gate (one extra scan of (partition,
@@ -156,6 +158,28 @@ def default_pages_suite(
                 text_col="text", id_col="url", max_neardup_frac=neardup_gate
             )
         )
+    if linedup_gate is not None:
+        from data_check_spark.plans.suite import LineDupCheck
+
+        # global CCNet boilerplate-mass gate (one scan+split+explode
+        # pass; opt-in for the same bench-comparability reason)
+        checks.append(
+            LineDupCheck(
+                text_col="text", id_col="url", max_dup_line_frac=linedup_gate
+            )
+        )
+    if lm_gate is not None:
+        from data_check_spark.plans.suite import LMCheck
+
+        lo, hi, frac = lm_gate
+        # global CCNet fluency-band gate: self-trained bigram LM, the
+        # out-of-band doc fraction must stay under `frac`
+        checks.append(
+            LMCheck(
+                text_col="text", id_col="url",
+                min_mean_p=lo, max_mean_p=hi, max_outlier_frac=frac,
+            )
+        )
     return CheckSuite(checks)
 
 
@@ -207,6 +231,40 @@ def main(argv: list[str] | None = None) -> int:
         "(MinHash-LSH pairs -> connected-component clusters, keyed "
         "by url) exceeds FRAC; violations dump the non-exemplar "
         "members with cluster labels",
+    )
+    ap.add_argument(
+        "--linedup-gate",
+        type=float,
+        default=None,
+        metavar="FRAC",
+        help="add the global CCNet boilerplate-mass gate: fail when "
+        "the fraction of line segments whose normalized form recurs "
+        "in >= 2 documents exceeds FRAC; worst documents dump under "
+        "linedup:text",
+    )
+    ap.add_argument(
+        "--lm-gate",
+        default=None,
+        metavar="LO:HI:FRAC",
+        help="add the global CCNet fluency-band gate: self-train a "
+        "bigram LM on the corpus, score each document's mean smoothed "
+        "bigram probability, fail when the fraction of docs outside "
+        "[LO, HI] exceeds FRAC (e.g. 0.0005:0.9:0.05); most-anomalous "
+        "docs dump under lm:text",
+    )
+    ap.add_argument(
+        "--repetition-gate",
+        action="store_true",
+        help="add the per-partition Gopher repetition gate (mean "
+        "duplicate-2-gram fraction; one extra scan of (partition, "
+        "text)); worst documents dump under repetition:text",
+    )
+    ap.add_argument(
+        "--fd-check",
+        action="store_true",
+        help="add the url -> byte-identical-text functional-dependency "
+        "gate (the input-table per-row invariant; one extra hash-pair "
+        "scan)",
     )
     ap.add_argument(
         "--lang-min-entropy",
@@ -399,6 +457,13 @@ def main(argv: list[str] | None = None) -> int:
             ap.error("--mix-weights must be a JSON object of numbers")
         if args.mix_epochs < 1.0:
             ap.error("--mix-epochs must be >= 1.0")
+    lm_gate = None
+    if args.lm_gate:
+        try:
+            lo, hi, frac = (float(x) for x in args.lm_gate.split(":"))
+        except ValueError:
+            ap.error(f"--lm-gate must be LO:HI:FRAC, got {args.lm_gate!r}")
+        lm_gate = (lo, hi, frac)
 
     spark = SparkSession.builder.appName("data-check-spark-runner").getOrCreate()
 
@@ -431,10 +496,14 @@ def main(argv: list[str] | None = None) -> int:
             ref_profile = None
     suite = default_pages_suite(
         with_drift=ref is not None or ref_profile is not None,
+        with_repetition=args.repetition_gate,
+        with_fd=args.fd_check,
         neardup_gate=args.neardup_gate,
         lang_min_entropy=args.lang_min_entropy,
         lang_max_mode_share=args.lang_max_mode_share,
         extract_expected_sql=args.extract_check,
+        linedup_gate=args.linedup_gate,
+        lm_gate=lm_gate,
     )
     if args.suite_config:
         from data_check_spark.plans.config import load_suite

@@ -248,6 +248,33 @@ def test_runner_resume_stages(spark, tmp_path):
     assert os.path.getmtime(succ) > t0
 
 
+def test_runner_quality_gate_flags(spark, tmp_path):
+    """--linedup-gate / --lm-gate / --repetition-gate / --fd-check
+    wire their suite checks from the CLI: each verdict kind lands in
+    the audit, and a malformed --lm-gate dies at argparse time."""
+    out = str(tmp_path / "run_gates")
+    rc = main([
+        "--synthesize", "2000",
+        "--out", out,
+        "--partitions", "4",
+        "--linedup-gate", "0.9",
+        "--lm-gate", "0.0:1.0:0.5",
+        "--repetition-gate",
+        "--fd-check",
+    ])
+    assert rc in (0, 1)
+    audit = spark.read.parquet(f"{out}/audit/verdicts")
+    kinds = {r["check"] for r in audit.select("check").distinct().collect()}
+    assert "dup_line_frac" in kinds or any(k.startswith("dup_line") for k in kinds)
+    assert any(k.startswith("lm_") or k == "lm_outlier_frac" for k in kinds)
+    assert any(k.startswith("repetition_") for k in kinds)
+    assert any(k.startswith("fd") for k in kinds)
+    with pytest.raises(SystemExit) as ei:
+        main(["--synthesize", "100", "--out", str(tmp_path / "x"),
+              "--lm-gate", "nonsense"])
+    assert ei.value.code == 2
+
+
 def test_runner_extract_check(spark, tmp_path):
     """--extract-check wires the html→text extraction invariant
     (functions/html) into the default suite as an ExprCheck: the
