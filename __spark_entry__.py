@@ -66,6 +66,7 @@ from data_check_spark.operators.rowdiff import (
 )
 from data_check_spark.operators.schema_diff import schema_diff
 from data_check_spark.operators.similarity import brute_force_topk, lsh_topk
+from data_check_spark.operators.spread import spread_cpu
 from data_check_spark.operators.stats import column_stats
 from data_check_spark.operators.unique import uniqueness_violations
 
@@ -403,22 +404,37 @@ def _q_cosine_neardup(spark, sf_dir):
     return pairs.filter(F.col("cosine") >= 0.99).orderBy("id_a", "id_b")
 
 
+def _docs_text(spark, sf_dir, *extra_cols: str) -> DataFrame:
+    """(doc_id, text [, extra]) spread across the cores: the documents
+    table arrives as ONE parquet row group (scan parallelism 1 — see
+    operators/spread.py), and every consumer of this helper is per-row
+    CPU-bound (regex counters, HOFs, md5), so the conditional
+    hash-repartition is the difference between 1 and N busy cores.
+    No-op at 100 TB where the source is well-split."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", *extra_cols, "text")
+    return spread_cpu(d, "doc_id")
+
+
 def _q_token_stats(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    t = F.col("text")
-    return d.select(
-        "doc_id",
-        token_count(t).alias("n_tokens"),
-        bpe_ish_token_count(t).alias("n_bpe_tokens"),
-        F.round(mean_word_length(t), 4).alias("mean_word_len"),
-        F.round(punct_ratio(t), 6).alias("punct_ratio"),
-        F.round(digit_ratio(t), 6).alias("digit_ratio"),
+    """Standalone token stats, served from the fused two-stage counter
+    Project (functions/textstats.add_text_metrics): Catalyst prunes
+    the counters the selected metrics don't need, and each surviving
+    regex runs once per row instead of once per CaseWhen/try_divide
+    reference (the measured 2.8x of the add_text_metrics docstring).
+    Output columns are bit-identical to the per-function originals —
+    that equivalence is what the `text_metrics` oracle pins."""
+    return add_text_metrics(_docs_text(spark, sf_dir), "text").select(
+        "doc_id", "n_tokens", "n_bpe_tokens", "mean_word_len",
+        "punct_ratio", "digit_ratio",
     )
 
 
 def _q_quality(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+    """quality via the fused counter Project (see _q_token_stats):
+    same `quality` column bit-for-bit, 5 regex passes instead of 9."""
+    return add_text_metrics(_docs_text(spark, sf_dir), "text").select(
+        "doc_id", "quality"
+    )
 
 
 def _q_text_metrics(spark, sf_dir):
@@ -426,13 +442,16 @@ def _q_text_metrics(spark, sf_dir):
     (functions/textstats.add_text_metrics): every regex counter
     evaluated once per row, three stacked Projects that Catalyst keeps
     uncollapsed, one parquet scan of (doc_id, text)."""
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return add_text_metrics(d, "text")
+    return add_text_metrics(_docs_text(spark, sf_dir), "text")
 
 
 def _q_langid(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", lang_guess(F.col("text")).alias("lang_guess"))
+    """lang_guess via the fused counter Project (see _q_token_stats):
+    the four marker regexp_counts are bound once below the CASE instead
+    of being re-evaluated per branch reference."""
+    return add_text_metrics(_docs_text(spark, sf_dir), "text").select(
+        "doc_id", "lang_guess"
+    )
 
 
 def _q_token_budget_cut(spark, sf_dir):
@@ -447,7 +466,7 @@ def _q_token_budget_cut(spark, sf_dir):
     from data_check_spark.functions.splits import budget_cut
     from data_check_spark.functions.textstats import token_count
 
-    d = _t(spark, sf_dir, "documents")
+    d = spread_cpu(_t(spark, sf_dir, "documents"), "doc_id")
     kept = budget_cut(d, 20_000, token_count(F.col("text")), "doc_id")
     return kept.select(
         "doc_id",
@@ -468,7 +487,7 @@ def _q_text_normalize(spark, sf_dir):
     byte-for-byte, the invariant the dedup hashers rely on."""
     from data_check_spark.functions.normalize import canonical_text
 
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_text(spark, sf_dir)
     planted = F.concat(
         F.col("text"),
         F.when(
@@ -495,8 +514,10 @@ def _q_lang_mismatch(spark, sf_dir):
     are not mismatches — SQL comparison semantics on both engines;
     'und' vs a declared code IS one. One scan, one tiny groupBy on
     the lang code — trivially 100 TB-safe."""
-    d = _t(spark, sf_dir, "documents")
-    g = d.select("lang", lang_guess(F.col("text")).alias("g"))
+    d = _docs_text(spark, sf_dir, "lang")
+    g = add_text_metrics(d, "text", keep=["lang"]).select(
+        "lang", F.col("lang_guess").alias("g")
+    )
     return g.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.count_if(F.col("g") != F.col("lang")).alias("n_mismatch"),
@@ -510,7 +531,7 @@ def _q_lang_mismatch(spark, sf_dir):
 
 
 def _q_fingerprint(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_text(spark, sf_dir)
     return d.select("doc_id", bag_of_words_fingerprint(F.col("text")).alias("fp"))
 
 
@@ -621,7 +642,7 @@ def _q_pii_scan(spark, sf_dir):
     then have real content to find, and zero-counts are meaningful."""
     from data_check_spark.functions.pii import pii_counts, redact_pii
 
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_text(spark, sf_dir)
     sid = F.col("doc_id").cast("string")
     dirty = (
         F.when(
@@ -885,7 +906,7 @@ def _q_encoding_scan(spark, sf_dir):
         replacement_char_count,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_text(spark, sf_dir)
     planted = _planted_scar_text()
     p = d.select("doc_id", planted.alias("_t"))
     return p.select(
@@ -1136,7 +1157,7 @@ def _q_hll_distinct(spark, sf_dir):
 def _q_suite_verdicts(spark, sf_dir):
     from data_check_spark.plans.suite import CheckSuite, StatsCheck, UniquenessCheck
 
-    d = _t(spark, sf_dir, "documents")
+    d = spread_cpu(_t(spark, sf_dir, "documents"), "doc_id")
     suite = CheckSuite(
         [
             StatsCheck(
@@ -1161,7 +1182,7 @@ def _q_suite_bytes(spark, sf_dir):
     both engines, so the metric is bit-identical."""
     from data_check_spark.plans.suite import CheckSuite, StatsCheck
 
-    d = _t(spark, sf_dir, "documents")
+    d = spread_cpu(_t(spark, sf_dir, "documents"), "doc_id")
     suite = CheckSuite(
         [
             StatsCheck(
@@ -1190,7 +1211,7 @@ def _q_suite_drift_profile(spark, sf_dir):
         NumericDriftCheck,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    d = spread_cpu(_t(spark, sf_dir, "documents"), "doc_id")
     suite = CheckSuite(
         [
             CategoricalDriftCheck(column="lang", max_psi=0.01),
@@ -1408,7 +1429,7 @@ def _q_suite_profile(spark, sf_dir):
     value counts."""
     from data_check_spark.plans.suite import CheckSuite, ProfileCheck
 
-    d = _t(spark, sf_dir, "documents").withColumn(
+    d = spread_cpu(_t(spark, sf_dir, "documents"), "doc_id").withColumn(
         "lang",
         F.when(F.col("doc_id") % 17 == 3, F.lit(None).cast("string")).otherwise(
             F.col("lang")
@@ -1436,7 +1457,7 @@ def _q_fd_violations(spark, sf_dir):
     the synthetic pages table (tests/test_suite.py)."""
     from data_check_spark.operators.unique import fd_violations
 
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_text(spark, sf_dir)
     pages = d.select(
         F.concat(F.lit("doc"), (F.col("doc_id") % 31).cast("string")).alias("url"),
         "text",
@@ -1477,7 +1498,7 @@ def _q_url_canon(spark, sf_dir):
     merged."""
     from data_check_spark.functions.urls import add_canonical_url
 
-    d = _t(spark, sf_dir, "documents")
+    d = spread_cpu(_t(spark, sf_dir, "documents").select("doc_id"), "doc_id")
     m3, m4 = F.col("doc_id") % 3, F.col("doc_id") % 4
     host = (
         F.when(m3 == 0, F.lit("http://Example.COM"))
@@ -1669,7 +1690,7 @@ def _q_suggest_constraints(spark, sf_dir):
     this is the inverse direction a 10^12-row onboarding needs."""
     from data_check_spark.plans.suggest import suggest_constraints
 
-    d = _t(spark, sf_dir, "documents").withColumn(
+    d = spread_cpu(_t(spark, sf_dir, "documents"), "doc_id").withColumn(
         "lang",
         F.when(F.col("doc_id") % 17 == 3, F.lit(None).cast("string")).otherwise(
             F.col("lang")
@@ -1772,7 +1793,7 @@ def _q_quarantine_gopher(spark, sf_dir):
     planted via doc_id%23==5)."""
     from data_check_spark.operators.quarantine import gopher_rules, route_rows
 
-    d = _t(spark, sf_dir, "documents").select(
+    d = _docs_text(spark, sf_dir).select(
         "doc_id",
         F.when(F.col("doc_id") % 23 == 5, F.lit(None).cast("string"))
         .otherwise(F.col("text"))
@@ -1795,7 +1816,7 @@ def _q_quarantine_encoding(spark, sf_dir):
     the sorted reason list with the same fail-closed CASE logic."""
     from data_check_spark.operators.quarantine import encoding_rules, route_rows
 
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_text(spark, sf_dir)
     planted = _planted_scar_text()
     d = d.select(
         "doc_id",
@@ -1850,7 +1871,7 @@ def _lined_pages(spark, sf_dir):
     (~1/7 of docs each) and the full text (duplicated only across the
     synth generator's planted exact-dup groups). The DuckDB twin
     builds the identical text with the identical expressions."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_text(spark, sf_dir)
     return d.select(
         "doc_id",
         F.concat_ws(
@@ -1907,8 +1928,7 @@ def _q_repetition(spark, sf_dir):
     2021 §A1.1): duplicate-line / duplicate-n-gram / top-n-gram
     fractions — the standard crawled-text boilerplate filter. Pure
     per-row JVM HOF work (functions/textstats.repetition_metrics)."""
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return repetition_metrics(d, "text")
+    return repetition_metrics(_docs_text(spark, sf_dir), "text")
 
 
 def _q_domain_cap(spark, sf_dir):
@@ -2084,7 +2104,11 @@ def _q_partition_fp(spark, sf_dir):
     re-derives every fingerprint bit-for-bit — the engine-portability
     claim of the audit story, checked end-to-end."""
     t1, _ = _orders_versions(spark, sf_dir)
-    fp = partition_fingerprint(_with_month(t1), "omonth", _FP_COLS)
+    # orders ships as one file with 2 row groups → the per-row md5
+    # encode otherwise runs 2-way on 32 cores (operators/spread.py)
+    fp = partition_fingerprint(
+        spread_cpu(_with_month(t1), "o_orderkey"), "omonth", _FP_COLS
+    )
     # DECIMAL(38,0) loses precision through DuckDB's pandas fetch
     # (float64) — ship the opaque fingerprint as its digit string
     return fp.select(
@@ -2101,8 +2125,12 @@ def _q_changed_partitions(spark, sf_dir):
     scale-first prefilter that prunes the row diff to changed
     partitions (operators/fingerprint.py diff_changed_partitions)."""
     t1, t2 = _orders_versions(spark, sf_dir)
+    # see _q_partition_fp: spread both sides' md5 encode passes
     return changed_partitions(
-        _with_month(t1), _with_month(t2), "omonth", _FP_COLS
+        spread_cpu(_with_month(t1), "o_orderkey"),
+        spread_cpu(_with_month(t2), "o_orderkey"),
+        "omonth",
+        _FP_COLS,
     ).orderBy("partition")
 
 
@@ -2208,7 +2236,7 @@ def _q_shard_manifest(spark, sf_dir):
     pandas fetch)."""
     from data_check_spark.operators.export import shard_manifest
 
-    d = _t(spark, sf_dir, "documents")
+    d = spread_cpu(_t(spark, sf_dir, "documents"), "doc_id")
     m = shard_manifest(d, "doc_id", 8)
     return m.select(
         "shard",

@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from data_check_spark.operators.spread import spread_cpu
+
 
 def duplicate_groups(
     keyed: DataFrame,
@@ -488,14 +490,20 @@ def cross_doc_ngram_duplicates(
     overcount a shared gram, at ~n_grams²/2⁶⁴ probability)."""
     if hash_fn not in ("md5", "xxhash64"):
         raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
-    words = _words(F.col(text_col))
     gram_hash = (
         (lambda g: F.md5(g.cast("binary")))
         if hash_fn == "md5"
         else F.xxhash64
     )
-    grams = df.select(
-        F.col(id_col).alias("_id"), words.alias("_w")
+    # conditional CPU spread (operators/spread.py): the shingle +
+    # explode + hash map work below otherwise runs on however few row
+    # groups the source supplies (ONE task on the single-row-group
+    # bench tables); no-op on a well-split 100 TB source
+    slim = spread_cpu(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt")), "_id"
+    )
+    grams = slim.select(
+        "_id", _words(F.col("_txt")).alias("_w")
     ).select(
         "_id", F.explode(word_shingles_from(F.col("_w"), n)).alias("_g")
     ).select("_id", gram_hash(F.col("_g")).alias("_h"))
@@ -530,12 +538,17 @@ def _gram_hash_frame(df: DataFrame, id_col: str, text_col: str, n: int, hash_fn:
     one DuckDB recipe oracles both."""
     if hash_fn not in ("md5", "xxhash64"):
         raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
-    words = _words(F.col(text_col))
     gram_hash = (
         (lambda g: F.md5(g.cast("binary"))) if hash_fn == "md5" else F.xxhash64
     )
+    # same conditional CPU spread as cross_doc_ngram_duplicates: the
+    # shingle pass is the dominant map cost and must not be serialized
+    # by a few-row-group source
+    slim = spread_cpu(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt")), "_id"
+    )
     return (
-        df.select(F.col(id_col).alias("_id"), words.alias("_w"))
+        slim.select("_id", _words(F.col("_txt")).alias("_w"))
         .select("_id", F.explode(word_shingles_from(F.col("_w"), n)).alias("_g"))
         .select("_id", gram_hash(F.col("_g")).alias("_h"))
     )

@@ -49,6 +49,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from data_check_spark.operators.refint import maybe_broadcast
+from data_check_spark.operators.spread import spread_cpu
 
 __all__ = [
     "duplicated_line_hashes",
@@ -78,9 +79,17 @@ def _pos_lines(df: DataFrame, id_col: str, text_col: str, sep_regex: str, hash_f
     """(_id, _pos, _line, _h): every segment of every document that
     does not normalize to '', positionally ordered, keyed by the hash
     of its normalized form. Documents with NULL text produce no rows."""
-    raw = F.split(F.col(text_col), sep_regex)
+    # conditional CPU spread (operators/spread.py): split + posexplode
+    # + normalize + hash is the dominant map cost; a few-row-group
+    # source would otherwise serialize it on one core. Both branches of
+    # line_duplicate_stats call this with the identical input, so the
+    # added exchange stays part of the shared (reused) subtree.
+    slim = spread_cpu(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t")), "_id"
+    )
+    raw = F.split(F.col("_t"), sep_regex)
     return (
-        df.select(F.col(id_col).alias("_id"), F.posexplode(raw).alias("_pos", "_line"))
+        slim.select("_id", F.posexplode(raw).alias("_pos", "_line"))
         .withColumn("_norm", _norm_col(F.col("_line")))
         .filter(F.col("_norm") != "")
         .select("_id", "_pos", "_line", _hash_col(F.col("_norm"), hash_fn).alias("_h"))

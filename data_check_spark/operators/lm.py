@@ -59,6 +59,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from data_check_spark.operators.refint import maybe_broadcast
+from data_check_spark.operators.spread import spread_cpu
 
 _Q = 1_000_000_000  # 1e-9 probability quantum (9 significant digits)
 
@@ -71,11 +72,17 @@ def bigram_frame(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     every engine re-derives identical counts. Docs with < 2 tokens
     contribute no rows (and are absent from scores — documented
     contract)."""
+    # conditional CPU spread (operators/spread.py): tokenize + explode
+    # is the dominant map cost; a few-row-group source would otherwise
+    # serialize it on one core (no-op on a well-split 100 TB source)
+    slim = spread_cpu(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt")), "_id"
+    )
     return (
-        df.select(
-            F.col(id_col).alias("_id"),
+        slim.select(
+            "_id",
             F.filter(
-                F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: F.length(w) > 0
+                F.split(F.lower(F.col("_txt")), r"\s+"), lambda w: F.length(w) > 0
             ).alias("_ws"),
         )
         .filter(F.size("_ws") >= 2)
