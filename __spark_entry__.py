@@ -466,7 +466,7 @@ def _q_token_budget_cut(spark, sf_dir):
     from data_check_spark.functions.splits import budget_cut
     from data_check_spark.functions.textstats import token_count
 
-    d = spread_cpu(_t(spark, sf_dir, "documents"), "doc_id")
+    d = _t(spark, sf_dir, "documents")
     kept = budget_cut(d, 20_000, token_count(F.col("text")), "doc_id")
     return kept.select(
         "doc_id",
@@ -1157,7 +1157,7 @@ def _q_hll_distinct(spark, sf_dir):
 def _q_suite_verdicts(spark, sf_dir):
     from data_check_spark.plans.suite import CheckSuite, StatsCheck, UniquenessCheck
 
-    d = spread_cpu(_t(spark, sf_dir, "documents"), "doc_id")
+    d = _t(spark, sf_dir, "documents")
     suite = CheckSuite(
         [
             StatsCheck(
@@ -1182,7 +1182,7 @@ def _q_suite_bytes(spark, sf_dir):
     both engines, so the metric is bit-identical."""
     from data_check_spark.plans.suite import CheckSuite, StatsCheck
 
-    d = spread_cpu(_t(spark, sf_dir, "documents"), "doc_id")
+    d = _t(spark, sf_dir, "documents")
     suite = CheckSuite(
         [
             StatsCheck(
@@ -1211,7 +1211,7 @@ def _q_suite_drift_profile(spark, sf_dir):
         NumericDriftCheck,
     )
 
-    d = spread_cpu(_t(spark, sf_dir, "documents"), "doc_id")
+    d = _t(spark, sf_dir, "documents")
     suite = CheckSuite(
         [
             CategoricalDriftCheck(column="lang", max_psi=0.01),
@@ -1429,7 +1429,7 @@ def _q_suite_profile(spark, sf_dir):
     value counts."""
     from data_check_spark.plans.suite import CheckSuite, ProfileCheck
 
-    d = spread_cpu(_t(spark, sf_dir, "documents"), "doc_id").withColumn(
+    d = _t(spark, sf_dir, "documents").withColumn(
         "lang",
         F.when(F.col("doc_id") % 17 == 3, F.lit(None).cast("string")).otherwise(
             F.col("lang")
@@ -1457,7 +1457,7 @@ def _q_fd_violations(spark, sf_dir):
     the synthetic pages table (tests/test_suite.py)."""
     from data_check_spark.operators.unique import fd_violations
 
-    d = _docs_text(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents")
     pages = d.select(
         F.concat(F.lit("doc"), (F.col("doc_id") % 31).cast("string")).alias("url"),
         "text",
@@ -1690,7 +1690,7 @@ def _q_suggest_constraints(spark, sf_dir):
     this is the inverse direction a 10^12-row onboarding needs."""
     from data_check_spark.plans.suggest import suggest_constraints
 
-    d = spread_cpu(_t(spark, sf_dir, "documents"), "doc_id").withColumn(
+    d = _t(spark, sf_dir, "documents").withColumn(
         "lang",
         F.when(F.col("doc_id") % 17 == 3, F.lit(None).cast("string")).otherwise(
             F.col("lang")

@@ -15,7 +15,7 @@ agree byte-for-byte on the planted sequences.
 
 The reference has no text canonicalization at all (its
 canonicalization is SQL CAST-to-string for row diffs,
-data_check/query/compare.py); this is beyond-reference curation
+data_check/processors/bigquery.py:143-193); this is beyond-reference curation
 plumbing.
 """
 

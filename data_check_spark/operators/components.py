@@ -2,7 +2,7 @@
 
 The reference (aballiet/data-check) has no graph stage at all — its
 row-level comparison story ends at pair/row diffs (see
-data_check/query/compare.py's join-based diff SQL). At web scale the
+data_check/processors/bigquery.py:143-193's join-based diff SQL). At web scale the
 step AFTER near-dup pair generation is what actually shrinks a corpus:
 pairs -> duplicate CLUSTERS -> keep one exemplar per cluster. This
 module supplies that step Spark-first, as the capstone of the
@@ -66,11 +66,42 @@ def _small_star(e: DataFrame) -> DataFrame:
     ).distinct()
 
 
+def _driver_components(edges: list) -> list:
+    """Union-find (path-halving, min-id roots) over a COLLECTED edge
+    list — the small-graph fast path of connected_components. Labels
+    are the component minimum, identical to the star-contraction
+    fixed point; ids only need a total order (ints and strings both
+    work, matching the distributed path's contract)."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            parent[r] = parent[parent[r]]
+            r = parent[r]
+        return r
+
+    for u, v in edges:
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # attach the larger root under the smaller so every root
+            # stays its component's minimum id
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+    return [(x, find(x)) for x in parent]
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    driver_max_edges: int = 1_000_000,
 ) -> DataFrame:
     """(id, component) for every node appearing in ``pairs``.
 
@@ -109,6 +140,29 @@ def connected_components(
     prev = sig(e)
     if prev[0] == 0:
         return e.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    if prev[0] <= driver_max_edges:
+        # Small-graph fast path: the cleaned DISTINCT edge set (whose
+        # exact count the convergence signature just computed) fits
+        # the driver — ≤ ~16 MB of id pairs at the default cap — so
+        # one union-find replaces O(log n) star iterations, each of
+        # which costs 2 groupBys + 2 joins + 2 distincts + a
+        # checkpoint + a collect in pure stage latency. Same (id,
+        # min-id component) output bit-for-bit; a 100 TB pair list
+        # blows the cap and takes the distributed loop below, so this
+        # is size-adaptive, not a local-mode constant (the
+        # maybe_broadcast / sample_mod / fan_in convention).
+        spark = pairs.sparkSession
+        from pyspark.sql.types import StructField, StructType
+
+        id_type = e.schema["u"].dataType
+        schema = StructType(
+            [
+                StructField("id", id_type, False),
+                StructField("component", id_type, False),
+            ]
+        )
+        labels = _driver_components([(r["u"], r["v"]) for r in e.collect()])
+        return spark.createDataFrame(labels, schema)
     for _ in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint()
         cur = sig(e)
@@ -209,7 +263,7 @@ def strip_duplicates(
     minima are order-independent), so re-runs and backfills are
     stable.
 
-    The reference stops at row diffs (data_check/query/compare.py);
+    The reference stops at row diffs (data_check/processors/bigquery.py:143-193);
     this is the beyond-reference curation step those diffs feed.
     """
     from data_check_spark.operators.refint import maybe_broadcast

@@ -209,11 +209,26 @@ def bigram_lm_scores(
         )
         # q = HALF_UP round(_a/_d * 1e9) in EXACT integer arithmetic;
         # decimal(38,0) so _a up to ~1e12 (hot bigram at 10^12 rows)
-        # survives the *2e9 blow-up that overflows int64
+        # survives the *2e9 blow-up that overflows int64.
+        # _d = c_w1 + v is 0 only for a DEGENERATE reference LM (empty
+        # training corpus, v = 0) scoring an unseen w1: non-ANSI `div`
+        # would yield NULL silently and _q would drop out of the sum,
+        # quietly corrupting mean_p — raise instead (lazy CaseWhen
+        # branch: zero cost on every valid row).
         .withColumn(
             "_q",
-            F.expr(
-                f"cast((2 * cast(_a as decimal(38,0)) * {_Q} + _d) div (2 * _d) as bigint)"
+            F.when(
+                F.col("_d") <= 0,
+                F.raise_error(
+                    F.lit(
+                        "bigram_lm_scores: reference LM has an empty "
+                        "vocabulary (v = 0) — train it on a non-empty corpus"
+                    )
+                ).cast("bigint"),
+            ).otherwise(
+                F.expr(
+                    f"cast((2 * cast(_a as decimal(38,0)) * {_Q} + _d) div (2 * _d) as bigint)"
+                )
             ),
         )
     )

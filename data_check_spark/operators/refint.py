@@ -33,17 +33,26 @@ AUTO_BROADCAST_CAP_BYTES = 32 << 20
 # relations report the unknown sentinel): probe at most cap+1 rows
 AUTO_BROADCAST_CAP_ROWS = 1_000_000
 _UNKNOWN_SIZE = (1 << 63) - 1  # Catalyst's defaultSizeInBytes sentinel
+# Estimates at or above 1 EiB are sentinel ARITHMETIC, not sizes: the
+# non-CBO visitor multiplies children's sizeInBytes through joins, so
+# one unknown-size child (LogicalRDD = Long.Max) times anything lands
+# near — and a downstream Project's column-ratio scaling lands just
+# BELOW — the Long.Max sentinel. No genuine relation here is an
+# exbibyte; treat the whole zone as 'unknown' so such frames take the
+# bounded row probe instead of being assumed huge.
+_IMPLAUSIBLE_SIZE = 1 << 60
 
 
 def plan_size_estimate(df: DataFrame) -> int | None:
     """Catalyst's optimized-plan sizeInBytes estimate (the same
     statistic Spark's own broadcast threshold consults). None when the
-    estimate is unavailable (unknown-size sentinel / JVM access fails)
-    — callers must treat None as 'size unknown', not 'small'."""
+    estimate is unavailable (unknown-size sentinel or sentinel-derived
+    join-product arithmetic / JVM access fails) — callers must treat
+    None as 'size unknown', not 'small'."""
     try:
         jstats = df._jdf.queryExecution().optimizedPlan().stats()
         est = int(str(jstats.sizeInBytes()))
-        return None if est >= _UNKNOWN_SIZE else est
+        return None if est >= _IMPLAUSIBLE_SIZE else est
     except Exception as exc:  # noqa: BLE001 — estimate is advisory only
         # visible trail: a None here sends maybe_broadcast down the
         # bounded limit(cap+1).count() probe — one extra tiny job

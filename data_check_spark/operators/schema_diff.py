@@ -21,9 +21,13 @@ SCHEMA_DIFF_SCHEMA = (
 
 
 def _is_unsupported(dtype: T.DataType) -> bool:
-    # Reference drops RECORD/STRUCT columns (models/table.py:104-110) —
-    # including REPEATED RECORD, whose Spark rendering is
-    # array<struct<...>>, so the element type must be checked too
+    # Reference drops plain RECORD/STRUCT columns (models/table.py:
+    # 104-110). REPEATED RECORD is a DELIBERATE DIVERGENCE: the
+    # reference's ARRAY/REPEATED branch matches FIRST and renders
+    # repeated records via array_to_string — but that generated SQL is
+    # invalid for struct arrays, so here array<struct<...>> is treated
+    # as unsupported too (element type checked recursively): safer
+    # than reproducing a query the reference engine itself rejects.
     if isinstance(dtype, T.ArrayType):
         return _is_unsupported(dtype.elementType)
     return isinstance(dtype, (T.StructType, T.MapType))
