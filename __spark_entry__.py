@@ -236,12 +236,29 @@ def _q_exclusive_2(spark, sf_dir):
 
 def _q_ratios(spark, sf_dir):
     t1, t2 = _orders_versions(spark, sf_dir)
-    return column_match_ratios(t1, t2, "o_orderkey", columns=_RATIO_COLS)
+    # spread by the JOIN key: the few-row-group scan otherwise
+    # canonicalizes 1.5M rows/side on 2 tasks, and because the added
+    # exchange IS the join's hash partitioning (same key, same
+    # partition count) the join plans no second exchange — the canon
+    # work just moves to the parallel side of the shuffle. A/B at
+    # sf1.0/local[32]: 2.05 s -> 1.36 s. No-op at scale (spread_cpu).
+    return column_match_ratios(
+        spread_cpu(t1, "o_orderkey"),
+        spread_cpu(t2, "o_orderkey"),
+        "o_orderkey",
+        columns=_RATIO_COLS,
+    )
 
 
 def _q_row_diff(spark, sf_dir):
     t1, t2 = _orders_versions(spark, sf_dir)
-    return row_diff(t1, t2, "o_orderkey", columns=["o_orderstatus", "o_orderpriority"])
+    # same spread-by-join-key shape as _q_ratios
+    return row_diff(
+        spread_cpu(t1, "o_orderkey"),
+        spread_cpu(t2, "o_orderkey"),
+        "o_orderkey",
+        columns=["o_orderstatus", "o_orderpriority"],
+    )
 
 
 def _q_unique(spark, sf_dir):
@@ -595,7 +612,14 @@ def events_hourly_frame(e, deterministic: bool = True):
 
 
 def _q_events_hourly(spark, sf_dir):
-    return events_hourly_frame(_t(spark, sf_dir, "events"), deterministic=True)
+    # events ships as one row group → the decimal partial aggregation
+    # otherwise runs on ONE task; spreading the slim projection lets
+    # 32 tasks aggregate (A/B: 1.36 s -> 0.92 s at sf1.0). No-op on a
+    # well-split source, where map-side partial agg is the better plan.
+    e = spread_cpu(
+        _t(spark, sf_dir, "events").select("ts", "event_type", "value"), "ts"
+    )
+    return events_hourly_frame(e, deterministic=True)
 
 
 def _q_asof_join(spark, sf_dir):
@@ -2125,7 +2149,10 @@ def _q_changed_partitions(spark, sf_dir):
     scale-first prefilter that prunes the row diff to changed
     partitions (operators/fingerprint.py diff_changed_partitions)."""
     t1, t2 = _orders_versions(spark, sf_dir)
-    # see _q_partition_fp: spread both sides' md5 encode passes
+    # see _q_partition_fp: spread both sides' md5 encode passes (a
+    # single-scan explode-both-sides variant was A/B'd at 4.6 s vs
+    # 2.9 s for this form — HOF array/explode is interpreted, codegen
+    # md5 over two spread scans wins)
     return changed_partitions(
         spread_cpu(_with_month(t1), "o_orderkey"),
         spread_cpu(_with_month(t2), "o_orderkey"),
