@@ -30,12 +30,6 @@ from data_check_spark.functions.splits import split_summary
 from data_check_spark.functions.textstats import (
     add_text_metrics,
     bag_of_words_fingerprint,
-    bpe_ish_token_count,
-    digit_ratio,
-    lang_guess,
-    mean_word_length,
-    punct_ratio,
-    quality_score,
     repetition_metrics,
     token_count,
 )
