@@ -311,6 +311,14 @@ def minhash_lsh_pairs(
         .select("_id", _words(F.col("_txt")).alias("_w"))
         .select("_id", word_shingles_from(F.col("_w"), shingle_k).alias("_sh"))
     )
+    # csh feeds BOTH pair joins below, but each side re-aliases _id
+    # (id_a vs id_b) so the two exchange subtrees are not canonically
+    # equal and ReuseExchange never fires — without this checkpoint the
+    # corpus semi-join + candidate re-shingle runs TWICE (plan showed
+    # two full scan+shingle lineages). The frame is bounded by the
+    # CANDIDATE set (ids touched by a pair), not the corpus, so the
+    # materialization is small at any scale.
+    csh = csh.localCheckpoint()
     pairs = cand.join(
         csh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a"
     ).join(
@@ -699,9 +707,17 @@ def minhash_pairs_against(
             ).alias("bb"),
         ).select(f"id_{side}", "bb.band", "bb.bucket")
 
+    # checkpoint the NEW side's signatures (~8·num_hashes B/doc — the
+    # persistable-store size this module's whole incremental design is
+    # built around): they feed both the banding below and the
+    # est_jaccard re-attach join (sa), which otherwise re-runs the
+    # whole shingle+minhash pipeline over the increment a second time.
+    # The stored side is NOT checkpointed: in production it is a
+    # parquet signature table (re-reading is cheap; materializing a
+    # 10^10-doc store in executor memory is not).
     new_sigs = minhash_signatures(
         new_df, text_col, id_col, shingle_k, num_hashes, seed
-    )
+    ).localCheckpoint()
     # checkpoint both banded sides (skinny (id, band, bucket) rows):
     # the combined `sizes` union below is a separate subtree that
     # would otherwise re-run the new side's whole shingle+minhash
